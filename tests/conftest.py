@@ -1,0 +1,32 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual XLA devices so the multi-chip sharding
+path (shard_map over a Mesh) is exercised without TPU pod hardware, per
+SURVEY.md section 4.
+
+Note: this environment force-registers an `axon` TPU platform via
+sitecustomize (JAX_PLATFORMS=axon, jax already imported before conftest
+runs), so plain env vars are too late -- the platform must be overridden
+through jax.config before the first backend initialization.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+
+
+@pytest.fixture
+def rng_np():
+    return np.random.default_rng(1234)
