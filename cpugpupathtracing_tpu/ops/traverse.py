@@ -71,7 +71,7 @@ def _i32(x):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stack_depth", "leaf_chunk", "any_hit", "count_depth"),
+    static_argnames=("roots", "stack_depth", "leaf_chunk", "any_hit", "count_depth"),
 )
 def traverse(
     origin,
