@@ -1,0 +1,90 @@
+"""Screen-plane pinhole camera, batched ray generation.
+
+Exact reproduction of the reference camera (Source/Main.cpp:94-170): the
+screen plane sits at distance deg2rad(fov_deg) along view_dir (the FOV is
+used as a focal distance), with corners at center +- (aspect, 1, 0) -- an
+axis-aligned plane, so the camera translates but cannot rotate (the
+reference reads mouse-look but never applies it, Source/Main.cpp:109).
+Screen coordinates have no half-pixel offset: u = x/width, v = y/height
+(Source/Main.cpp:713-714), v growing downward (bottom_left - top_left =
+(0, -2, 0)).
+
+Camera parameters travel as a small CameraArrays pytree so moving the
+camera re-runs, not re-compiles, the jitted frame function.
+
+`jitter=True` adds sub-pixel stratification for anti-aliasing -- a
+capability extension, off by default for reference parity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from cpugpupathtracing_tpu.config import CameraConfig
+from cpugpupathtracing_tpu.utils import rng as rnglib
+from cpugpupathtracing_tpu.utils.vecmath import deg2rad, normalize
+
+
+class CameraArrays(NamedTuple):
+    """Traced camera state (a pytree; safe inside jit)."""
+
+    pos: jnp.ndarray      # (3,)
+    view_dir: jnp.ndarray  # (3,)
+    fov_rad: jnp.ndarray   # ()
+    aspect: jnp.ndarray    # ()
+
+
+def to_arrays(cam: CameraConfig) -> CameraArrays:
+    return CameraArrays(
+        pos=jnp.asarray(cam.pos, jnp.float32),
+        view_dir=jnp.asarray(cam.view_dir, jnp.float32),
+        fov_rad=jnp.asarray(deg2rad(cam.fov_deg), jnp.float32),
+        aspect=jnp.asarray(cam.aspect, jnp.float32),
+    )
+
+
+def screen_plane(cam: CameraArrays):
+    """UpdateScreenPlane (Source/Main.cpp:143-149)."""
+    zero = jnp.zeros((), jnp.float32)
+    one = jnp.ones((), jnp.float32)
+    center = cam.pos + cam.fov_rad * cam.view_dir
+    top_left = center + jnp.stack([-cam.aspect, one, zero])
+    top_right = center + jnp.stack([cam.aspect, one, zero])
+    bottom_left = center + jnp.stack([-cam.aspect, -one, zero])
+    return cam.pos, top_left, top_right, bottom_left
+
+
+def get_ray(cam: CameraArrays, u, v):
+    """Camera::GetRay (Source/Main.cpp:133-140), batched over u/v arrays.
+    Returns (origin (..., 3), direction (..., 3))."""
+    pos, tl, tr, bl = screen_plane(cam)
+    pixel = tl + u[..., None] * (tr - tl) + v[..., None] * (bl - tl)
+    direction = normalize(pixel - pos)
+    origin = jnp.broadcast_to(pos, direction.shape)
+    return origin, direction
+
+
+def pixel_rays(cam: CameraArrays, width: int, height: int, *, jitter=False, rng_state=None):
+    """Rays for every pixel, row-major (y, x) flattened to (H*W, 3).
+
+    Matches the reference's per-pixel u = x/width, v = y/height mapping
+    (Source/Main.cpp:713-716): no half-pixel centering, no jitter.
+    """
+    ys, xs = jnp.mgrid[0:height, 0:width]
+    xs = xs.astype(jnp.float32).reshape(-1)
+    ys = ys.astype(jnp.float32).reshape(-1)
+    if jitter:
+        if rng_state is None:
+            raise ValueError("jitter=True requires rng_state")
+        rng_state, jx = rnglib.next_f32(rng_state)
+        rng_state, jy = rnglib.next_f32(rng_state)
+        xs = xs + jx
+        ys = ys + jy
+    u = xs / jnp.float32(width)
+    v = ys / jnp.float32(height)
+    origin, direction = get_ray(cam, u, v)
+    if jitter:
+        return origin, direction, rng_state
+    return origin, direction

@@ -1,0 +1,447 @@
+"""Monte-Carlo path-tracing integrators as masked wavefront loops.
+
+Both integrators of the reference are reproduced with identical physics
+over SoA ray batches:
+
+  * `trace_brute` -- TracePath (Source/Main.cpp:581-689): the recursive
+    brute-force tracer.  Its recursion is a straight chain (each level
+    spawns at most one secondary ray), so it unrolls to an iterative
+    throughput/energy loop bit-identically.
+  * `trace_advanced` -- TracePathAdvanced (Source/Main.cpp:396-579): the
+    iterative tracer with next-event estimation, Russian roulette, and
+    (optionally) cosine-weighted diffuse sampling.
+
+Instead of per-pixel recursion on a thread pool, a fixed `max_ray_depth+1`
+Python loop (statically unrolled under jit) advances every lane together;
+per-lane `active` masks replace `break`.  All three material lobes are
+evaluated each bounce and lane-selected -- lobe math is trivially cheap
+next to scene traversal, so masked evaluation wastes nothing that
+matters on a lockstep VPU.
+
+Faithfully reproduced reference behaviors (deliberate, see SURVEY.md):
+  * NEE double-count guard: light-hit emission only added for primary or
+    specular-flagged rays when NEE is on (Main.cpp:424-431).
+  * Total internal reflection in the advanced tracer leaves the ray
+    unchanged and continues the loop, re-tracing the same segment (the
+    k < 0 case falls through with no new ray, Main.cpp:512-546); in the
+    brute-force tracer TIR terminates the path with zero contribution
+    (Main.cpp:645-674).
+  * The swapped diffuse-pdf constants (Main.cpp:553-564) under
+    DiffusePdfMode.REFERENCE; DiffusePdfMode.CORRECT uses the right ones.
+  * Russian roulette runs after NEE, before lobe selection, at every
+    vertex including the first (Main.cpp:468-475).
+  * traced_rays counts one per scene/shadow traversal actually performed
+    per lane, like data.stats.traced_rays (Main.cpp:301).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from cpugpupathtracing_tpu.config import DebugRenderMode, DiffusePdfMode, RenderSettings
+from cpugpupathtracing_tpu.models.scene import DeviceScene, hit_surface, intersect_scene
+from cpugpupathtracing_tpu.ops import sampling
+from cpugpupathtracing_tpu.utils import rng as rnglib
+from cpugpupathtracing_tpu.utils.vecmath import (
+    INV_PI,
+    PI,
+    RAY_NUDGE,
+    RAY_TMAX,
+    TWO_PI,
+    dot,
+    length,
+    lerp,
+)
+
+_GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+_RED = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+
+
+class TraceResult(NamedTuple):
+    energy: jnp.ndarray       # (N, 3) radiance estimate per lane
+    traced_rays: jnp.ndarray  # () i32: scene+shadow traversals performed
+    ray_depth: jnp.ndarray    # (N,) i32 final path depth (debug AOV)
+    bvh_depth: jnp.ndarray    # (N,) i32 primary-ray interior descents
+
+
+class LightSample(NamedTuple):
+    """LightSample (Source/Main.cpp:340-349) over lanes."""
+
+    pos: jnp.ndarray
+    to_light: jnp.ndarray
+    distance: jnp.ndarray
+    normal: jnp.ndarray
+    emission: jnp.ndarray
+    area: jnp.ndarray
+
+
+def _gather_material(dev: DeviceScene, mat_idx):
+    m = dev.mat
+    return dict(
+        albedo=m.albedo[mat_idx],
+        specular=m.specular[mat_idx],
+        refractivity=m.refractivity[mat_idx],
+        absorption=m.absorption[mat_idx],
+        ior=m.ior[mat_idx],
+        emissive=m.emissive[mat_idx],
+        intensity=m.intensity[mat_idx],
+        is_light=m.is_light[mat_idx],
+    )
+
+
+def sample_light(dev: DeviceScene, state, pos):
+    """GetRandomLightSourceForSample (Source/Main.cpp:351-394): pick one
+    of the K lights uniformly, sample a point on it (visible hemisphere
+    for spheres, uniform random triangle for meshes), return the
+    solid-angle ingredients.  Both branches are evaluated and
+    lane-selected."""
+    nl = dev.num_lights
+    state, li = rnglib.next_u32_range(state, 0, nl - 1)
+    li = li.astype(jnp.int32)
+    is_sph = dev.light_is_sphere[li]
+
+    # sphere light: visible-hemisphere point, half-sphere area
+    center = dev.light_sph_center[li]
+    radius = dev.light_sph_radius[li]
+    state, p_sph = sampling.random_point_sphere_facing(state, center, radius, pos)
+    n_sph = (p_sph - center) / jnp.maximum(radius[:, None], 1e-20)
+    area_sph = TWO_PI * dev.light_sph_radius_sq[li]
+
+    # mesh light: uniform triangle, fold-sample, half total area
+    start = dev.light_tri_start[li].astype(jnp.uint32)
+    count = dev.light_tri_count[li].astype(jnp.uint32)
+    state, ti = rnglib.next_u32_range(state, start, start + count - jnp.uint32(1))
+    tmax = max(dev.num_triangles - 1, 0)
+    ti = jnp.clip(ti.astype(jnp.int32), 0, tmax)
+    if dev.num_triangles > 0:
+        row = dev.tris9[ti]
+        v0 = row[:, 0:3]
+        v1 = v0 + row[:, 3:6]
+        v2 = v0 + row[:, 6:9]
+        state, p_tri = sampling.random_point_triangle(state, v0, v1, v2)
+        n_tri = dev.tri_normal[ti]
+    else:
+        p_tri = jnp.zeros_like(pos)
+        n_tri = jnp.zeros_like(pos)
+    area_tri = dev.light_half_area[li]
+
+    lpos = jnp.where(is_sph[:, None], p_sph, p_tri)
+    lnormal = jnp.where(is_sph[:, None], n_sph, n_tri)
+    area = jnp.where(is_sph, area_sph, area_tri)
+
+    lmat = _gather_material(dev, dev.obj_mat[dev.light_obj[li]])
+    emission = lmat["emissive"] * lmat["intensity"][:, None]
+
+    to_light = lpos - pos
+    distance = length(to_light)
+    to_light = to_light / jnp.maximum(distance[:, None], 1e-20)
+    return state, LightSample(lpos, to_light, distance, lnormal, emission, area)
+
+
+def _dielectric(ray_d, normal, mat):
+    """Shared dielectric ingredients (Source/Main.cpp:488-519 and
+    :621-653 are identical code): returns (tir, inside, refract_dir,
+    fresnel reflectance)."""
+    cosi_raw = jnp.clip(dot(normal, ray_d), -1.0, 1.0)
+    outside = cosi_raw < 0.0          # reference: inside=false when cosi<0
+    inside = ~outside
+    cosi = jnp.abs(cosi_raw)
+    etai = jnp.where(outside, 1.0, mat["ior"])
+    etat = jnp.where(outside, mat["ior"], 1.0)
+    n_ref = jnp.where(outside[:, None], normal, -normal)
+    eta = etai / etat
+    k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    tir = k < 0.0
+    refract_dir = sampling.refract(ray_d, n_ref, eta, cosi, jnp.maximum(k, 0.0))
+    angle_in = dot(ray_d, normal)
+    angle_out = dot(refract_dir, normal)
+    fr = sampling.fresnel(angle_in, angle_out, etai, etat)
+    fr = jnp.where(tir, 1.0, fr)
+    return tir, inside, refract_dir, fr
+
+
+def _diffuse_bounce(state, normal, settings: RenderSettings):
+    """Diffuse direction + (NdotR / pdf) weight, both sampling modes
+    (Source/Main.cpp:548-568)."""
+    if settings.cosine_weighted_diffuse:
+        state, d = sampling.cosine_weighted(state, normal)
+        ndotr = dot(d, normal)
+        if settings.diffuse_pdf_mode == DiffusePdfMode.REFERENCE:
+            pdf = 1.0 / TWO_PI          # reference's swapped constant
+        else:
+            pdf = jnp.maximum(ndotr, 1e-6) / PI
+    else:
+        state, d = sampling.uniform_hemisphere(state, normal)
+        ndotr = dot(d, normal)
+        if settings.diffuse_pdf_mode == DiffusePdfMode.REFERENCE:
+            pdf = jnp.maximum(ndotr, 1e-6) / PI  # reference's swapped constant
+        else:
+            pdf = 1.0 / TWO_PI
+    return state, d, ndotr, ndotr / pdf
+
+
+def trace_advanced(
+    dev: DeviceScene,
+    settings: RenderSettings,
+    origin,
+    direction,
+    state,
+) -> tuple[jnp.ndarray, TraceResult]:
+    """TracePathAdvanced (Source/Main.cpp:396-579) over a lane batch.
+    Returns (rng_state, TraceResult)."""
+    n = origin.shape[0]
+    f32 = jnp.float32
+    throughput = jnp.ones((n, 3), f32)
+    energy = jnp.zeros((n, 3), f32)
+    active = jnp.ones((n,), bool)
+    is_specular = jnp.zeros((n,), bool)
+    ray_o, ray_d = origin, direction
+    final_depth = jnp.zeros((n,), jnp.int32)
+    bvh_depth0 = jnp.zeros((n,), jnp.int32)
+    traced = jnp.zeros((), jnp.int32)
+    debug_bvh = settings.debug_render_mode == DebugRenderMode.BVH_DEPTH
+    nee = settings.next_event_estimation and dev.num_lights > 0
+
+    for depth in range(settings.max_ray_depth + 1):
+        traced = traced + jnp.sum(active, dtype=jnp.int32)
+        hit = intersect_scene(
+            dev, ray_o, ray_d, jnp.full((n,), RAY_TMAX, f32), active=active
+        )
+        if depth == 0:
+            bvh_depth0 = hit.bvh_depth
+            if debug_bvh:
+                # energy += lerp(green, red, bvh_depth/30); break (Main.cpp:408-412)
+                energy = lerp(_GREEN, _RED, (hit.bvh_depth.astype(f32) / 30.0)[:, None])
+                final_depth = jnp.zeros((n,), jnp.int32)
+                break
+
+        miss = active & (hit.obj < 0)
+        final_depth = jnp.where(miss, depth, final_depth)
+        active = active & ~miss
+
+        pos, normal, mat_idx = hit_surface(dev, hit, ray_o, ray_d)
+        mat = _gather_material(dev, mat_idx)
+
+        # light hit: add only for primary/specular when NEE on (Main.cpp:424-431)
+        hit_light = active & mat["is_light"]
+        add_emission = (
+            hit_light
+            if not settings.next_event_estimation
+            else hit_light & ((depth == 0) | is_specular)
+        )
+        energy = energy + jnp.where(
+            add_emission[:, None],
+            throughput * mat["emissive"] * mat["intensity"][:, None],
+            0.0,
+        )
+        final_depth = jnp.where(hit_light, depth, final_depth)
+        active = active & ~hit_light
+
+        brdf_diffuse = mat["albedo"] * INV_PI
+        diffuse_weight = jnp.maximum(
+            0.0, 1.0 - mat["specular"] - mat["refractivity"]
+        )
+
+        # ---- next-event estimation (Main.cpp:439-465) ----
+        if nee:
+            do_nee = active & (diffuse_weight > 0.001)
+            state, ls = sample_light(dev, state, pos)
+            ndotl = dot(normal, ls.to_light)
+            nldotl = dot(ls.normal, -ls.to_light)
+            facing = (ndotl > 0.0) & (nldotl > 0.0)
+            shadow_needed = do_nee & facing
+            traced = traced + jnp.sum(shadow_needed, dtype=jnp.int32)
+            sh = intersect_scene(
+                dev,
+                pos + ls.to_light * RAY_NUDGE,
+                ls.to_light,
+                ls.distance - 2.0 * RAY_NUDGE,
+                any_hit=True,
+                active=shadow_needed,
+            )
+            occluded = sh.obj >= 0
+            solid_angle = (nldotl * ls.area) / jnp.maximum(
+                ls.distance * ls.distance, 1e-20
+            )
+            contrib = (
+                throughput
+                * (ndotl * solid_angle)[:, None]
+                * brdf_diffuse
+                * ls.emission
+                * f32(dev.num_lights)
+                * diffuse_weight[:, None]
+            )
+            energy = energy + jnp.where(
+                (shadow_needed & ~occluded)[:, None], contrib, 0.0
+            )
+
+        # ---- Russian roulette (Main.cpp:468-475) ----
+        if settings.russian_roulette:
+            survival = sampling.survival_probability_rr(mat["albedo"])
+            state, r_rr = rnglib.next_f32(state)
+            die = active & (survival < r_rr)
+            final_depth = jnp.where(die, depth, final_depth)
+            active = active & ~die
+            throughput = jnp.where(
+                active[:, None], throughput / survival[:, None], throughput
+            )
+
+        # ---- lobe selection (Main.cpp:478-570) ----
+        state, r_lobe = rnglib.next_f32(state)
+        sel_spec = active & (r_lobe < mat["specular"])
+        sel_diel = active & ~sel_spec & (
+            r_lobe < mat["specular"] + mat["refractivity"]
+        )
+        sel_diff = active & ~sel_spec & ~sel_diel
+
+        spec_dir = sampling.reflect(ray_d, normal)
+        tir, inside, refract_dir, fr = _dielectric(ray_d, normal, mat)
+        state, r_fr = rnglib.next_f32(state)
+        choose_refract = r_fr > fr
+        state, diff_dir, _ndotr, diff_weight = _diffuse_bounce(state, normal, settings)
+
+        # Beer's-law absorption on medium exit (Main.cpp:524-532)
+        beer = jnp.exp(-mat["absorption"] * hit.t[:, None])
+
+        diel_bounce = sel_diel & ~tir
+        diel_refract = diel_bounce & choose_refract
+        diel_reflect = diel_bounce & ~choose_refract
+
+        new_dir = ray_d
+        new_dir = jnp.where(sel_spec[:, None] | diel_reflect[:, None], spec_dir, new_dir)
+        new_dir = jnp.where(diel_refract[:, None], refract_dir, new_dir)
+        new_dir = jnp.where(sel_diff[:, None], diff_dir, new_dir)
+
+        tp_mult = jnp.ones((n, 3), f32)
+        tp_mult = jnp.where(
+            (sel_spec | diel_reflect | diel_refract)[:, None], mat["albedo"], tp_mult
+        )
+        tp_mult = jnp.where(
+            (diel_refract & inside)[:, None], mat["albedo"] * beer, tp_mult
+        )
+        # throughput *= (NdotR / pdf) * brdf_diffuse (Main.cpp:568)
+        tp_mult = jnp.where(
+            sel_diff[:, None], diff_weight[:, None] * brdf_diffuse, tp_mult
+        )
+        throughput = throughput * tp_mult
+
+        bounced = sel_spec | diel_bounce | sel_diff
+        new_o = pos + new_dir * RAY_NUDGE
+        ray_o = jnp.where(bounced[:, None], new_o, ray_o)
+        ray_d = jnp.where(bounced[:, None], new_dir, ray_d)
+        # TIR lanes (sel_diel & tir) keep the old ray and stay active,
+        # re-tracing the same segment -- the reference's exact fallthrough.
+        is_specular = jnp.where(sel_spec | diel_bounce, True, is_specular)
+        is_specular = jnp.where(sel_diff, False, is_specular)
+
+    final_depth = jnp.where(active, settings.max_ray_depth + 1, final_depth)
+    if settings.debug_render_mode == DebugRenderMode.RAY_DEPTH and not debug_bvh:
+        # energy OVERWRITE (Main.cpp:575-576)
+        energy = lerp(
+            _GREEN,
+            _RED,
+            (final_depth.astype(f32) / f32(settings.max_ray_depth))[:, None],
+        )
+    return state, TraceResult(energy, traced, final_depth, bvh_depth0)
+
+
+def trace_brute(
+    dev: DeviceScene,
+    settings: RenderSettings,
+    origin,
+    direction,
+    state,
+) -> tuple[jnp.ndarray, TraceResult]:
+    """TracePath (Source/Main.cpp:581-689): brute-force path tracing.
+    The recursion is a linear chain, unrolled to throughput form.
+    Returns (rng_state, TraceResult)."""
+    n = origin.shape[0]
+    f32 = jnp.float32
+    throughput = jnp.ones((n, 3), f32)
+    energy = jnp.zeros((n, 3), f32)
+    active = jnp.ones((n,), bool)
+    ray_o, ray_d = origin, direction
+    final_depth = jnp.zeros((n,), jnp.int32)
+    bvh_depth0 = jnp.zeros((n,), jnp.int32)
+    traced = jnp.zeros((), jnp.int32)
+    debug_bvh = settings.debug_render_mode == DebugRenderMode.BVH_DEPTH
+
+    for depth in range(settings.max_ray_depth + 1):
+        traced = traced + jnp.sum(active, dtype=jnp.int32)
+        hit = intersect_scene(
+            dev, ray_o, ray_d, jnp.full((n,), RAY_TMAX, f32), active=active
+        )
+        if depth == 0:
+            bvh_depth0 = hit.bvh_depth
+            if debug_bvh:
+                energy = lerp(_GREEN, _RED, (hit.bvh_depth.astype(f32) / 30.0)[:, None])
+                break
+
+        miss = active & (hit.obj < 0)
+        final_depth = jnp.where(miss, depth, final_depth)
+        active = active & ~miss
+
+        pos, normal, mat_idx = hit_surface(dev, hit, ray_o, ray_d)
+        mat = _gather_material(dev, mat_idx)
+
+        # light hit always returns its emission (Main.cpp:606-609)
+        hit_light = active & mat["is_light"]
+        energy = energy + jnp.where(
+            hit_light[:, None],
+            throughput * mat["emissive"] * mat["intensity"][:, None],
+            0.0,
+        )
+        final_depth = jnp.where(hit_light, depth, final_depth)
+        active = active & ~hit_light
+
+        state, r_lobe = rnglib.next_f32(state)
+        sel_spec = active & (r_lobe < mat["specular"])
+        sel_diel = active & ~sel_spec & (
+            r_lobe < mat["specular"] + mat["refractivity"]
+        )
+        sel_diff = active & ~sel_spec & ~sel_diel
+
+        spec_dir = sampling.reflect(ray_d, normal)
+        tir, inside, refract_dir, fr = _dielectric(ray_d, normal, mat)
+        state, r_fr = rnglib.next_f32(state)
+        choose_refract = r_fr > fr
+        # brute force always samples the hemisphere uniformly (Main.cpp:679)
+        state, diff_dir = sampling.uniform_hemisphere(state, normal)
+        cosi = dot(diff_dir, normal)
+
+        beer = jnp.exp(-mat["absorption"] * hit.t[:, None])
+
+        # TIR kills the path here (k<0 leaves final_color black, Main.cpp:645)
+        diel_dead = sel_diel & tir
+        final_depth = jnp.where(diel_dead, depth, final_depth)
+        diel_refract = sel_diel & ~tir & choose_refract
+        diel_reflect = sel_diel & ~tir & ~choose_refract
+
+        new_dir = ray_d
+        new_dir = jnp.where(sel_spec[:, None] | diel_reflect[:, None], spec_dir, new_dir)
+        new_dir = jnp.where(diel_refract[:, None], refract_dir, new_dir)
+        new_dir = jnp.where(sel_diff[:, None], diff_dir, new_dir)
+
+        tp_mult = jnp.ones((n, 3), f32)
+        tp_mult = jnp.where(
+            (sel_spec | diel_reflect | diel_refract)[:, None], mat["albedo"], tp_mult
+        )
+        tp_mult = jnp.where(
+            (diel_refract & inside)[:, None], mat["albedo"] * beer, tp_mult
+        )
+        # 2*pi * (albedo/pi) * cos = 2 * albedo * cos (Main.cpp:679-685)
+        tp_mult = jnp.where(
+            sel_diff[:, None], 2.0 * mat["albedo"] * cosi[:, None], tp_mult
+        )
+        throughput = throughput * tp_mult
+
+        active = active & ~diel_dead
+        bounced = sel_spec | diel_refract | diel_reflect | sel_diff
+        new_o = pos + new_dir * RAY_NUDGE
+        ray_o = jnp.where(bounced[:, None], new_o, ray_o)
+        ray_d = jnp.where(bounced[:, None], new_dir, ray_d)
+
+    final_depth = jnp.where(active, settings.max_ray_depth + 1, final_depth)
+    return state, TraceResult(energy, traced, final_depth, bvh_depth0)

@@ -1,0 +1,325 @@
+"""Progressive renderer: the frame driver and interactive-equivalent API.
+
+Replaces the reference's Render() tile dispatch + main-loop glue
+(Source/Main.cpp:691-755, :825-942) and its ImGui-side mutation handlers:
+one jitted frame function traces every pixel (optionally several samples)
+and accumulates into a device-resident framebuffer; the Renderer object
+owns the live-mutable state (camera, settings, materials, BVH heuristic,
+pause) and reproduces the reference's accumulator-invalidation policy:
+
+  reset on camera movement (Main.cpp:292-296), material edits
+  (Main.cpp:263-265), render-mode change (Main.cpp:876-877), and the
+  pause toggle (Main.cpp:851-854).  Settings toggles (max depth, NEE,
+  cosine, RR) do NOT reset in the reference -- new samples just blend in
+  -- and that quirk is preserved (call reset() explicitly if unwanted).
+
+Statistics mirror the stats panel (Main.cpp:841-857): per-frame traced
+rays, accumulated-frame count, and mean energy per accumulated frame
+(total_energy_received accumulates sum(rgb) * 0.001 per sample,
+Main.cpp:735, in float64 on host).
+
+Checkpoint/resume (SURVEY.md section 5): the progressive state is exactly
+(accumulator, num_accumulated, sample counter); save/load round-trips it
+through .npz with a scene/settings fingerprint that invalidates stale
+checkpoints -- strictly more capable than the reference, which loses the
+accumulator on exit.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpugpupathtracing_tpu.config import (
+    CameraConfig,
+    DebugRenderMode,
+    RenderConfig,
+    RenderMode,
+    RenderSettings,
+)
+from cpugpupathtracing_tpu.models import camera as camlib
+from cpugpupathtracing_tpu.models import integrators
+from cpugpupathtracing_tpu.models.materials import Material
+from cpugpupathtracing_tpu.models.scene import DeviceScene, Scene
+from cpugpupathtracing_tpu.utils import image as imagelib
+from cpugpupathtracing_tpu.utils import rng as rnglib
+from cpugpupathtracing_tpu.utils.log import log_info, log_warn
+from cpugpupathtracing_tpu.utils.vecmath import vec4_to_uint
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "width", "height", "spp", "seed"),
+    donate_argnames=("accumulator",),
+)
+def render_frame_kernel(
+    dev: DeviceScene,
+    cam: camlib.CameraArrays,
+    accumulator,      # (H*W, 4) f32 running sum
+    sample_base,      # () i32 global sample counter (RNG stream selector)
+    settings: RenderSettings,
+    width: int,
+    height: int,
+    spp: int,
+    seed: int,
+):
+    """One progressive frame: spp samples per pixel, accumulated.
+
+    Returns (accumulator', pixels_u32 (H*W,), traced_rays, energy_sum).
+    Debug render modes bypass accumulation exactly like the reference
+    (Main.cpp:738-746): pixels show the current frame, the accumulator
+    still exists untouched.
+    """
+    n = width * height
+    origin, direction = camlib.pixel_rays(cam, width, height)
+    lane = jnp.arange(n, dtype=jnp.uint32)
+
+    frame_energy = jnp.zeros((n, 3), jnp.float32)
+    traced = jnp.zeros((), jnp.int32)
+
+    for s in range(spp):
+        stream = (sample_base + s).astype(jnp.uint32)
+        state = rnglib.seed_lanes(lane, stream, salt=seed & 0xFFFFFFFF)
+        if settings.render_mode == RenderMode.COMPARISON:
+            # split screen: left half brute force, right half advanced
+            # (Main.cpp:719-725).  Rays are regrouped into contiguous
+            # halves so each integrator runs a dense batch.
+            half = width // 2
+            o2 = origin.reshape(height, width, 3)
+            d2 = direction.reshape(height, width, 3)
+            s2 = state.reshape(height, width)
+            lo = o2[:, :half].reshape(-1, 3)
+            ld = d2[:, :half].reshape(-1, 3)
+            ls = s2[:, :half].reshape(-1)
+            ro = o2[:, half:].reshape(-1, 3)
+            rd = d2[:, half:].reshape(-1, 3)
+            rs = s2[:, half:].reshape(-1)
+            _, res_l = integrators.trace_brute(dev, settings, lo, ld, ls)
+            _, res_r = integrators.trace_advanced(dev, settings, ro, rd, rs)
+            energy = jnp.concatenate(
+                [
+                    res_l.energy.reshape(height, half, 3),
+                    res_r.energy.reshape(height, width - half, 3),
+                ],
+                axis=1,
+            ).reshape(-1, 3)
+            traced = traced + res_l.traced_rays + res_r.traced_rays
+        elif settings.render_mode == RenderMode.BRUTE_FORCE:
+            _, res = integrators.trace_brute(dev, settings, origin, direction, state)
+            energy, traced = res.energy, traced + res.traced_rays
+        elif settings.render_mode == RenderMode.ADVANCED:
+            _, res = integrators.trace_advanced(dev, settings, origin, direction, state)
+            energy, traced = res.energy, traced + res.traced_rays
+        elif settings.render_mode == RenderMode.WHITTED:
+            from cpugpupathtracing_tpu.models.whitted import trace_whitted
+
+            _, res = trace_whitted(dev, settings, origin, direction, state)
+            energy, traced = res.energy, traced + res.traced_rays
+        else:
+            raise ValueError(f"unknown render mode {settings.render_mode}")
+        frame_energy = frame_energy + energy
+
+    energy_sum = jnp.sum(frame_energy, dtype=jnp.float32) * 0.001
+
+    sample = jnp.concatenate(
+        [frame_energy, jnp.full((n, 1), float(spp), jnp.float32)], axis=1
+    )
+    if settings.debug_render_mode == DebugRenderMode.NONE:
+        accumulator = accumulator + sample
+        num = accumulator[:, 3:4]
+        pixels = vec4_to_uint(accumulator / jnp.maximum(num, 1.0))
+    else:
+        pixels = vec4_to_uint(sample / float(spp))
+    return accumulator, pixels, traced, energy_sum
+
+
+class Statistics:
+    """Stats panel counters (Source/Main.cpp:218-226, :841-857)."""
+
+    def __init__(self):
+        self.traced_rays = 0          # last frame
+        self.total_traced_rays = 0
+        self.frame_time_ms = 0.0
+        self.fps = 0.0
+
+    def reset(self):
+        self.traced_rays = 0
+
+
+class Renderer:
+    """Progressive path-tracing renderer with live-editable state."""
+
+    def __init__(
+        self,
+        scene: Scene,
+        camera: CameraConfig | None = None,
+        config: RenderConfig | None = None,
+        settings: RenderSettings | None = None,
+    ):
+        self.scene = scene
+        self.camera = camera or CameraConfig()
+        self.config = config or RenderConfig()
+        self.settings = settings or RenderSettings()
+        self.pause_rendering = False
+        self.stats = Statistics()
+        self.num_accumulated = 0
+        self.total_energy_received = 0.0  # float64 host accumulation
+        self._sample_counter = 0
+        n = self.config.width * self.config.height
+        self._accumulator = jnp.zeros((n, 4), jnp.float32)
+        self._pixels = jnp.zeros((n,), jnp.uint32)
+
+    # ---- frame loop ----
+
+    def render_frame(self) -> None:
+        """Trace one progressive frame (Render(), Main.cpp:691-755).
+        No-op while paused (Main.cpp:693-696)."""
+        if self.pause_rendering:
+            return
+        t0 = time.perf_counter()
+        w, h = self.config.width, self.config.height
+        spp = self.config.samples_per_frame
+        self.num_accumulated += spp
+        acc, pixels, traced, esum = render_frame_kernel(
+            self.scene.device(),
+            camlib.to_arrays(self.camera),
+            self._accumulator,
+            jnp.asarray(self._sample_counter, jnp.int32),
+            self.settings,
+            w,
+            h,
+            spp,
+            self.config.seed,
+        )
+        self._accumulator = acc
+        self._pixels = pixels
+        self._sample_counter += spp
+        self.stats.traced_rays = int(traced)
+        self.stats.total_traced_rays += int(traced)
+        self.total_energy_received += float(esum)
+        jax.block_until_ready(pixels)
+        dt = time.perf_counter() - t0
+        self.stats.frame_time_ms = dt * 1000.0
+        self.stats.fps = 1.0 / dt if dt > 0 else 0.0
+
+    def render(self, frames: int) -> None:
+        for _ in range(frames):
+            self.render_frame()
+
+    # ---- output ----
+
+    def image_u32(self) -> np.ndarray:
+        """(H, W) packed 0xAABBGGRR framebuffer (data.pixels)."""
+        return np.asarray(self._pixels).reshape(self.config.height, self.config.width)
+
+    def image_rgba8(self) -> np.ndarray:
+        return imagelib.packed_to_rgba8(self.image_u32())
+
+    def radiance(self) -> np.ndarray:
+        """(H, W, 3) float mean radiance (accumulator / num_accumulated)."""
+        acc = np.asarray(self._accumulator)
+        num = np.maximum(acc[:, 3:4], 1.0)
+        return (acc[:, :3] / num).reshape(self.config.height, self.config.width, 3)
+
+    def save_png(self, path: str) -> None:
+        imagelib.write_png(path, self.image_rgba8())
+
+    @property
+    def mean_energy(self) -> float:
+        """total_energy_received / num_accumulated (Main.cpp:848)."""
+        if self.num_accumulated == 0:
+            return 0.0
+        return self.total_energy_received / self.num_accumulated
+
+    # ---- invalidation (ResetAccumulator, Main.cpp:238-243) ----
+
+    def reset(self) -> None:
+        self.num_accumulated = 0
+        self.total_energy_received = 0.0
+        self._accumulator = jnp.zeros_like(self._accumulator)
+
+    # ---- live edits, with the reference's reset policy ----
+
+    def move_camera(self, delta_pos) -> None:
+        """WASD-style translation; any movement resets (Main.cpp:292-296)."""
+        p = self.camera.pos
+        self.camera = self.camera.replace(
+            pos=(p[0] + delta_pos[0], p[1] + delta_pos[1], p[2] + delta_pos[2])
+        )
+        self.reset()
+
+    def set_camera(self, camera: CameraConfig) -> None:
+        self.camera = camera
+        self.reset()
+
+    def set_settings(self, settings: RenderSettings) -> None:
+        """Settings toggles do NOT reset (reference quirk) -- except a
+        render-mode change, which does (Main.cpp:876-877)."""
+        mode_changed = settings.render_mode != self.settings.render_mode
+        self.settings = settings
+        if mode_changed:
+            self.reset()
+
+    def set_render_mode(self, mode: RenderMode) -> None:
+        self.set_settings(self.settings.replace(render_mode=mode))
+
+    def set_debug_mode(self, mode: DebugRenderMode) -> None:
+        """Debug-view change does not reset (Main.cpp:888-905)."""
+        self.settings = self.settings.replace(debug_render_mode=mode)
+
+    def set_material(self, index: int, material: Material) -> None:
+        """Material edit resets (Main.cpp:263-265)."""
+        self.scene.set_material(index, material)
+        self.reset()
+
+    def rebuild_bvh(self, obj_index, build_option) -> None:
+        """UI-triggered rebuild (Source/BVH.cpp:182-185); snapshot swap
+        means no race with in-flight frames."""
+        self.scene.rebuild_bvh(obj_index, build_option)
+
+    def set_paused(self, paused: bool) -> None:
+        """Pause checkbox resets on toggle (Main.cpp:851-854)."""
+        if paused != self.pause_rendering:
+            self.pause_rendering = paused
+            self.reset()
+
+    # ---- checkpoint / resume ----
+
+    def _fingerprint(self) -> str:
+        h = hashlib.sha256()
+        dev = self.scene.device()
+        for arr in (dev.nodes8, dev.tris9, dev.mat.albedo, dev.mat.emissive):
+            h.update(np.asarray(arr).tobytes())
+        h.update(repr((self.camera, self.config, self.settings)).encode())
+        return h.hexdigest()[:16]
+
+    def save_checkpoint(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            accumulator=np.asarray(self._accumulator),
+            num_accumulated=self.num_accumulated,
+            sample_counter=self._sample_counter,
+            total_energy=self.total_energy_received,
+            fingerprint=self._fingerprint(),
+        )
+        log_info("Renderer", "checkpoint saved to {} ({} frames)", path, self.num_accumulated)
+
+    def load_checkpoint(self, path: str) -> bool:
+        """Resume accumulation; returns False (and resets) on a
+        scene/settings fingerprint mismatch."""
+        data = np.load(path, allow_pickle=False)
+        if str(data["fingerprint"]) != self._fingerprint():
+            log_warn("Renderer", "checkpoint fingerprint mismatch; starting fresh")
+            self.reset()
+            return False
+        self._accumulator = jnp.asarray(data["accumulator"])
+        self.num_accumulated = int(data["num_accumulated"])
+        self._sample_counter = int(data["sample_counter"])
+        self.total_energy_received = float(data["total_energy"])
+        log_info("Renderer", "resumed at {} accumulated frames", self.num_accumulated)
+        return True

@@ -1,0 +1,384 @@
+"""Scene model: host-side object list, device-flat scene arrays, fused
+scene intersection.
+
+The reference's scene is a global Data blob of Objects (each a BVH mesh or
+an analytic Primitive), a material list, and light-source indices
+(Source/Main.cpp:200-275), intersected by a linear per-object loop
+(IntersectScene, Source/Main.cpp:299-316).  The TPU design flattens all
+mesh objects into ONE concatenated node/triangle store traversed in a
+single fused wavefront loop (every object's BVH root pre-seeded on the
+stack), plus small vectorized batches of analytic spheres/planes; nearest
+hit wins across all of them, recording the object index exactly like the
+reference's payload.
+
+Host Scene is mutable (the ImGui-editable scene tree of the reference:
+materials, primitive params, per-object BVH rebuild with a different
+heuristic, Source/BVH.cpp:47-59 / Source/Main.cpp:256-266); the device
+snapshot is immutable and rebuilt on demand, so a rebuild never races
+in-flight tracing -- buffers swap between frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpugpupathtracing_tpu.config import BuildOption
+from cpugpupathtracing_tpu.models import bvh as bvhlib
+from cpugpupathtracing_tpu.models import materials as matlib
+from cpugpupathtracing_tpu.models.mesh import Mesh
+from cpugpupathtracing_tpu.ops import intersect, traverse
+from cpugpupathtracing_tpu.utils.log import except_error
+from cpugpupathtracing_tpu.utils.vecmath import normalize
+
+PRIM_MESH, PRIM_SPHERE, PRIM_PLANE = 0, 1, 2
+
+# Bounded device leaf size: lockstep traversal intersects leaves in
+# fixed-size chunks, so leaves are capped at build time (hit results are
+# identical for any valid tree).
+DEVICE_MAX_LEAF = 4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceScene:
+    """Immutable device snapshot of a Scene. Array fields are pytree
+    leaves; `roots` and counts are static metadata."""
+
+    # fused mesh geometry
+    nodes8: jnp.ndarray      # (B, 8) packed BVH nodes, all objects
+    tri_perm: jnp.ndarray    # (T,) i32 leaf order -> global tri index
+    tris9: jnp.ndarray       # (T, 9) [v0, e1, e2] global original order
+    tri_normal: jnp.ndarray  # (T, 3) flat v0.normal
+    tri_obj: jnp.ndarray     # (T,) i32 owning object
+    # analytic primitives
+    sph_center: jnp.ndarray  # (S, 3)
+    sph_radius: jnp.ndarray  # (S,)
+    sph_radius_sq: jnp.ndarray  # (S,)
+    sph_obj: jnp.ndarray     # (S,) i32
+    pln_point: jnp.ndarray   # (P, 3)
+    pln_normal: jnp.ndarray  # (P, 3)
+    pln_obj: jnp.ndarray     # (P,) i32
+    # object + material tables
+    obj_mat: jnp.ndarray     # (M,) i32
+    mat: matlib.MaterialTable
+    # light sources (NEE): one row per light object
+    light_obj: jnp.ndarray          # (L,) i32
+    light_is_sphere: jnp.ndarray    # (L,) bool
+    light_sph_center: jnp.ndarray   # (L, 3)
+    light_sph_radius: jnp.ndarray   # (L,)
+    light_sph_radius_sq: jnp.ndarray  # (L,)
+    light_tri_start: jnp.ndarray    # (L,) i32 into global tri arrays
+    light_tri_count: jnp.ndarray    # (L,) i32
+    light_half_area: jnp.ndarray    # (L,) mesh total_area / 2 (Main.cpp:367)
+    # static
+    roots: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    num_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tris9.shape[0]
+
+
+class Hit(NamedTuple):
+    """SoA ray payload after scene intersection (Ray::Payload,
+    Include/Primitives.h:77-82, plus hit t)."""
+
+    t: jnp.ndarray        # (N,) distance; == t_init where miss
+    obj: jnp.ndarray      # (N,) i32 object index, -1 = miss
+    kind: jnp.ndarray     # (N,) i32 PRIM_* of the hit primitive
+    prim: jnp.ndarray     # (N,) i32 global tri index / sphere row / plane row
+    bvh_depth: jnp.ndarray  # (N,) i32 interior descents (debug AOV)
+
+
+@dataclasses.dataclass
+class SceneObject:
+    name: str
+    mat_index: int
+    kind: int  # PRIM_*
+    bvh: bvhlib.BVH | None = None
+    build_option: BuildOption = BuildOption.SAH_SPLIT_INTERVALS
+    sphere: tuple | None = None  # (center xyz, radius)
+    plane: tuple | None = None   # (point xyz, normal xyz)
+
+
+class Scene:
+    """Mutable host scene; `device()` returns a cached immutable snapshot."""
+
+    def __init__(self):
+        self.objects: list[SceneObject] = []
+        self.materials: list[matlib.Material] = []
+        self.light_indices: list[int] = []
+        self._device: DeviceScene | None = None
+
+    # -- construction (Source/Main.cpp:779-819 equivalents) --
+
+    def add_material(self, material: matlib.Material) -> int:
+        self.materials.append(material)
+        self._device = None
+        return len(self.materials) - 1
+
+    def add_mesh(
+        self,
+        name: str,
+        mesh: Mesh,
+        mat_index: int,
+        build_option: BuildOption = BuildOption.SAH_SPLIT_INTERVALS,
+    ) -> int:
+        b = bvhlib.build(
+            mesh.positions, mesh.normals, mesh.indices, build_option,
+            max_leaf_size=DEVICE_MAX_LEAF,
+        )
+        self.objects.append(
+            SceneObject(name, mat_index, PRIM_MESH, bvh=b, build_option=build_option)
+        )
+        self._device = None
+        return len(self.objects) - 1
+
+    def add_sphere(self, name: str, center, radius: float, mat_index: int) -> int:
+        self.objects.append(
+            SceneObject(name, mat_index, PRIM_SPHERE, sphere=(tuple(center), radius))
+        )
+        self._device = None
+        return len(self.objects) - 1
+
+    def add_plane(self, name: str, point, normal, mat_index: int) -> int:
+        self.objects.append(
+            SceneObject(name, mat_index, PRIM_PLANE, plane=(tuple(point), tuple(normal)))
+        )
+        self._device = None
+        return len(self.objects) - 1
+
+    def mark_light(self, obj_index: int) -> None:
+        """data.light_source_indices (Source/Main.cpp:816-819)."""
+        self.light_indices.append(obj_index)
+        self._device = None
+
+    # -- live edits (ImGui panel equivalents; caller resets accumulator) --
+
+    def set_material(self, index: int, material: matlib.Material) -> None:
+        self.materials[index] = material
+        self._device = None
+
+    def rebuild_bvh(self, obj_index: int, build_option: BuildOption) -> None:
+        """BVH::Rebuild from the UI (Source/BVH.cpp:47-59,182-185); swaps
+        a freshly built tree into the next device snapshot."""
+        obj = self.objects[obj_index]
+        if obj.bvh is None:
+            except_error("Scene", "rebuild_bvh on non-mesh object {}", obj.name)
+        obj.bvh = obj.bvh.rebuild(build_option, max_leaf_size=DEVICE_MAX_LEAF)
+        obj.build_option = build_option
+        self._device = None
+
+    # -- device snapshot --
+
+    def device(self) -> DeviceScene:
+        if self._device is None:
+            self._device = self._build_device()
+        return self._device
+
+    def _build_device(self) -> DeviceScene:
+        f32, i32 = np.float32, np.int32
+        nodes, perms, tris, tnrm, tobj = [], [], [], [], []
+        roots = []
+        node_off = tri_off = 0
+        mesh_tri_range: dict[int, tuple[int, int, float]] = {}
+        sph = {k: [] for k in ("center", "radius", "obj")}
+        pln = {k: [] for k in ("point", "normal", "obj")}
+
+        for oi, obj in enumerate(self.objects):
+            if obj.kind == PRIM_MESH:
+                b = obj.bvh
+                lf = b.left_first.astype(i32).copy()
+                leaf = b.prim_count > 0
+                lf[leaf] += tri_off
+                lf[~leaf] += node_off
+                nodes.append(traverse.pack_nodes(b.nodes_min, b.nodes_max, lf, b.prim_count))
+                perms.append(b.tri_indices.astype(i32) + tri_off)
+                tris.append(traverse.pack_tris(b.tri_v0, b.tri_v1, b.tri_v2))
+                tnrm.append(b.tri_normal)
+                tobj.append(np.full(b.num_triangles, oi, i32))
+                roots.append(node_off)
+                mesh_tri_range[oi] = (tri_off, b.num_triangles, b.total_area)
+                node_off += b.num_nodes
+                tri_off += b.num_triangles
+            elif obj.kind == PRIM_SPHERE:
+                c, r = obj.sphere
+                sph["center"].append(c)
+                sph["radius"].append(r)
+                sph["obj"].append(oi)
+            elif obj.kind == PRIM_PLANE:
+                p, n = obj.plane
+                pln["point"].append(p)
+                pln["normal"].append(n)
+                pln["obj"].append(oi)
+
+        def cat(parts, width, dtype=f32):
+            if parts:
+                return jnp.asarray(np.concatenate(parts).astype(dtype))
+            shape = (0, width) if width > 1 else (0,)
+            return jnp.zeros(shape, dtype)
+
+        radius = np.asarray(sph["radius"], f32)
+
+        # lights (GetRandomLightSourceForSample, Source/Main.cpp:351-394)
+        L = len(self.light_indices)
+        l_obj = np.asarray(self.light_indices, i32).reshape(L)
+        l_is_sph = np.zeros(L, bool)
+        l_center = np.zeros((L, 3), f32)
+        l_radius = np.zeros(L, f32)
+        l_tri_start = np.zeros(L, i32)
+        l_tri_count = np.zeros(L, i32)
+        l_half_area = np.zeros(L, f32)
+        for li, oi in enumerate(self.light_indices):
+            obj = self.objects[oi]
+            if obj.kind == PRIM_SPHERE:
+                l_is_sph[li] = True
+                l_center[li] = obj.sphere[0]
+                l_radius[li] = obj.sphere[1]
+            elif obj.kind == PRIM_MESH:
+                start, count, area = mesh_tri_range[oi]
+                l_tri_start[li], l_tri_count[li] = start, count
+                l_half_area[li] = area / 2.0  # crude mesh-light area, Main.cpp:367
+            else:
+                except_error(
+                    "Scene",
+                    "light source '{}' must be a sphere or mesh (Main.cpp:383)",
+                    obj.name,
+                )
+
+        return DeviceScene(
+            nodes8=cat(nodes, 8),
+            tri_perm=cat(perms, 1, i32),
+            tris9=cat(tris, 9),
+            tri_normal=cat(tnrm, 3),
+            tri_obj=cat(tobj, 1, i32),
+            sph_center=jnp.asarray(np.asarray(sph["center"], f32).reshape(-1, 3)),
+            sph_radius=jnp.asarray(radius),
+            sph_radius_sq=jnp.asarray(radius * radius),
+            sph_obj=jnp.asarray(np.asarray(sph["obj"], i32)),
+            pln_point=jnp.asarray(np.asarray(pln["point"], f32).reshape(-1, 3)),
+            pln_normal=jnp.asarray(np.asarray(pln["normal"], f32).reshape(-1, 3)),
+            pln_obj=jnp.asarray(np.asarray(pln["obj"], i32)),
+            obj_mat=jnp.asarray(np.asarray([o.mat_index for o in self.objects], i32)),
+            mat=matlib.to_device(self.materials),
+            light_obj=jnp.asarray(l_obj),
+            light_is_sphere=jnp.asarray(l_is_sph),
+            light_sph_center=jnp.asarray(l_center),
+            light_sph_radius=jnp.asarray(l_radius),
+            light_sph_radius_sq=jnp.asarray(l_radius * l_radius),
+            light_tri_start=jnp.asarray(l_tri_start),
+            light_tri_count=jnp.asarray(l_tri_count),
+            light_half_area=jnp.asarray(l_half_area),
+            roots=tuple(roots),
+            num_lights=L,
+        )
+
+
+def intersect_scene(
+    dev: DeviceScene, origin, direction, t_init, *, any_hit: bool = False, active=None
+) -> Hit:
+    """Nearest hit across every object (IntersectScene,
+    Source/Main.cpp:299-316): one fused BVH traversal over all mesh
+    objects + vectorized analytic sphere/plane tests.  `active` masks
+    dead wavefront lanes out of the traversal; their Hit rows are
+    unspecified and must be masked by the caller."""
+    n = origin.shape[0]
+    t = t_init
+    obj = jnp.full((n,), -1, jnp.int32)
+    kind = jnp.full((n,), PRIM_MESH, jnp.int32)
+    prim = jnp.full((n,), -1, jnp.int32)
+    depth = jnp.zeros((n,), jnp.int32)
+
+    if dev.roots:
+        t, tri, depth = traverse.traverse(
+            origin, direction, t_init, dev.nodes8, dev.tri_perm, dev.tris9,
+            dev.roots, any_hit=any_hit, active=active,
+        )
+        mesh_hit = tri >= 0
+        obj = jnp.where(mesh_hit, dev.tri_obj[jnp.maximum(tri, 0)], obj)
+        prim = jnp.where(mesh_hit, tri, prim)
+
+    if dev.sph_center.shape[0] > 0:
+        valid, ts = intersect.intersect_sphere(
+            origin[:, None, :], direction[:, None, :],
+            dev.sph_center[None, :, :], dev.sph_radius_sq[None, :],
+        )  # (N, S)
+        ts = jnp.where(valid & (ts < t[:, None]), ts, jnp.inf)
+        j = jnp.argmin(ts, axis=1)
+        best = jnp.take_along_axis(ts, j[:, None], axis=1)[:, 0]
+        closer = jnp.isfinite(best)
+        t = jnp.where(closer, best, t)
+        obj = jnp.where(closer, dev.sph_obj[j], obj)
+        kind = jnp.where(closer, PRIM_SPHERE, kind)
+        prim = jnp.where(closer, j.astype(jnp.int32), prim)
+
+    if dev.pln_point.shape[0] > 0:
+        valid, ts = intersect.intersect_plane(
+            origin[:, None, :], direction[:, None, :],
+            dev.pln_point[None, :, :], dev.pln_normal[None, :, :],
+        )
+        ts = jnp.where(valid & (ts < t[:, None]), ts, jnp.inf)
+        j = jnp.argmin(ts, axis=1)
+        best = jnp.take_along_axis(ts, j[:, None], axis=1)[:, 0]
+        closer = jnp.isfinite(best)
+        t = jnp.where(closer, best, t)
+        obj = jnp.where(closer, dev.pln_obj[j], obj)
+        kind = jnp.where(closer, PRIM_PLANE, kind)
+        prim = jnp.where(closer, j.astype(jnp.int32), prim)
+
+    return Hit(t=t, obj=obj, kind=kind, prim=prim, bvh_depth=depth)
+
+
+def hit_surface(dev: DeviceScene, hit: Hit, origin, direction):
+    """GetRayHitResult (Source/Main.cpp:325-338): hit position, geometric
+    normal (flat v0.normal for triangles), and material index per lane.
+    Lanes with obj == -1 produce clamped garbage the caller must mask."""
+    pos = origin + direction * hit.t[:, None]
+    pc = jnp.maximum(hit.prim, 0)
+    n_mesh = dev.tri_normal[jnp.minimum(pc, dev.tri_normal.shape[0] - 1)] \
+        if dev.tri_normal.shape[0] > 0 else jnp.zeros_like(pos)
+    if dev.sph_center.shape[0] > 0:
+        sc = jnp.minimum(pc, dev.sph_center.shape[0] - 1)
+        n_sph = normalize(pos - dev.sph_center[sc])
+    else:
+        n_sph = jnp.zeros_like(pos)
+    if dev.pln_normal.shape[0] > 0:
+        pl = jnp.minimum(pc, dev.pln_normal.shape[0] - 1)
+        n_pln = dev.pln_normal[pl]
+    else:
+        n_pln = jnp.zeros_like(pos)
+    normal = jnp.where(
+        (hit.kind == PRIM_SPHERE)[:, None], n_sph,
+        jnp.where((hit.kind == PRIM_PLANE)[:, None], n_pln, n_mesh),
+    )
+    mat_idx = dev.obj_mat[jnp.maximum(hit.obj, 0)]
+    return pos, normal, mat_idx
+
+
+def make_reference_scene(dragon_mesh: Mesh | None = None) -> Scene:
+    """The reference's hard-coded default scene (Source/Main.cpp:777-819):
+    glass dragon (SAH-intervals BVH), 2000x2000 ground quad at y=-3, and
+    two emissive spheres r=5 intensity 10.  The dragon mesh defaults to
+    the ~92k-tri procedural stand-in (DragonAttenuation.bin is absent)."""
+    from cpugpupathtracing_tpu.models import mesh as meshlib
+
+    s = Scene()
+    s.add_material(matlib.Material.diffuse((0.2, 0.2, 0.8)))            # 0: blue
+    s.add_material(matlib.Material.diffuse((1.0, 1.0, 1.0)))            # 1: white
+    s.add_material(matlib.Material.light((1.0, 0.95, 0.8), 10.0))       # 2: warm light
+    s.add_material(
+        matlib.Material.dielectric((1.0, 1.0, 1.0), 0.0, 1.0, (0.2, 0.8, 0.8), 1.517)
+    )                                                                    # 3: glass
+    dm = dragon_mesh if dragon_mesh is not None else meshlib.dragon_standin()
+    s.add_mesh("Dragon", dm, 3, BuildOption.SAH_SPLIT_INTERVALS)
+    s.add_mesh("Ground", meshlib.ground_quad(), 1, BuildOption.SAH_SPLIT_INTERVALS)
+    i0 = s.add_sphere("Spherical light0", (10.0, 10.0, 10.0), 5.0, 2)
+    s.mark_light(i0)
+    i1 = s.add_sphere("Spherical light1", (-10.0, 10.0, -10.0), 5.0, 2)
+    s.mark_light(i1)
+    return s

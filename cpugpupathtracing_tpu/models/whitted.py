@@ -1,0 +1,207 @@
+"""Whitted-style raytracer.
+
+The reference's *previous project phase* (README.md:41-52, "Finished" but
+absent from the current source tree): direct illumination of diffuse
+surfaces from point lights with distance attenuation, hard shadows via
+shadow rays, recursive pure-specular reflection, and dielectrics with
+Fresnel; depth-capped.  Reconstructed here from that feature list with
+the current tree's ingredients (Reflect/Refract/Fresnel, Beer absorption).
+
+Semantics per vertex (lane-masked wavefront, like the path tracers):
+
+  energy += throughput * diffuse_weight * albedo
+            * sum_over_lights( vis * max(N.L, 0) * intensity / d^2 )
+
+with each scene light treated as a point light at its center.  The ray
+then continues as a dielectric (stochastic Fresnel branch choice between
+refraction and reflection -- unbiased under progressive accumulation,
+where classic Whitted would fork the tree) when refractivity > 0, else
+as a mirror when specular > 0, else terminates.  Beer's-law absorption
+applies on medium exit, as in the path tracers.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cpugpupathtracing_tpu.config import DebugRenderMode, RenderSettings
+from cpugpupathtracing_tpu.models.integrators import (
+    TraceResult,
+    _dielectric,
+    _gather_material,
+    _GREEN,
+    _RED,
+)
+from cpugpupathtracing_tpu.models.scene import DeviceScene, hit_surface, intersect_scene
+from cpugpupathtracing_tpu.ops import sampling
+from cpugpupathtracing_tpu.utils import rng as rnglib
+from cpugpupathtracing_tpu.utils.vecmath import RAY_NUDGE, RAY_TMAX, dot, length, lerp
+
+
+def trace_whitted(
+    dev: DeviceScene,
+    settings: RenderSettings,
+    origin,
+    direction,
+    state,
+):
+    """Whitted trace over a lane batch. Returns (rng_state, TraceResult)."""
+    n = origin.shape[0]
+    f32 = jnp.float32
+    throughput = jnp.ones((n, 3), f32)
+    energy = jnp.zeros((n, 3), f32)
+    active = jnp.ones((n,), bool)
+    ray_o, ray_d = origin, direction
+    final_depth = jnp.zeros((n,), jnp.int32)
+    bvh_depth0 = jnp.zeros((n,), jnp.int32)
+    traced = jnp.zeros((), jnp.int32)
+    debug_bvh = settings.debug_render_mode == DebugRenderMode.BVH_DEPTH
+
+    # point-light positions: light object centers (spheres) and
+    # mesh-light triangle-range centroids are not defined; restrict to
+    # sphere lights, which both default scenes use.
+    for depth in range(settings.max_ray_depth + 1):
+        traced = traced + jnp.sum(active, dtype=jnp.int32)
+        hit = intersect_scene(
+            dev, ray_o, ray_d, jnp.full((n,), RAY_TMAX, f32), active=active
+        )
+        if depth == 0:
+            bvh_depth0 = hit.bvh_depth
+            if debug_bvh:
+                energy = lerp(_GREEN, _RED, (hit.bvh_depth.astype(f32) / 30.0)[:, None])
+                break
+
+        miss = active & (hit.obj < 0)
+        final_depth = jnp.where(miss, depth, final_depth)
+        active = active & ~miss
+
+        pos, normal, mat_idx = hit_surface(dev, hit, ray_o, ray_d)
+        mat = _gather_material(dev, mat_idx)
+
+        hit_light = active & mat["is_light"]
+        energy = energy + jnp.where(
+            hit_light[:, None],
+            throughput * mat["emissive"] * mat["intensity"][:, None],
+            0.0,
+        )
+        final_depth = jnp.where(hit_light, depth, final_depth)
+        active = active & ~hit_light
+
+        diffuse_weight = jnp.maximum(0.0, 1.0 - mat["specular"] - mat["refractivity"])
+
+        # direct lighting: every light as a point light, hard shadows
+        direct = jnp.zeros((n, 3), f32)
+        for li in range(dev.num_lights):
+            lmat = _gather_material(
+                dev, dev.obj_mat[dev.light_obj[li]][None].repeat(1)
+            )
+            lpos = dev.light_sph_center[li]
+            to_l = lpos[None, :] - pos
+            dist = length(to_l)
+            to_l = to_l / jnp.maximum(dist[:, None], 1e-20)
+            ndotl = dot(normal, to_l)
+            want = active & (diffuse_weight > 0.0) & (ndotl > 0.0)
+            traced = traced + jnp.sum(want, dtype=jnp.int32)
+            # the "point" light is physically a small sphere in the scene;
+            # stop the shadow ray at its surface so it does not occlude
+            # its own light
+            shadow_tmax = dist - dev.light_sph_radius[li] - 2.0 * RAY_NUDGE
+            sh = intersect_scene(
+                dev,
+                pos + to_l * RAY_NUDGE,
+                to_l,
+                shadow_tmax,
+                any_hit=True,
+                active=want,
+            )
+            vis = want & (sh.obj < 0)
+            emission = lmat["emissive"][0] * lmat["intensity"][0]
+            atten = 1.0 / jnp.maximum(dist * dist, 1e-20)
+            direct = direct + jnp.where(
+                vis[:, None], (ndotl * atten)[:, None] * emission[None, :], 0.0
+            )
+        energy = energy + jnp.where(
+            active[:, None],
+            throughput * diffuse_weight[:, None] * mat["albedo"] * direct,
+            0.0,
+        )
+
+        # continuation: dielectric first, else mirror, else terminate
+        tir, inside, refract_dir, fr = _dielectric(ray_d, normal, mat)
+        state, r_fr = rnglib.next_f32(state)
+        choose_refract = r_fr > fr
+        spec_dir = sampling.reflect(ray_d, normal)
+        beer = jnp.exp(-mat["absorption"] * hit.t[:, None])
+
+        cont_diel = active & (mat["refractivity"] > 0.0) & ~tir
+        diel_refract = cont_diel & choose_refract
+        diel_reflect = cont_diel & ~choose_refract
+        cont_spec = active & ~(mat["refractivity"] > 0.0) & (mat["specular"] > 0.0)
+        die = active & ~cont_diel & ~cont_spec & ~(active & (mat["refractivity"] > 0.0) & tir)
+        # TIR on a refractive surface reflects
+        tir_reflect = active & (mat["refractivity"] > 0.0) & tir
+
+        new_dir = ray_d
+        new_dir = jnp.where(
+            (cont_spec | diel_reflect | tir_reflect)[:, None], spec_dir, new_dir
+        )
+        new_dir = jnp.where(diel_refract[:, None], refract_dir, new_dir)
+
+        tp_mult = jnp.ones((n, 3), f32)
+        tp_mult = jnp.where(
+            (diel_refract | diel_reflect | tir_reflect)[:, None],
+            mat["refractivity"][:, None] * mat["albedo"],
+            tp_mult,
+        )
+        tp_mult = jnp.where(
+            (diel_refract & inside)[:, None],
+            mat["refractivity"][:, None] * mat["albedo"] * beer,
+            tp_mult,
+        )
+        tp_mult = jnp.where(
+            cont_spec[:, None], mat["specular"][:, None] * mat["albedo"], tp_mult
+        )
+        throughput = throughput * tp_mult
+
+        final_depth = jnp.where(die, depth, final_depth)
+        active = active & ~die
+        bounced = cont_spec | diel_refract | diel_reflect | tir_reflect
+        ray_o = jnp.where(bounced[:, None], pos + new_dir * RAY_NUDGE, ray_o)
+        ray_d = jnp.where(bounced[:, None], new_dir, ray_d)
+
+    final_depth = jnp.where(active, settings.max_ray_depth + 1, final_depth)
+    if settings.debug_render_mode == DebugRenderMode.RAY_DEPTH and not debug_bvh:
+        energy = lerp(
+            _GREEN,
+            _RED,
+            (final_depth.astype(f32) / f32(settings.max_ray_depth))[:, None],
+        )
+    return state, TraceResult(energy, traced, final_depth, bvh_depth0)
+
+
+def make_whitted_scene():
+    """Benchmark config 1 (BASELINE.md): spheres + plane, point lights,
+    hard shadows."""
+    from cpugpupathtracing_tpu.models import materials as matlib
+    from cpugpupathtracing_tpu.models.scene import Scene
+
+    s = Scene()
+    red = s.add_material(matlib.Material.diffuse((0.8, 0.2, 0.2)))
+    green = s.add_material(matlib.Material.diffuse((0.2, 0.8, 0.2)))
+    mirror = s.add_material(matlib.Material.diffuse((0.95, 0.95, 0.95), specular=1.0))
+    glass = s.add_material(
+        matlib.Material.dielectric((1.0, 1.0, 1.0), 0.0, 1.0, (0.1, 0.1, 0.1), 1.5)
+    )
+    white = s.add_material(matlib.Material.diffuse((0.9, 0.9, 0.9)))
+    light = s.add_material(matlib.Material.light((1.0, 1.0, 1.0), 150.0))
+
+    s.add_sphere("Red sphere", (-2.5, 0.0, 0.0), 1.0, red)
+    s.add_sphere("Green sphere", (0.0, 0.0, -1.5), 1.0, green)
+    s.add_sphere("Mirror sphere", (2.5, 0.0, 0.0), 1.0, mirror)
+    s.add_sphere("Glass sphere", (0.8, -0.2, 1.5), 0.8, glass)
+    s.add_plane("Floor", (0.0, -1.2, 0.0), (0.0, 1.0, 0.0), white)
+    l0 = s.add_sphere("Point light0", (6.0, 8.0, 4.0), 0.2, light)
+    s.mark_light(l0)
+    l1 = s.add_sphere("Point light1", (-5.0, 6.0, -3.0), 0.2, light)
+    s.mark_light(l1)
+    return s

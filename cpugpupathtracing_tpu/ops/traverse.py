@@ -82,6 +82,7 @@ def traverse(
     tris9,
     roots,
     *,
+    active=None,
     stack_depth: int = 48,
     leaf_chunk: int = 4,
     any_hit: bool = False,
@@ -98,7 +99,9 @@ def traverse(
     Returns (t, tri_idx, bvh_depth): nearest hit distance (t_init where
     miss), original triangle index (-1 = miss), interior-descent count.
     With any_hit=True, lanes stop at the first confirmed hit (occlusion
-    query) -- the hit is then not necessarily the nearest.
+    query) -- the hit is then not necessarily the nearest.  `active`
+    (N,) bool masks lanes out of the whole traversal (dead wavefront
+    lanes cost nothing but their vector slot).
     """
     n = origin.shape[0]
     num_tris = tris9.shape[0]
@@ -110,9 +113,13 @@ def traverse(
     for i, r in enumerate(roots[1:]):
         stack = stack.at[:, i].set(r)
     sptr0 = jnp.full((n,), len(roots) - 1, jnp.int32)
+    node0 = jnp.full((n,), roots[0], jnp.int32)
+    if active is not None:
+        node0 = jnp.where(active, node0, -1)
+        sptr0 = jnp.where(active, sptr0, 0)
 
     state = dict(
-        node=jnp.full((n,), roots[0], jnp.int32),
+        node=node0,
         cursor=jnp.full((n,), -1, jnp.int32),
         stack=stack,
         sptr=sptr0,
