@@ -1,0 +1,120 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cpugpupathtracing_tpu.config import RenderConfig, RenderSettings
+from cpugpupathtracing_tpu.models import camera as camlib, materials as matlib
+from cpugpupathtracing_tpu.models import mesh as meshlib
+from cpugpupathtracing_tpu.models.renderer import render_frame_kernel
+from cpugpupathtracing_tpu.models.scene import Scene
+from cpugpupathtracing_tpu.parallel import sharding
+
+W, H = 64, 32
+
+
+def tiny_scene() -> Scene:
+    s = Scene()
+    grey = s.add_material(matlib.Material.diffuse((0.5, 0.5, 0.5)))
+    light = s.add_material(matlib.Material.light((1.0, 1.0, 1.0), 10.0))
+    s.add_mesh("cube", meshlib.cube(half=1.5), grey)
+    s.add_plane("floor", (0.0, -3.0, 0.0), (0.0, 1.0, 0.0), grey)
+    li = s.add_sphere("light", (8.0, 9.0, 7.0), 4.0, light)
+    s.mark_light(li)
+    return s
+
+
+def _single_chip_frame(dev, cam, settings, seed):
+    acc = jnp.zeros((W * H, 4), jnp.float32)
+    acc, pix, traced, _ = render_frame_kernel(
+        dev, cam, acc, jnp.int32(0), settings, W, H, 1, seed
+    )
+    return np.asarray(acc), np.asarray(pix), int(traced)
+
+
+class TestPixelSharding:
+    def test_matches_single_chip_bitwise(self):
+        """Pixel sharding must produce the exact same image as one chip:
+        per-lane RNG streams are keyed by global lane index, so the
+        decomposition is invisible."""
+        dev = tiny_scene().device()
+        cam = camlib.to_arrays(
+            __import__("cpugpupathtracing_tpu.config", fromlist=["CameraConfig"]).CameraConfig()
+        )
+        settings = RenderSettings()
+        seed = 1234
+        acc1, pix1, traced1 = _single_chip_frame(dev, cam, settings, seed)
+
+        mesh = sharding.make_mesh(8)
+        acc = jnp.zeros((W * H, 4), jnp.float32)
+        acc8, pix8, traced8 = sharding.render_frame_sharded(
+            dev, cam, acc, jnp.int32(0), settings, W, H, 1, seed, mesh, "pixels"
+        )
+        np.testing.assert_array_equal(pix1, np.asarray(pix8))
+        np.testing.assert_array_equal(acc1, np.asarray(acc8))
+        assert traced1 == int(traced8)
+
+    def test_accumulator_stays_sharded(self):
+        dev = tiny_scene().device()
+        from cpugpupathtracing_tpu.config import CameraConfig
+
+        cam = camlib.to_arrays(CameraConfig())
+        mesh = sharding.make_mesh(8)
+        acc = jnp.zeros((W * H, 4), jnp.float32)
+        acc, pix, _ = sharding.render_frame_sharded(
+            dev, cam, acc, jnp.int32(0), RenderSettings(), W, H, 1, 7, mesh, "pixels"
+        )
+        # output sharding: lanes split across the 8 devices
+        assert len(acc.sharding.device_set) == 8
+
+    def test_progressive_accumulation_across_frames(self):
+        dev = tiny_scene().device()
+        from cpugpupathtracing_tpu.config import CameraConfig
+
+        cam = camlib.to_arrays(CameraConfig())
+        mesh = sharding.make_mesh(8)
+        acc = jnp.zeros((W * H, 4), jnp.float32)
+        for f in range(3):
+            acc, pix, _ = sharding.render_frame_sharded(
+                dev, cam, acc, jnp.int32(f), RenderSettings(), W, H, 1, 7, mesh, "pixels"
+            )
+        assert float(np.asarray(acc)[:, 3].max()) == 3.0
+
+
+class TestSampleSharding:
+    def test_eight_chips_give_8spp_frame(self):
+        dev = tiny_scene().device()
+        from cpugpupathtracing_tpu.config import CameraConfig
+
+        cam = camlib.to_arrays(CameraConfig())
+        mesh = sharding.make_mesh(8)
+        acc = jnp.zeros((W * H, 4), jnp.float32)
+        acc, pix, traced = sharding.render_frame_sharded(
+            dev, cam, acc, jnp.int32(0), RenderSettings(), W, H, 1, 7, mesh, "samples"
+        )
+        acc = np.asarray(acc)
+        assert float(acc[:, 3].max()) == 8.0  # 8 sample sets summed
+        assert int(traced) >= 8 * W * H
+
+    def test_sample_sharding_mean_matches_pixel_sharding(self):
+        """Different decompositions, same estimator: means agree within
+        Monte-Carlo tolerance on an 8-sample frame."""
+        dev = tiny_scene().device()
+        from cpugpupathtracing_tpu.config import CameraConfig
+
+        cam = camlib.to_arrays(CameraConfig())
+        mesh = sharding.make_mesh(8)
+        settings = RenderSettings()
+        acc_s = jnp.zeros((W * H, 4), jnp.float32)
+        acc_s, _, _ = sharding.render_frame_sharded(
+            dev, cam, acc_s, jnp.int32(0), settings, W, H, 1, 7, mesh, "samples"
+        )
+        acc_p = jnp.zeros((W * H, 4), jnp.float32)
+        for f in range(8):
+            acc_p, _, _ = sharding.render_frame_sharded(
+                dev, cam, acc_p, jnp.int32(f), settings, W, H, 1, 7, mesh, "pixels"
+            )
+        m_s = np.asarray(acc_s)[:, :3].sum() / 8
+        m_p = np.asarray(acc_p)[:, :3].sum() / 8
+        np.testing.assert_allclose(m_s, m_p, rtol=0.05)
