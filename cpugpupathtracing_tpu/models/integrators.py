@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from cpugpupathtracing_tpu.config import DebugRenderMode, DiffusePdfMode, RenderSettings
@@ -182,6 +183,18 @@ def _diffuse_bounce(state, normal, settings: RenderSettings):
     return state, d, ndotr, ndotr / pdf
 
 
+def _debug_bvh_result(dev, origin, direction, state, n):
+    """DEBUG_RENDER_MODE_BVH_DEPTH short-circuit: one primary traversal,
+    heatmap energy (Main.cpp:408-412)."""
+    hit = intersect_scene(
+        dev, origin, direction, jnp.full((n,), RAY_TMAX, jnp.float32)
+    )
+    energy = lerp(_GREEN, _RED, (hit.bvh_depth.astype(jnp.float32) / 30.0)[:, None])
+    return state, TraceResult(
+        energy, jnp.asarray(n, jnp.int32), jnp.zeros((n,), jnp.int32), hit.bvh_depth
+    )
+
+
 def trace_advanced(
     dev: DeviceScene,
     settings: RenderSettings,
@@ -190,32 +203,39 @@ def trace_advanced(
     state,
 ) -> tuple[jnp.ndarray, TraceResult]:
     """TracePathAdvanced (Source/Main.cpp:396-579) over a lane batch.
+    The depth loop is a lax.scan (one traced body, fast compiles).
     Returns (rng_state, TraceResult)."""
     n = origin.shape[0]
     f32 = jnp.float32
-    throughput = jnp.ones((n, 3), f32)
-    energy = jnp.zeros((n, 3), f32)
-    active = jnp.ones((n,), bool)
-    is_specular = jnp.zeros((n,), bool)
-    ray_o, ray_d = origin, direction
-    final_depth = jnp.zeros((n,), jnp.int32)
-    bvh_depth0 = jnp.zeros((n,), jnp.int32)
-    traced = jnp.zeros((), jnp.int32)
     debug_bvh = settings.debug_render_mode == DebugRenderMode.BVH_DEPTH
+    if debug_bvh:
+        return _debug_bvh_result(dev, origin, direction, state, n)
     nee = settings.next_event_estimation and dev.num_lights > 0
 
-    for depth in range(settings.max_ray_depth + 1):
-        traced = traced + jnp.sum(active, dtype=jnp.int32)
+    carry = dict(
+        throughput=jnp.ones((n, 3), f32),
+        energy=jnp.zeros((n, 3), f32),
+        active=jnp.ones((n,), bool),
+        is_specular=jnp.zeros((n,), bool),
+        ray_o=origin,
+        ray_d=direction,
+        state=state,
+        final_depth=jnp.zeros((n,), jnp.int32),
+        bvh_depth0=jnp.zeros((n,), jnp.int32),
+        traced=jnp.zeros((), jnp.int32),
+    )
+
+    def body(c, depth):
+        state = c["state"]
+        active, throughput, energy = c["active"], c["throughput"], c["energy"]
+        is_specular, final_depth = c["is_specular"], c["final_depth"]
+        ray_o, ray_d = c["ray_o"], c["ray_d"]
+
+        traced = c["traced"] + jnp.sum(active, dtype=jnp.int32)
         hit = intersect_scene(
             dev, ray_o, ray_d, jnp.full((n,), RAY_TMAX, f32), active=active
         )
-        if depth == 0:
-            bvh_depth0 = hit.bvh_depth
-            if debug_bvh:
-                # energy += lerp(green, red, bvh_depth/30); break (Main.cpp:408-412)
-                energy = lerp(_GREEN, _RED, (hit.bvh_depth.astype(f32) / 30.0)[:, None])
-                final_depth = jnp.zeros((n,), jnp.int32)
-                break
+        bvh_depth0 = jnp.where(depth == 0, hit.bvh_depth, c["bvh_depth0"])
 
         miss = active & (hit.obj < 0)
         final_depth = jnp.where(miss, depth, final_depth)
@@ -336,15 +356,39 @@ def trace_advanced(
         is_specular = jnp.where(sel_spec | diel_bounce, True, is_specular)
         is_specular = jnp.where(sel_diff, False, is_specular)
 
-    final_depth = jnp.where(active, settings.max_ray_depth + 1, final_depth)
-    if settings.debug_render_mode == DebugRenderMode.RAY_DEPTH and not debug_bvh:
+        return (
+            dict(
+                throughput=throughput,
+                energy=energy,
+                active=active,
+                is_specular=is_specular,
+                ray_o=ray_o,
+                ray_d=ray_d,
+                state=state,
+                final_depth=final_depth,
+                bvh_depth0=bvh_depth0,
+                traced=traced,
+            ),
+            None,
+        )
+
+    carry, _ = jax.lax.scan(
+        body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
+    )
+    energy, active = carry["energy"], carry["active"]
+    final_depth = jnp.where(
+        active, settings.max_ray_depth + 1, carry["final_depth"]
+    )
+    if settings.debug_render_mode == DebugRenderMode.RAY_DEPTH:
         # energy OVERWRITE (Main.cpp:575-576)
         energy = lerp(
             _GREEN,
             _RED,
             (final_depth.astype(f32) / f32(settings.max_ray_depth))[:, None],
         )
-    return state, TraceResult(energy, traced, final_depth, bvh_depth0)
+    return carry["state"], TraceResult(
+        energy, carry["traced"], final_depth, carry["bvh_depth0"]
+    )
 
 
 def trace_brute(
@@ -355,29 +399,36 @@ def trace_brute(
     state,
 ) -> tuple[jnp.ndarray, TraceResult]:
     """TracePath (Source/Main.cpp:581-689): brute-force path tracing.
-    The recursion is a linear chain, unrolled to throughput form.
-    Returns (rng_state, TraceResult)."""
+    The recursion is a linear chain, unrolled to throughput form; the
+    depth loop is a lax.scan.  Returns (rng_state, TraceResult)."""
     n = origin.shape[0]
     f32 = jnp.float32
-    throughput = jnp.ones((n, 3), f32)
-    energy = jnp.zeros((n, 3), f32)
-    active = jnp.ones((n,), bool)
-    ray_o, ray_d = origin, direction
-    final_depth = jnp.zeros((n,), jnp.int32)
-    bvh_depth0 = jnp.zeros((n,), jnp.int32)
-    traced = jnp.zeros((), jnp.int32)
-    debug_bvh = settings.debug_render_mode == DebugRenderMode.BVH_DEPTH
+    if settings.debug_render_mode == DebugRenderMode.BVH_DEPTH:
+        return _debug_bvh_result(dev, origin, direction, state, n)
 
-    for depth in range(settings.max_ray_depth + 1):
-        traced = traced + jnp.sum(active, dtype=jnp.int32)
+    carry = dict(
+        throughput=jnp.ones((n, 3), f32),
+        energy=jnp.zeros((n, 3), f32),
+        active=jnp.ones((n,), bool),
+        ray_o=origin,
+        ray_d=direction,
+        state=state,
+        final_depth=jnp.zeros((n,), jnp.int32),
+        bvh_depth0=jnp.zeros((n,), jnp.int32),
+        traced=jnp.zeros((), jnp.int32),
+    )
+
+    def body(c, depth):
+        state = c["state"]
+        active, throughput, energy = c["active"], c["throughput"], c["energy"]
+        final_depth = c["final_depth"]
+        ray_o, ray_d = c["ray_o"], c["ray_d"]
+
+        traced = c["traced"] + jnp.sum(active, dtype=jnp.int32)
         hit = intersect_scene(
             dev, ray_o, ray_d, jnp.full((n,), RAY_TMAX, f32), active=active
         )
-        if depth == 0:
-            bvh_depth0 = hit.bvh_depth
-            if debug_bvh:
-                energy = lerp(_GREEN, _RED, (hit.bvh_depth.astype(f32) / 30.0)[:, None])
-                break
+        bvh_depth0 = jnp.where(depth == 0, hit.bvh_depth, c["bvh_depth0"])
 
         miss = active & (hit.obj < 0)
         final_depth = jnp.where(miss, depth, final_depth)
@@ -443,5 +494,27 @@ def trace_brute(
         ray_o = jnp.where(bounced[:, None], new_o, ray_o)
         ray_d = jnp.where(bounced[:, None], new_dir, ray_d)
 
-    final_depth = jnp.where(active, settings.max_ray_depth + 1, final_depth)
-    return state, TraceResult(energy, traced, final_depth, bvh_depth0)
+        return (
+            dict(
+                throughput=throughput,
+                energy=energy,
+                active=active,
+                ray_o=ray_o,
+                ray_d=ray_d,
+                state=state,
+                final_depth=final_depth,
+                bvh_depth0=bvh_depth0,
+                traced=traced,
+            ),
+            None,
+        )
+
+    carry, _ = jax.lax.scan(
+        body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
+    )
+    final_depth = jnp.where(
+        carry["active"], settings.max_ray_depth + 1, carry["final_depth"]
+    )
+    return carry["state"], TraceResult(
+        carry["energy"], carry["traced"], final_depth, carry["bvh_depth0"]
+    )

@@ -22,6 +22,7 @@ applies on medium exit, as in the path tracers.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cpugpupathtracing_tpu.config import DebugRenderMode, RenderSettings
@@ -48,28 +49,37 @@ def trace_whitted(
     """Whitted trace over a lane batch. Returns (rng_state, TraceResult)."""
     n = origin.shape[0]
     f32 = jnp.float32
-    throughput = jnp.ones((n, 3), f32)
-    energy = jnp.zeros((n, 3), f32)
-    active = jnp.ones((n,), bool)
-    ray_o, ray_d = origin, direction
-    final_depth = jnp.zeros((n,), jnp.int32)
-    bvh_depth0 = jnp.zeros((n,), jnp.int32)
-    traced = jnp.zeros((), jnp.int32)
-    debug_bvh = settings.debug_render_mode == DebugRenderMode.BVH_DEPTH
+    if settings.debug_render_mode == DebugRenderMode.BVH_DEPTH:
+        from cpugpupathtracing_tpu.models.integrators import _debug_bvh_result
+
+        return _debug_bvh_result(dev, origin, direction, state, n)
+
+    carry = dict(
+        throughput=jnp.ones((n, 3), f32),
+        energy=jnp.zeros((n, 3), f32),
+        active=jnp.ones((n,), bool),
+        ray_o=origin,
+        ray_d=direction,
+        state=state,
+        final_depth=jnp.zeros((n,), jnp.int32),
+        bvh_depth0=jnp.zeros((n,), jnp.int32),
+        traced=jnp.zeros((), jnp.int32),
+    )
 
     # point-light positions: light object centers (spheres) and
     # mesh-light triangle-range centroids are not defined; restrict to
     # sphere lights, which both default scenes use.
-    for depth in range(settings.max_ray_depth + 1):
-        traced = traced + jnp.sum(active, dtype=jnp.int32)
+    def body(c, depth):
+        state = c["state"]
+        active, throughput, energy = c["active"], c["throughput"], c["energy"]
+        final_depth = c["final_depth"]
+        ray_o, ray_d = c["ray_o"], c["ray_d"]
+
+        traced = c["traced"] + jnp.sum(active, dtype=jnp.int32)
         hit = intersect_scene(
             dev, ray_o, ray_d, jnp.full((n,), RAY_TMAX, f32), active=active
         )
-        if depth == 0:
-            bvh_depth0 = hit.bvh_depth
-            if debug_bvh:
-                energy = lerp(_GREEN, _RED, (hit.bvh_depth.astype(f32) / 30.0)[:, None])
-                break
+        bvh_depth0 = jnp.where(depth == 0, hit.bvh_depth, c["bvh_depth0"])
 
         miss = active & (hit.obj < 0)
         final_depth = jnp.where(miss, depth, final_depth)
@@ -169,14 +179,37 @@ def trace_whitted(
         ray_o = jnp.where(bounced[:, None], pos + new_dir * RAY_NUDGE, ray_o)
         ray_d = jnp.where(bounced[:, None], new_dir, ray_d)
 
-    final_depth = jnp.where(active, settings.max_ray_depth + 1, final_depth)
-    if settings.debug_render_mode == DebugRenderMode.RAY_DEPTH and not debug_bvh:
+        return (
+            dict(
+                throughput=throughput,
+                energy=energy,
+                active=active,
+                ray_o=ray_o,
+                ray_d=ray_d,
+                state=state,
+                final_depth=final_depth,
+                bvh_depth0=bvh_depth0,
+                traced=traced,
+            ),
+            None,
+        )
+
+    carry, _ = jax.lax.scan(
+        body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
+    )
+    energy = carry["energy"]
+    final_depth = jnp.where(
+        carry["active"], settings.max_ray_depth + 1, carry["final_depth"]
+    )
+    if settings.debug_render_mode == DebugRenderMode.RAY_DEPTH:
         energy = lerp(
             _GREEN,
             _RED,
             (final_depth.astype(f32) / f32(settings.max_ray_depth))[:, None],
         )
-    return state, TraceResult(energy, traced, final_depth, bvh_depth0)
+    return carry["state"], TraceResult(
+        energy, carry["traced"], final_depth, carry["bvh_depth0"]
+    )
 
 
 def make_whitted_scene():

@@ -128,7 +128,7 @@ def traverse(
         depth=jnp.zeros((n,), jnp.int32),
     )
 
-    lane = jnp.arange(stack_depth, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(n, dtype=jnp.int32)
 
     def cond(s):
         return jnp.any(s["node"] >= 0)
@@ -150,13 +150,13 @@ def traverse(
         k = start[:, None] + jnp.arange(leaf_chunk, dtype=jnp.int32)[None, :]
         k_ok = is_leaf[:, None] & (k < (left_first + prim_count)[:, None])
         tri_ids = tri_perm[jnp.clip(k, 0, num_tris - 1)]    # (N, C)
-        rows = tris9[jnp.clip(tri_ids, 0, num_tris - 1)]    # (N, C, 9)
+        trows = tris9[jnp.clip(tri_ids, 0, num_tris - 1)]   # (N, C, 9)
         valid, tt = intersect_triangle(
             origin[:, None, :],
             direction[:, None, :],
-            rows[..., 0:3],
-            rows[..., 3:6],
-            rows[..., 6:9],
+            trows[..., 0:3],
+            trows[..., 3:6],
+            trows[..., 6:9],
         )
         valid = valid & k_ok & (tt < t[:, None])
         tt = jnp.where(valid, tt, jnp.inf)
@@ -192,7 +192,7 @@ def traverse(
         # (leaf not finished) stays put with an advanced cursor.
         want_pop = (is_leaf & leaf_done) | (is_interior & near_miss)
         can_pop = sptr > 0
-        top = jnp.take_along_axis(stack, jnp.maximum(sptr - 1, 0)[:, None], axis=1)[:, 0]
+        top = stack[rows, jnp.maximum(sptr - 1, 0)]
 
         node_next = jnp.where(
             is_leaf & ~leaf_done,
@@ -205,11 +205,12 @@ def traverse(
         )
 
         sptr_next = jnp.where(want_pop & can_pop, sptr - 1, sptr)
-        # push far child (one-hot scatter at sptr)
+        # push far child: one scatter of a single element per lane
+        # (predicated by writing back the current value when not pushing)
         do_push = push_far
-        stack_next = jnp.where(
-            (lane == sptr_next[:, None]) & do_push[:, None], far_i[:, None], stack
-        )
+        slot = jnp.clip(sptr_next, 0, stack_depth - 1)
+        cur = stack[rows, slot]
+        stack_next = stack.at[rows, slot].set(jnp.where(do_push, far_i, cur))
         sptr_next = jnp.where(do_push, sptr_next + 1, sptr_next)
 
         return dict(
