@@ -21,6 +21,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+# amortize the (long) remote TPU compiles across bench invocations
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 
 def main():
     width, height = map(int, sys.argv[1:3]) if len(sys.argv) >= 3 else (1920, 1080)

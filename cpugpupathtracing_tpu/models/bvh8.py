@@ -1,0 +1,147 @@
+"""8-wide BVH: host-side collapse of the binary BVH for TPU traversal.
+
+The reference's binary BVH (32-byte nodes, 2 slab tests per step,
+Source/BVH.cpp:61-127) is the wrong shape for a 8x128-lane vector unit:
+a binary step fetches 64 scattered bytes to do 2 AABB tests.  Collapsing
+to an 8-wide BVH makes each traversal step fetch ONE contiguous 256-byte
+node row and test 8 children at once -- ~3x fewer iterations, 4x better
+HBM line utilization, and a node table small enough (~1-2 MB for the 92k
+-triangle benchmark scene) to pin in VMEM inside a Pallas kernel.
+
+Hit results are identical to the binary tree (any valid BVH returns the
+same nearest hit); only the bvh_depth debug AOV changes meaning (one
+count per 8-wide step instead of per binary descend).
+
+Node row layout, (B, 64) float32 = 256 B:
+  cols  0..47: 8 children x (min.xyz, max.xyz)
+  cols 48..55: bitcast int32 child_index (interior: child row;
+               leaf: start into the leaf-ordered triangle array)
+  cols 56..63: bitcast int32 child_count (0 = interior, >0 = leaf tri
+               count, -1 = empty slot)
+
+Triangles are re-emitted in leaf order so every leaf's triangles are
+contiguous (a leaf fetch is one 144-byte streamed read, not 4 scattered
+ones); `leaf_tri_id` maps leaf order back to original triangle ids for
+the reference's payload semantics (payload.tri_idx, Source/BVH.cpp:81).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from cpugpupathtracing_tpu.models.bvh import BVH, _half_area
+
+WIDTH = 8
+LEAF_MAX = 4  # binary builder enforces max_leaf_size=4 for device trees
+
+
+@dataclasses.dataclass
+class BVH8:
+    nodes: np.ndarray        # (B, 64) f32 packed rows
+    tris9: np.ndarray        # (T, 9) f32 [v0, e1, e2], leaf order
+    leaf_tri_id: np.ndarray  # (T,) i32 leaf order -> original tri index
+    max_depth: int
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.nodes)
+
+
+def collapse(b: BVH) -> BVH8:
+    """Collapse a binary BVH into an 8-wide one.
+
+    Children of a wide node: start from the binary node's two children
+    and repeatedly expand the interior candidate with the largest
+    half-area until 8 slots are used or only leaves remain.
+    """
+    if int(b.prim_count.max()) > LEAF_MAX:
+        raise ValueError(
+            f"binary BVH has leaves > {LEAF_MAX} tris; build with "
+            f"max_leaf_size={LEAF_MAX} for device traversal"
+        )
+
+    left_first = b.left_first
+    prim_count = b.prim_count
+    nmin, nmax = b.nodes_min, b.nodes_max
+
+    tris_v0, tris_v1, tris_v2 = b.tri_v0, b.tri_v1, b.tri_v2
+
+    rows: list[np.ndarray] = []
+    leaf_order: list[np.ndarray] = []
+    leaf_cursor = 0
+    max_depth = 0
+
+    def area(i: int) -> float:
+        return float(_half_area(nmin[i], nmax[i]))
+
+    def wide_children(i: int) -> list[int]:
+        """Binary node -> up to 8 binary descendants (leaves or subtrees)."""
+        if prim_count[i] > 0:
+            return [i]  # root is a single leaf
+        slots = [int(left_first[i]), int(left_first[i]) + 1]
+        while len(slots) < WIDTH:
+            # expand the interior slot with the largest half-area
+            best, best_a = -1, -1.0
+            for s_idx, s in enumerate(slots):
+                if prim_count[s] == 0:
+                    a = area(s)
+                    if a > best_a:
+                        best, best_a = s_idx, a
+            if best < 0:
+                break
+            s = slots.pop(best)
+            slots.append(int(left_first[s]))
+            slots.append(int(left_first[s]) + 1)
+        return slots
+
+    # iterative build: emit rows breadth-last via an explicit stack of
+    # (binary_node, row_index); row 0 = root.
+    rows.append(np.zeros(64, np.float32))
+    stack = [(0, 0, 0)]
+    while stack:
+        bin_node, row_idx, depth = stack.pop()
+        max_depth = max(max_depth, depth)
+        slots = wide_children(bin_node)
+        bmin = np.full((WIDTH, 3), 1e30, np.float32)
+        bmax = np.full((WIDTH, 3), -1e30, np.float32)
+        cidx = np.zeros(WIDTH, np.int32)
+        ccnt = np.full(WIDTH, -1, np.int32)
+        for k, s in enumerate(slots):
+            bmin[k] = nmin[s]
+            bmax[k] = nmax[s]
+            if prim_count[s] > 0:
+                first, cnt = int(left_first[s]), int(prim_count[s])
+                seg = b.tri_indices[first : first + cnt]
+                cidx[k] = leaf_cursor
+                ccnt[k] = cnt
+                leaf_order.append(seg)
+                leaf_cursor += cnt
+            else:
+                child_row = len(rows)
+                rows.append(np.zeros(64, np.float32))
+                cidx[k] = child_row
+                ccnt[k] = 0
+                stack.append((s, child_row, depth + 1))
+        row = np.empty(64, np.float32)
+        row[0:48] = np.concatenate([bmin, bmax], axis=1).reshape(-1)
+        row[48:56] = cidx.view(np.float32)
+        row[56:64] = ccnt.view(np.float32)
+        rows[row_idx] = row
+
+    leaf_ids = (
+        np.concatenate(leaf_order).astype(np.int32)
+        if leaf_order
+        else np.zeros(0, np.int32)
+    )
+    tris9 = np.empty((len(leaf_ids), 9), np.float32)
+    tris9[:, 0:3] = tris_v0[leaf_ids]
+    tris9[:, 3:6] = tris_v1[leaf_ids] - tris_v0[leaf_ids]
+    tris9[:, 6:9] = tris_v2[leaf_ids] - tris_v0[leaf_ids]
+    return BVH8(
+        nodes=np.stack(rows),
+        tris9=tris9,
+        leaf_tri_id=leaf_ids,
+        max_depth=max_depth,
+    )

@@ -66,6 +66,19 @@ def get_ray(cam: CameraArrays, u, v):
     return origin, direction
 
 
+def lane_rays(cam: CameraArrays, lane, width: int, height: int):
+    """Rays for flat lane indices (lane = y * width + x), from a *traced*
+    lane array.  Deriving pixel coordinates from an argument rather than
+    an embedded iota keeps large constants out of the executable (whose
+    hidden constant-parameters break multi-device dispatch in this jax
+    version) and lets sharded callers pass their own lane slice."""
+    xs = (lane % jnp.uint32(width)).astype(jnp.float32)
+    ys = (lane // jnp.uint32(width)).astype(jnp.float32)
+    u = xs / jnp.float32(width)
+    v = ys / jnp.float32(height)
+    return get_ray(cam, u, v)
+
+
 def pixel_rays(cam: CameraArrays, width: int, height: int, *, jitter=False, rng_state=None):
     """Rays for every pixel, row-major (y, x) flattened to (H*W, 3).
 

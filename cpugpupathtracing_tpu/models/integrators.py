@@ -56,8 +56,10 @@ from cpugpupathtracing_tpu.utils.vecmath import (
     lerp,
 )
 
-_GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
-_RED = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+import numpy as _np
+
+_GREEN = _np.array([0.0, 1.0, 0.0], _np.float32)  # np, not jnp: inlined literal
+_RED = _np.array([1.0, 0.0, 0.0], _np.float32)
 
 
 class TraceResult(NamedTuple):
@@ -76,6 +78,54 @@ class LightSample(NamedTuple):
     normal: jnp.ndarray
     emission: jnp.ndarray
     area: jnp.ndarray
+
+
+def trace_chunked(
+    trace_fn,
+    dev: DeviceScene,
+    settings: RenderSettings,
+    origin,
+    direction,
+    state,
+    max_chunk: int = 131072,
+):
+    """Run a trace function over the batch in sequential chunks via
+    lax.map.
+
+    Replaces the reference's 16x16-tile job decomposition
+    (Source/Main.cpp:698-754) on-device: each chunk is a contiguous slab
+    of image rows, so its lockstep traversal loop exits as soon as the
+    slowest ray *in that slab* finishes (not in the whole frame), and
+    peak traversal state (per-lane stacks) is bounded by the chunk size.
+    Results are bitwise identical to an unchunked call: RNG streams key
+    on global lane index and hits are exact.
+    """
+    n = origin.shape[0]
+    num_chunks = max(1, -(-n // max_chunk))
+    while n % num_chunks != 0:
+        num_chunks += 1
+    if num_chunks == 1:
+        return trace_fn(dev, settings, origin, direction, state)
+    m = n // num_chunks
+
+    def f(args):
+        o, d, s = args
+        return trace_fn(dev, settings, o, d, s)
+
+    states, res = jax.lax.map(
+        f,
+        (
+            origin.reshape(num_chunks, m, 3),
+            direction.reshape(num_chunks, m, 3),
+            state.reshape(num_chunks, m),
+        ),
+    )
+    return states.reshape(n), TraceResult(
+        energy=res.energy.reshape(n, 3),
+        traced_rays=jnp.sum(res.traced_rays, dtype=jnp.int32),
+        ray_depth=res.ray_depth.reshape(n),
+        bvh_depth=res.bvh_depth.reshape(n),
+    )
 
 
 def _gather_material(dev: DeviceScene, mat_idx):

@@ -55,13 +55,15 @@ from cpugpupathtracing_tpu.utils.vecmath import vec4_to_uint
 @functools.partial(
     jax.jit,
     static_argnames=("settings", "width", "height", "spp", "seed"),
-    donate_argnames=("accumulator",),
+    keep_unused=True,
 )
 def render_frame_kernel(
     dev: DeviceScene,
     cam: camlib.CameraArrays,
     accumulator,      # (H*W, 4) f32 running sum
     sample_base,      # () i32 global sample counter (RNG stream selector)
+    lane,             # (H*W,) u32 lane indices (passed in: keeps iota
+                      # constants out of the executable, see camera.lane_rays)
     settings: RenderSettings,
     width: int,
     height: int,
@@ -76,8 +78,7 @@ def render_frame_kernel(
     still exists untouched.
     """
     n = width * height
-    origin, direction = camlib.pixel_rays(cam, width, height)
-    lane = jnp.arange(n, dtype=jnp.uint32)
+    origin, direction = camlib.lane_rays(cam, lane, width, height)
 
     frame_energy = jnp.zeros((n, 3), jnp.float32)
     traced = jnp.zeros((), jnp.int32)
@@ -99,8 +100,8 @@ def render_frame_kernel(
             ro = o2[:, half:].reshape(-1, 3)
             rd = d2[:, half:].reshape(-1, 3)
             rs = s2[:, half:].reshape(-1)
-            _, res_l = integrators.trace_brute(dev, settings, lo, ld, ls)
-            _, res_r = integrators.trace_advanced(dev, settings, ro, rd, rs)
+            _, res_l = integrators.trace_chunked(integrators.trace_brute, dev, settings, lo, ld, ls)
+            _, res_r = integrators.trace_chunked(integrators.trace_advanced, dev, settings, ro, rd, rs)
             energy = jnp.concatenate(
                 [
                     res_l.energy.reshape(height, half, 3),
@@ -110,15 +111,15 @@ def render_frame_kernel(
             ).reshape(-1, 3)
             traced = traced + res_l.traced_rays + res_r.traced_rays
         elif settings.render_mode == RenderMode.BRUTE_FORCE:
-            _, res = integrators.trace_brute(dev, settings, origin, direction, state)
+            _, res = integrators.trace_chunked(integrators.trace_brute, dev, settings, origin, direction, state)
             energy, traced = res.energy, traced + res.traced_rays
         elif settings.render_mode == RenderMode.ADVANCED:
-            _, res = integrators.trace_advanced(dev, settings, origin, direction, state)
+            _, res = integrators.trace_chunked(integrators.trace_advanced, dev, settings, origin, direction, state)
             energy, traced = res.energy, traced + res.traced_rays
         elif settings.render_mode == RenderMode.WHITTED:
             from cpugpupathtracing_tpu.models.whitted import trace_whitted
 
-            _, res = trace_whitted(dev, settings, origin, direction, state)
+            _, res = integrators.trace_chunked(trace_whitted, dev, settings, origin, direction, state)
             energy, traced = res.energy, traced + res.traced_rays
         else:
             raise ValueError(f"unknown render mode {settings.render_mode}")
@@ -173,6 +174,7 @@ class Renderer:
         n = self.config.width * self.config.height
         self._accumulator = jnp.zeros((n, 4), jnp.float32)
         self._pixels = jnp.zeros((n,), jnp.uint32)
+        self._lane = jnp.arange(n, dtype=jnp.uint32)
 
     # ---- frame loop ----
 
@@ -190,6 +192,7 @@ class Renderer:
             camlib.to_arrays(self.camera),
             self._accumulator,
             jnp.asarray(self._sample_counter, jnp.int32),
+            self._lane,
             self.settings,
             w,
             h,

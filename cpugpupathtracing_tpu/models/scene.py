@@ -75,9 +75,16 @@ class DeviceScene:
     light_tri_start: jnp.ndarray    # (L,) i32 into global tri arrays
     light_tri_count: jnp.ndarray    # (L,) i32
     light_half_area: jnp.ndarray    # (L,) mesh total_area / 2 (Main.cpp:367)
+    # 8-wide BVH (models/bvh8.py): the fast traversal path
+    wnodes: jnp.ndarray = None      # (B8, 64) f32 packed wide rows
+    wtris9: jnp.ndarray = None      # (TW, 9) f32 leaf order
+    wleaf_id: jnp.ndarray = None    # (TW,) i32 leaf order -> original id
     # static
     roots: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    wroots: tuple = dataclasses.field(metadata=dict(static=True), default=())
     num_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
+    use_wide: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    wstack_depth: int = dataclasses.field(metadata=dict(static=True), default=48)
 
     @property
     def num_triangles(self) -> int:
@@ -109,10 +116,11 @@ class SceneObject:
 class Scene:
     """Mutable host scene; `device()` returns a cached immutable snapshot."""
 
-    def __init__(self):
+    def __init__(self, use_wide: bool = True):
         self.objects: list[SceneObject] = []
         self.materials: list[matlib.Material] = []
         self.light_indices: list[int] = []
+        self.use_wide = use_wide  # 8-wide BVH traversal (binary = oracle)
         self._device: DeviceScene | None = None
 
     # -- construction (Source/Main.cpp:779-819 equivalents) --
@@ -182,10 +190,14 @@ class Scene:
         return self._device
 
     def _build_device(self) -> DeviceScene:
+        from cpugpupathtracing_tpu.models import bvh8 as bvh8lib
+
         f32, i32 = np.float32, np.int32
         nodes, perms, tris, tnrm, tobj = [], [], [], [], []
-        roots = []
-        node_off = tri_off = 0
+        wnodes, wtris, wleaf = [], [], []
+        roots, wroots = [], []
+        node_off = tri_off = wnode_off = wtri_off = 0
+        wdepth = 0
         mesh_tri_range: dict[int, tuple[int, int, float]] = {}
         sph = {k: [] for k in ("center", "radius", "obj")}
         pln = {k: [] for k in ("point", "normal", "obj")}
@@ -204,6 +216,22 @@ class Scene:
                 tobj.append(np.full(b.num_triangles, oi, i32))
                 roots.append(node_off)
                 mesh_tri_range[oi] = (tri_off, b.num_triangles, b.total_area)
+
+                if self.use_wide:
+                    w = bvh8lib.collapse(b)
+                    wrow = w.nodes.copy()
+                    cidx = wrow[:, 48:56].view(i32)
+                    ccnt = wrow[:, 56:64].view(i32)
+                    cidx[ccnt == 0] += wnode_off
+                    cidx[ccnt > 0] += wtri_off
+                    wnodes.append(wrow)
+                    wtris.append(w.tris9)
+                    wleaf.append(w.leaf_tri_id + tri_off)  # original GLOBAL id
+                    wroots.append(wnode_off)
+                    wnode_off += w.num_nodes
+                    wtri_off += len(w.tris9)
+                    wdepth = max(wdepth, w.max_depth)
+
                 node_off += b.num_nodes
                 tri_off += b.num_triangles
             elif obj.kind == PRIM_SPHERE:
@@ -251,12 +279,19 @@ class Scene:
                     obj.name,
                 )
 
+        use_wide = self.use_wide and len(wnodes) > 0
+        # worst-case stack: 7 pushes per level of the deepest wide tree
+        wstack = min(64, 7 * (wdepth + 1) + max(len(wroots), 1)) if use_wide else 48
+
         return DeviceScene(
             nodes8=cat(nodes, 8),
             tri_perm=cat(perms, 1, i32),
             tris9=cat(tris, 9),
             tri_normal=cat(tnrm, 3),
             tri_obj=cat(tobj, 1, i32),
+            wnodes=cat(wnodes, 64),
+            wtris9=cat(wtris, 9),
+            wleaf_id=cat(wleaf, 1, i32),
             sph_center=jnp.asarray(np.asarray(sph["center"], f32).reshape(-1, 3)),
             sph_radius=jnp.asarray(radius),
             sph_radius_sq=jnp.asarray(radius * radius),
@@ -275,7 +310,10 @@ class Scene:
             light_tri_count=jnp.asarray(l_tri_count),
             light_half_area=jnp.asarray(l_half_area),
             roots=tuple(roots),
+            wroots=tuple(wroots),
             num_lights=L,
+            use_wide=use_wide,
+            wstack_depth=wstack,
         )
 
 
@@ -294,7 +332,18 @@ def intersect_scene(
     prim = jnp.full((n,), -1, jnp.int32)
     depth = jnp.zeros((n,), jnp.int32)
 
-    if dev.roots:
+    if dev.use_wide and dev.wroots:
+        from cpugpupathtracing_tpu.ops import traverse_wide
+
+        t, tri, depth = traverse_wide.traverse8(
+            origin, direction, t_init, dev.wnodes, dev.wtris9, dev.wleaf_id,
+            dev.wroots, any_hit=any_hit, active=active,
+            stack_depth=dev.wstack_depth,
+        )
+        mesh_hit = tri >= 0
+        obj = jnp.where(mesh_hit, dev.tri_obj[jnp.maximum(tri, 0)], obj)
+        prim = jnp.where(mesh_hit, tri, prim)
+    elif dev.roots:
         t, tri, depth = traverse.traverse(
             origin, direction, t_init, dev.nodes8, dev.tri_perm, dev.tris9,
             dev.roots, any_hit=any_hit, active=active,

@@ -69,10 +69,6 @@ def _i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("roots", "stack_depth", "leaf_chunk", "any_hit", "count_depth"),
-)
 def traverse(
     origin,
     direction,

@@ -47,24 +47,27 @@ def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
 
 def _trace(dev, settings, origin, direction, state):
     if settings.render_mode == RenderMode.BRUTE_FORCE:
-        return integrators.trace_brute(dev, settings, origin, direction, state)
-    if settings.render_mode == RenderMode.WHITTED:
+        fn = integrators.trace_brute
+    elif settings.render_mode == RenderMode.WHITTED:
         from cpugpupathtracing_tpu.models.whitted import trace_whitted
 
-        return trace_whitted(dev, settings, origin, direction, state)
-    return integrators.trace_advanced(dev, settings, origin, direction, state)
+        fn = trace_whitted
+    else:
+        fn = integrators.trace_advanced
+    return integrators.trace_chunked(fn, dev, settings, origin, direction, state)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("settings", "width", "height", "spp", "seed", "mesh", "shard_mode"),
-    donate_argnames=("accumulator",),
+    keep_unused=True,
 )
 def render_frame_sharded(
     dev: DeviceScene,
     cam: camlib.CameraArrays,
     accumulator,   # (H*W, 4) f32, sharded over lanes (PIXELS) or replicated
     sample_base,   # () i32
+    lane,          # (H*W,) u32 global lane indices
     settings: RenderSettings,
     width: int,
     height: int,
@@ -88,14 +91,8 @@ def render_frame_sharded(
 
     if shard_mode == "pixels":
 
-        def body(acc_shard):
-            shard = jax.lax.axis_index(axis)
-            lanes = shard * (n // d) + jnp.arange(n // d, dtype=jnp.uint32)
-            xs = (lanes % width).astype(jnp.float32)
-            ys = (lanes // width).astype(jnp.float32)
-            u = xs / jnp.float32(width)
-            v = ys / jnp.float32(height)
-            origin, direction = camlib.get_ray(cam, u, v)
+        def body(acc_shard, lanes):
+            origin, direction = camlib.lane_rays(cam, lanes, width, height)
             energy = jnp.zeros((n // d, 3), jnp.float32)
             traced = jnp.zeros((), jnp.int32)
             for s in range(spp):
@@ -114,22 +111,17 @@ def render_frame_sharded(
         fn = shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(axis),),
+            in_specs=(P(axis), P(axis)),
             out_specs=(P(axis), P(axis), P()),
             check_vma=False,
         )
-        return fn(accumulator)
+        return fn(accumulator, lane)
 
     if shard_mode == "samples":
 
-        def body(acc_rep):
+        def body(acc_rep, lanes):
             shard = jax.lax.axis_index(axis)
-            lanes = jnp.arange(n, dtype=jnp.uint32)
-            xs = (lanes % width).astype(jnp.float32)
-            ys = (lanes // width).astype(jnp.float32)
-            origin, direction = camlib.get_ray(
-                cam, xs / jnp.float32(width), ys / jnp.float32(height)
-            )
+            origin, direction = camlib.lane_rays(cam, lanes, width, height)
             energy = jnp.zeros((n, 3), jnp.float32)
             traced = jnp.zeros((), jnp.int32)
             for s in range(spp):
@@ -153,10 +145,10 @@ def render_frame_sharded(
         fn = shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(),),
+            in_specs=(P(), P()),
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        return fn(accumulator)
+        return fn(accumulator, lane)
 
     raise ValueError(f"unknown shard_mode {shard_mode}")

@@ -27,8 +27,9 @@ def tiny_scene() -> Scene:
 
 def _single_chip_frame(dev, cam, settings, seed):
     acc = jnp.zeros((W * H, 4), jnp.float32)
+    lane = jnp.arange(W * H, dtype=jnp.uint32)
     acc, pix, traced, _ = render_frame_kernel(
-        dev, cam, acc, jnp.int32(0), settings, W, H, 1, seed
+        dev, cam, acc, jnp.int32(0), lane, settings, W, H, 1, seed
     )
     return np.asarray(acc), np.asarray(pix), int(traced)
 
@@ -49,7 +50,7 @@ class TestPixelSharding:
         mesh = sharding.make_mesh(8)
         acc = jnp.zeros((W * H, 4), jnp.float32)
         acc8, pix8, traced8 = sharding.render_frame_sharded(
-            dev, cam, acc, jnp.int32(0), settings, W, H, 1, seed, mesh, "pixels"
+            dev, cam, acc, jnp.int32(0), jnp.arange(W * H, dtype=jnp.uint32), settings, W, H, 1, seed, mesh, "pixels"
         )
         np.testing.assert_array_equal(pix1, np.asarray(pix8))
         np.testing.assert_array_equal(acc1, np.asarray(acc8))
@@ -63,7 +64,7 @@ class TestPixelSharding:
         mesh = sharding.make_mesh(8)
         acc = jnp.zeros((W * H, 4), jnp.float32)
         acc, pix, _ = sharding.render_frame_sharded(
-            dev, cam, acc, jnp.int32(0), RenderSettings(), W, H, 1, 7, mesh, "pixels"
+            dev, cam, acc, jnp.int32(0), jnp.arange(W * H, dtype=jnp.uint32), RenderSettings(), W, H, 1, 7, mesh, "pixels"
         )
         # output sharding: lanes split across the 8 devices
         assert len(acc.sharding.device_set) == 8
@@ -77,7 +78,7 @@ class TestPixelSharding:
         acc = jnp.zeros((W * H, 4), jnp.float32)
         for f in range(3):
             acc, pix, _ = sharding.render_frame_sharded(
-                dev, cam, acc, jnp.int32(f), RenderSettings(), W, H, 1, 7, mesh, "pixels"
+                dev, cam, acc, jnp.int32(f), jnp.arange(W * H, dtype=jnp.uint32), RenderSettings(), W, H, 1, 7, mesh, "pixels"
             )
         assert float(np.asarray(acc)[:, 3].max()) == 3.0
 
@@ -91,7 +92,7 @@ class TestSampleSharding:
         mesh = sharding.make_mesh(8)
         acc = jnp.zeros((W * H, 4), jnp.float32)
         acc, pix, traced = sharding.render_frame_sharded(
-            dev, cam, acc, jnp.int32(0), RenderSettings(), W, H, 1, 7, mesh, "samples"
+            dev, cam, acc, jnp.int32(0), jnp.arange(W * H, dtype=jnp.uint32), RenderSettings(), W, H, 1, 7, mesh, "samples"
         )
         acc = np.asarray(acc)
         assert float(acc[:, 3].max()) == 8.0  # 8 sample sets summed
@@ -108,12 +109,12 @@ class TestSampleSharding:
         settings = RenderSettings()
         acc_s = jnp.zeros((W * H, 4), jnp.float32)
         acc_s, _, _ = sharding.render_frame_sharded(
-            dev, cam, acc_s, jnp.int32(0), settings, W, H, 1, 7, mesh, "samples"
+            dev, cam, acc_s, jnp.int32(0), jnp.arange(W * H, dtype=jnp.uint32), settings, W, H, 1, 7, mesh, "samples"
         )
         acc_p = jnp.zeros((W * H, 4), jnp.float32)
         for f in range(8):
             acc_p, _, _ = sharding.render_frame_sharded(
-                dev, cam, acc_p, jnp.int32(f), settings, W, H, 1, 7, mesh, "pixels"
+                dev, cam, acc_p, jnp.int32(f), jnp.arange(W * H, dtype=jnp.uint32), settings, W, H, 1, 7, mesh, "pixels"
             )
         m_s = np.asarray(acc_s)[:, :3].sum() / 8
         m_p = np.asarray(acc_p)[:, :3].sum() / 8
