@@ -35,6 +35,7 @@ returns identical hits; this only reshapes the tree.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -124,6 +125,33 @@ def _build_from_triangles(v0, v1, v2, tri_normal, build_option, max_leaf_size) -
     if t == 0:
         raise ValueError("cannot build BVH over zero triangles")
     total_area = float(triangle_areas(v0, v1, v2).sum())
+
+    # fast path: the native C++ builder (bit-identical to the numpy code
+    # below; set CPUGPU_TPU_NO_NATIVE=1 to force the numpy oracle)
+    if not os.environ.get("CPUGPU_TPU_NO_NATIVE"):
+        from cpugpupathtracing_tpu import native
+
+        tri9 = np.concatenate(
+            [np.asarray(v0, _F32), np.asarray(v1, _F32), np.asarray(v2, _F32)], axis=1
+        )
+        out = native.native_bvh_build(tri9, int(build_option), max_leaf_size)
+        if out is not None:
+            nmin, nmax, left_first, prim_count, perm, max_depth = out
+            return BVH(
+                tri_v0=np.ascontiguousarray(v0, _F32),
+                tri_v1=np.ascontiguousarray(v1, _F32),
+                tri_v2=np.ascontiguousarray(v2, _F32),
+                tri_normal=np.ascontiguousarray(tri_normal, _F32),
+                nodes_min=nmin,
+                nodes_max=nmax,
+                left_first=left_first,
+                prim_count=prim_count,
+                tri_indices=perm,
+                max_depth=max_depth,
+                total_area=total_area,
+                build_option=build_option,
+                max_leaf_size=max_leaf_size,
+            )
 
     centroids = ((v0 + v1 + v2) * _CENTROID_W).astype(_F32)
     tmin = np.minimum(np.minimum(v0, v1), v2).astype(_F32)

@@ -130,3 +130,25 @@ def test_flat_normals_use_v0(rng_np):
     b = bvh.build(pos, nrm, idx, BuildOption.NAIVE_SPLIT)
     np.testing.assert_allclose(b.tri_normal[0], nrm[3])
     np.testing.assert_allclose(b.tri_normal[1], nrm[0])
+
+
+class TestNativeBuilder:
+    """The C++ builder must produce bit-identical trees to the numpy
+    oracle (same f32 arithmetic, candidate order, tie-breaks)."""
+
+    @pytest.mark.parametrize("option", OPTIONS)
+    @pytest.mark.parametrize("leaf", [None, 4])
+    def test_bit_parity(self, option, leaf, monkeypatch):
+        from cpugpupathtracing_tpu import native
+
+        if native.get_lib() is None:
+            pytest.skip("no native toolchain")
+        m = mesh.icosphere(subdivisions=3)
+        b_native = bvh.build(m.positions, m.normals, m.indices, option, max_leaf_size=leaf)
+        monkeypatch.setenv("CPUGPU_TPU_NO_NATIVE", "1")
+        b_numpy = bvh.build(m.positions, m.normals, m.indices, option, max_leaf_size=leaf)
+        for f in ["nodes_min", "nodes_max", "left_first", "prim_count", "tri_indices"]:
+            np.testing.assert_array_equal(
+                getattr(b_native, f), getattr(b_numpy, f), err_msg=f
+            )
+        assert b_native.max_depth == b_numpy.max_depth
