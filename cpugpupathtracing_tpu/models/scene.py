@@ -79,12 +79,18 @@ class DeviceScene:
     wnodes: jnp.ndarray = None      # (B8, 64) f32 packed wide rows
     wtris9: jnp.ndarray = None      # (TW, 9) f32 leaf order
     wleaf_id: jnp.ndarray = None    # (TW,) i32 leaf order -> original id
+    # instances (TLAS): object-to-world transforms baked as inverses
+    inst_inv: jnp.ndarray = None        # (I, 12) f32 world->object, 3x4 rows
+    inst_nrm: jnp.ndarray = None        # (I, 9) f32 normal matrix (inv^T)
+    inst_blas_root: jnp.ndarray = None  # (I,) i32 wide-node row of the BLAS root
+    inst_obj: jnp.ndarray = None        # (I,) i32 owning object
     # static
     roots: tuple = dataclasses.field(metadata=dict(static=True), default=())
     wroots: tuple = dataclasses.field(metadata=dict(static=True), default=())
     num_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
     use_wide: bool = dataclasses.field(metadata=dict(static=True), default=True)
     wstack_depth: int = dataclasses.field(metadata=dict(static=True), default=48)
+    num_instances: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def num_triangles(self) -> int:
@@ -100,6 +106,7 @@ class Hit(NamedTuple):
     kind: jnp.ndarray     # (N,) i32 PRIM_* of the hit primitive
     prim: jnp.ndarray     # (N,) i32 global tri index / sphere row / plane row
     bvh_depth: jnp.ndarray  # (N,) i32 interior descents (debug AOV)
+    inst: jnp.ndarray     # (N,) i32 instance id, -1 = world-space hit
 
 
 @dataclasses.dataclass
@@ -111,6 +118,79 @@ class SceneObject:
     build_option: BuildOption = BuildOption.SAH_SPLIT_INTERVALS
     sphere: tuple | None = None  # (center xyz, radius)
     plane: tuple | None = None   # (point xyz, normal xyz)
+    # instanced mesh: (I, 4, 4) object-to-world transforms; the BLAS is
+    # built once and referenced from the TLAS per instance
+    instances: np.ndarray | None = None
+    # cached 8-wide collapse of .bvh (rebuilt when .bvh changes)
+    _wide_cache: tuple | None = None
+
+
+def _build_tlas_rows(imin: np.ndarray, imax: np.ndarray) -> tuple[np.ndarray, int]:
+    """8-ary TLAS over instance world AABBs.
+
+    Returns (rows (K, 64) with LOCAL interior child indices, depth).
+    Leaf children use child_count = -2 and child_index = instance id
+    (ops/traverse_wide.py CCNT_INSTANCE).
+    """
+    from cpugpupathtracing_tpu.ops.traverse_wide import CCNT_INSTANCE
+
+    num = len(imin)
+    centers = (imin + imax) * 0.5
+    rows: list[np.ndarray] = []
+
+    def split8(ids: np.ndarray) -> list[np.ndarray]:
+        groups = [ids]
+        while len(groups) < 8:
+            gi = max(range(len(groups)), key=lambda g: len(groups[g]))
+            if len(groups[gi]) <= 1:
+                break
+            g = groups.pop(gi)
+            c = centers[g]
+            axis = int(np.argmax(c.max(0) - c.min(0)))
+            order = np.argsort(c[:, axis], kind="stable")
+            h = len(g) // 2
+            groups.append(g[order[:h]])
+            groups.append(g[order[h:]])
+        return groups
+
+    def build(ids: np.ndarray, depth: int) -> tuple[int, int]:
+        row_idx = len(rows)
+        rows.append(np.zeros(64, np.float32))
+        groups = [g for g in split8(ids) if len(g)]
+        bmin = np.full((8, 3), 1e30, np.float32)
+        bmax = np.full((8, 3), -1e30, np.float32)
+        cidx = np.zeros(8, np.int32)
+        ccnt = np.full(8, -1, np.int32)
+        max_d = depth
+        for k, g in enumerate(groups):
+            bmin[k] = imin[g].min(0)
+            bmax[k] = imax[g].max(0)
+            if len(g) == 1:
+                cidx[k] = int(g[0])
+                ccnt[k] = CCNT_INSTANCE
+            else:
+                child, d = build(g, depth + 1)
+                cidx[k] = child
+                ccnt[k] = 0
+                max_d = max(max_d, d)
+        row = rows[row_idx]
+        row[0:48] = np.concatenate([bmin, bmax], axis=1).reshape(-1)
+        row[48:56] = cidx.view(np.float32)
+        row[56:64] = ccnt.view(np.float32)
+        return row_idx, max_d
+
+    _, depth = build(np.arange(num), 1)
+    return np.stack(rows), depth
+
+
+def _instance_world_aabb(nmin, nmax, m4):
+    """Transform an AABB's 8 corners by the 4x4 object-to-world matrix."""
+    xs = [nmin[0], nmax[0]]
+    ys = [nmin[1], nmax[1]]
+    zs = [nmin[2], nmax[2]]
+    pts = np.array([[x, y, z, 1.0] for x in xs for y in ys for z in zs], np.float32)
+    world = pts @ m4.T
+    return world[:, :3].min(0).astype(np.float32), world[:, :3].max(0).astype(np.float32)
 
 
 class Scene:
@@ -146,6 +226,40 @@ class Scene:
         )
         self._device = None
         return len(self.objects) - 1
+
+    def add_instanced_mesh(
+        self,
+        name: str,
+        mesh: Mesh,
+        mat_index: int,
+        transforms,
+        build_option: BuildOption = BuildOption.SAH_SPLIT_INTERVALS,
+    ) -> int:
+        """One BLAS, many placements: `transforms` is (I, 4, 4) object-to-
+        world matrices.  Instances are gathered under a TLAS (the feature
+        the reference lists as planned, README.md:12-16).  Instanced
+        meshes cannot be NEE light sources in this version."""
+        b = bvhlib.build(
+            mesh.positions, mesh.normals, mesh.indices, build_option,
+            max_leaf_size=DEVICE_MAX_LEAF,
+        )
+        self.objects.append(
+            SceneObject(
+                name, mat_index, PRIM_MESH, bvh=b, build_option=build_option,
+                instances=np.asarray(transforms, np.float32).reshape(-1, 4, 4),
+            )
+        )
+        self._device = None
+        return len(self.objects) - 1
+
+    def set_instance_transform(self, obj_index: int, instance_index: int, transform) -> None:
+        """Move one instance (animation); the next device snapshot refits
+        the TLAS over the existing BLAS (BVH refit -- no mesh rebuild)."""
+        obj = self.objects[obj_index]
+        if obj.instances is None:
+            except_error("Scene", "object {} has no instances", obj.name)
+        obj.instances[instance_index] = np.asarray(transform, np.float32)
+        self._device = None
 
     def add_sphere(self, name: str, center, radius: float, mat_index: int) -> int:
         self.objects.append(
@@ -202,6 +316,14 @@ class Scene:
         sph = {k: [] for k in ("center", "radius", "obj")}
         pln = {k: [] for k in ("point", "normal", "obj")}
 
+        inst_inv_l, inst_nrm_l, inst_root_l, inst_obj_l = [], [], [], []
+        inst_aabb_min, inst_aabb_max = [], []
+        has_instances = any(
+            o.kind == PRIM_MESH and o.instances is not None for o in self.objects
+        )
+        if has_instances and not self.use_wide:
+            except_error("Scene", "instanced meshes require use_wide=True")
+
         for oi, obj in enumerate(self.objects):
             if obj.kind == PRIM_MESH:
                 b = obj.bvh
@@ -214,11 +336,16 @@ class Scene:
                 tris.append(traverse.pack_tris(b.tri_v0, b.tri_v1, b.tri_v2))
                 tnrm.append(b.tri_normal)
                 tobj.append(np.full(b.num_triangles, oi, i32))
-                roots.append(node_off)
-                mesh_tri_range[oi] = (tri_off, b.num_triangles, b.total_area)
+                if obj.instances is None:
+                    roots.append(node_off)
+                    mesh_tri_range[oi] = (tri_off, b.num_triangles, b.total_area)
+                elif oi in self.light_indices:
+                    except_error("Scene", "instanced mesh '{}' cannot be a light", obj.name)
 
                 if self.use_wide:
-                    w = bvh8lib.collapse(b)
+                    if obj._wide_cache is None or obj._wide_cache[0] is not b:
+                        obj._wide_cache = (b, bvh8lib.collapse(b))
+                    w = obj._wide_cache[1]
                     wrow = w.nodes.copy()
                     cidx = wrow[:, 48:56].view(i32)
                     ccnt = wrow[:, 56:64].view(i32)
@@ -227,7 +354,22 @@ class Scene:
                     wnodes.append(wrow)
                     wtris.append(w.tris9)
                     wleaf.append(w.leaf_tri_id + tri_off)  # original GLOBAL id
-                    wroots.append(wnode_off)
+                    if obj.instances is None:
+                        wroots.append(wnode_off)
+                    else:
+                        for m4 in obj.instances:
+                            inv = np.linalg.inv(np.asarray(m4, np.float64))
+                            inst_inv_l.append(inv[:3, :].astype(f32).reshape(12))
+                            inst_nrm_l.append(
+                                inv[:3, :3].T.astype(f32).reshape(9)
+                            )
+                            inst_root_l.append(wnode_off)
+                            inst_obj_l.append(oi)
+                            amin, amax = _instance_world_aabb(
+                                b.nodes_min[0], b.nodes_max[0], np.asarray(m4, f32)
+                            )
+                            inst_aabb_min.append(amin)
+                            inst_aabb_max.append(amax)
                     wnode_off += w.num_nodes
                     wtri_off += len(w.tris9)
                     wdepth = max(wdepth, w.max_depth)
@@ -279,9 +421,26 @@ class Scene:
                     obj.name,
                 )
 
+        num_instances = len(inst_obj_l)
+        tlas_depth = 0
+        if num_instances:
+            tlas_rows, tlas_depth = _build_tlas_rows(
+                np.stack(inst_aabb_min), np.stack(inst_aabb_max)
+            )
+            cidx = tlas_rows[:, 48:56].view(i32)
+            ccnt = tlas_rows[:, 56:64].view(i32)
+            cidx[ccnt == 0] += wnode_off
+            wnodes.append(tlas_rows)
+            wroots.append(wnode_off)
+            wnode_off += len(tlas_rows)
+
         use_wide = self.use_wide and len(wnodes) > 0
-        # worst-case stack: 7 pushes per level of the deepest wide tree
-        wstack = min(64, 7 * (wdepth + 1) + max(len(wroots), 1)) if use_wide else 48
+        # worst-case stack: 7 pushes per level of TLAS + deepest wide tree
+        wstack = (
+            min(64, 7 * (wdepth + tlas_depth + 2) + max(len(wroots), 1))
+            if use_wide
+            else 48
+        )
 
         return DeviceScene(
             nodes8=cat(nodes, 8),
@@ -309,11 +468,22 @@ class Scene:
             light_tri_start=jnp.asarray(l_tri_start),
             light_tri_count=jnp.asarray(l_tri_count),
             light_half_area=jnp.asarray(l_half_area),
+            inst_inv=(
+                jnp.asarray(np.stack(inst_inv_l)) if num_instances
+                else jnp.zeros((0, 12), f32)
+            ),
+            inst_nrm=(
+                jnp.asarray(np.stack(inst_nrm_l)) if num_instances
+                else jnp.zeros((0, 9), f32)
+            ),
+            inst_blas_root=jnp.asarray(np.asarray(inst_root_l, i32)),
+            inst_obj=jnp.asarray(np.asarray(inst_obj_l, i32)),
             roots=tuple(roots),
             wroots=tuple(wroots),
             num_lights=L,
             use_wide=use_wide,
             wstack_depth=wstack,
+            num_instances=num_instances,
         )
 
 
@@ -332,16 +502,30 @@ def intersect_scene(
     prim = jnp.full((n,), -1, jnp.int32)
     depth = jnp.zeros((n,), jnp.int32)
 
+    inst = jnp.full((n,), -1, jnp.int32)
     if dev.use_wide and dev.wroots:
         from cpugpupathtracing_tpu.ops import traverse_wide
 
-        t, tri, depth = traverse_wide.traverse8(
+        t, tri, depth, hit_iid = traverse_wide.traverse8(
             origin, direction, t_init, dev.wnodes, dev.wtris9, dev.wleaf_id,
             dev.wroots, any_hit=any_hit, active=active,
             stack_depth=dev.wstack_depth,
+            inst_inv=dev.inst_inv if dev.num_instances else None,
+            inst_blas_root=dev.inst_blas_root if dev.num_instances else None,
         )
         mesh_hit = tri >= 0
-        obj = jnp.where(mesh_hit, dev.tri_obj[jnp.maximum(tri, 0)], obj)
+        inst = jnp.where(mesh_hit, hit_iid, inst)
+        obj = jnp.where(
+            mesh_hit,
+            jnp.where(
+                hit_iid >= 0,
+                dev.inst_obj[jnp.maximum(hit_iid, 0)]
+                if dev.num_instances
+                else -1,
+                dev.tri_obj[jnp.maximum(tri, 0)],
+            ),
+            obj,
+        )
         prim = jnp.where(mesh_hit, tri, prim)
     elif dev.roots:
         t, tri, depth = traverse.traverse(
@@ -380,7 +564,7 @@ def intersect_scene(
         kind = jnp.where(closer, PRIM_PLANE, kind)
         prim = jnp.where(closer, j.astype(jnp.int32), prim)
 
-    return Hit(t=t, obj=obj, kind=kind, prim=prim, bvh_depth=depth)
+    return Hit(t=t, obj=obj, kind=kind, prim=prim, bvh_depth=depth, inst=inst)
 
 
 def hit_surface(dev: DeviceScene, hit: Hit, origin, direction):
@@ -391,6 +575,11 @@ def hit_surface(dev: DeviceScene, hit: Hit, origin, direction):
     pc = jnp.maximum(hit.prim, 0)
     n_mesh = dev.tri_normal[jnp.minimum(pc, dev.tri_normal.shape[0] - 1)] \
         if dev.tri_normal.shape[0] > 0 else jnp.zeros_like(pos)
+    if dev.num_instances:
+        # instanced hits: world normal = normalize(inv(M)^T @ n_object)
+        nm = dev.inst_nrm[jnp.maximum(hit.inst, 0)].reshape(-1, 3, 3)
+        n_world = normalize(jnp.einsum("nij,nj->ni", nm, n_mesh))
+        n_mesh = jnp.where((hit.inst >= 0)[:, None], n_world, n_mesh)
     if dev.sph_center.shape[0] > 0:
         sc = jnp.minimum(pc, dev.sph_center.shape[0] - 1)
         n_sph = normalize(pos - dev.sph_center[sc])

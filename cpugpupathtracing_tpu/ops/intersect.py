@@ -86,11 +86,23 @@ def intersect_aabb(origin, inv_direction, ray_t, bmin, bmax):
     Hit predicate tmax >= tmin and tmin < ray.t and tmax > 0, identical to
     IntersectAABB / IntersectAABB_SSE (Source/Primitives.cpp:116-146).
     `ray_t` is the ray's current nearest-hit distance (for the early-out).
+
+    Robustness: a zero direction component with the origin exactly on the
+    slab yields 0 * inf = NaN; jnp.minimum/maximum would propagate it and
+    silently cull the box (rays leaking through geometry).  NaN slabs are
+    treated as non-restricting (the boundary-grazing ray is IN the slab),
+    which is conservative -- the triangle test adjudicates.  (The
+    reference's SSE path gets a different, accidental answer from
+    _mm_min_ps NaN semantics; ours never wrongly culls.)
     """
     t1 = (bmin - origin) * inv_direction
     t2 = (bmax - origin) * inv_direction
-    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
-    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    lo = jnp.minimum(t1, t2)
+    hi = jnp.maximum(t1, t2)
+    lo = jnp.where(jnp.isnan(lo), -jnp.inf, lo)
+    hi = jnp.where(jnp.isnan(hi), jnp.inf, hi)
+    tmin = jnp.max(lo, axis=-1)
+    tmax = jnp.min(hi, axis=-1)
     hit = (tmax >= tmin) & (tmin < ray_t) & (tmax > 0.0)
     return jnp.where(hit, tmin, AABB_MISS)
 

@@ -37,6 +37,15 @@ DONE = 0x7FFFFFFF  # python int: a module-level jnp scalar would be captured
 LEAF_MAX = 4
 WIDTH = 8
 
+# child_count codes in a wide node row (models/bvh8.py):
+#   > 0 tri-leaf, 0 interior, -1 empty, -2 instance (TLAS leaf; child_index
+#   is the instance id).  Stack entries encode: e >= 0 interior node row;
+#   e < 0 with low 3 bits != 0: tri leaf (start, count); low 3 bits == 0:
+#   instance entry (id in the upper bits).
+CCNT_INTERIOR = 0
+CCNT_EMPTY = -1
+CCNT_INSTANCE = -2
+
 
 def _i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
@@ -44,6 +53,10 @@ def _i32(x):
 
 def _encode_leaf(start, count):
     return -((start << 3) | count) - 1
+
+
+def _encode_instance(iid):
+    return -(iid << 3) - 1  # count bits 0 => instance
 
 
 def _decode_leaf(e):
@@ -64,12 +77,22 @@ def traverse8(
     stack_depth: int = 24,
     any_hit: bool = False,
     count_depth: bool = True,
+    inst_inv=None,        # (I, 12) f32 inverse transforms, rows of 3x4
+    inst_blas_root=None,  # (I,) i32 BLAS root row per instance
 ):
-    """Returns (t, tri_idx original ids, depth8) like traverse()."""
+    """Returns (t, tri_idx original ids, depth8, hit_instance_id).
+
+    With inst_inv/inst_blas_root given, TLAS leaves (child_count == -2)
+    switch the lane into the referenced instance: the ray is tested in
+    object space (origin and UNNORMALIZED direction through the inverse
+    transform, so t stays the world-space parameter) until the lane pops
+    back to an entry pushed outside the instance.  hit_instance_id is -1
+    for world-space (non-instanced) hits.
+    """
     n = origin.shape[0]
     num_tris = tris9.shape[0]
-    inv_dir = 1.0 / direction
     roots = tuple(int(r) for r in roots)
+    instanced = inst_inv is not None
 
     stack = jnp.zeros((n, stack_depth), jnp.int32)
     for i, r in enumerate(roots[1:]):
@@ -88,7 +111,24 @@ def traverse8(
         hit=jnp.full((n,), -1, jnp.int32),
         depth=jnp.zeros((n,), jnp.int32),
     )
+    if instanced:
+        state["iid"] = jnp.full((n,), -1, jnp.int32)
+        state["stack_iid"] = jnp.full((n, stack_depth), -1, jnp.int32)
+        state["hit_iid"] = jnp.full((n,), -1, jnp.int32)
     rows_lane = jnp.arange(n, dtype=jnp.int32)
+
+    def local_ray(iid):
+        """Object-space ray for the lane's current instance (identity
+        for iid < 0); direction left unnormalized so t is world t."""
+        if not instanced:
+            return origin, direction, 1.0 / direction
+        m = inst_inv[jnp.maximum(iid, 0)].reshape(n, 3, 4)
+        o = jnp.einsum("nij,nj->ni", m[:, :, :3], origin) + m[:, :, 3]
+        d = jnp.einsum("nij,nj->ni", m[:, :, :3], direction)
+        w = (iid >= 0)[:, None]
+        o = jnp.where(w, o, origin)
+        d = jnp.where(w, d, direction)
+        return o, d, 1.0 / d
 
     def cond(s):
         return jnp.any(s["entry"] != DONE)
@@ -96,9 +136,25 @@ def traverse8(
     def body(s):
         entry, stack, sptr = s["entry"], s["stack"], s["sptr"]
         t, hit, depth = s["t"], s["hit"], s["depth"]
+        iid = s["iid"] if instanced else None
         lane_active = entry != DONE
+        neg = lane_active & (entry < 0)
+        if instanced:
+            decoded = -entry - 1
+            is_inst = neg & ((decoded & 7) == 0)
+            is_leaf = neg & ((decoded & 7) != 0)
+        else:
+            is_inst = jnp.zeros_like(neg)
+            is_leaf = neg
         is_interior = lane_active & (entry >= 0)
-        is_leaf = lane_active & (entry < 0)
+
+        o_loc, d_loc, inv_loc = local_ray(iid) if instanced else local_ray(None)
+
+        # ---- instance entry: switch into the BLAS ----
+        if instanced:
+            new_iid_val = (-entry - 1) >> 3
+            iid_next_if_inst = jnp.where(is_inst, new_iid_val, iid)
+            blas_entry = inst_blas_root[jnp.clip(new_iid_val, 0, inst_blas_root.shape[0] - 1)]
 
         # ---- interior: one row, 8 children ----
         node_c = jnp.clip(jnp.where(is_interior, entry, 0), 0, nodes.shape[0] - 1)
@@ -107,18 +163,28 @@ def traverse8(
         cidx = _i32(row[:, 48:56])                           # (N, 8)
         ccnt = _i32(row[:, 56:64])                           # (N, 8)
 
-        t1 = (bounds[..., 0:3] - origin[:, None, :]) * inv_dir[:, None, :]
-        t2 = (bounds[..., 3:6] - origin[:, None, :]) * inv_dir[:, None, :]
-        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)         # (N, 8)
-        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        t1 = (bounds[..., 0:3] - o_loc[:, None, :]) * inv_loc[:, None, :]
+        t2 = (bounds[..., 3:6] - o_loc[:, None, :]) * inv_loc[:, None, :]
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        # robust slab: 0*inf NaN (origin exactly on a slab, parallel ray)
+        # must not cull the box -- treat as non-restricting
+        lo = jnp.where(jnp.isnan(lo), -jnp.inf, lo)
+        hi = jnp.where(jnp.isnan(hi), jnp.inf, hi)
+        tmin = jnp.max(lo, axis=-1)                          # (N, 8)
+        tmax = jnp.min(hi, axis=-1)
         child_hit = (
-            (tmax >= tmin) & (tmin < t[:, None]) & (tmax > 0.0) & (ccnt != -1)
+            (tmax >= tmin) & (tmin < t[:, None]) & (tmax > 0.0)
+            & (ccnt != CCNT_EMPTY)
         )
         dist = jnp.where(child_hit, tmin, jnp.float32(AABB_MISS))
 
-        child_entry = jnp.where(
-            ccnt > 0, _encode_leaf(cidx, ccnt), cidx
-        ).astype(jnp.int32)
+        child_entry = jnp.where(ccnt > 0, _encode_leaf(cidx, ccnt), cidx)
+        if instanced:
+            child_entry = jnp.where(
+                ccnt == CCNT_INSTANCE, _encode_instance(cidx), child_entry
+            )
+        child_entry = child_entry.astype(jnp.int32)
 
         # sort children by distance DESCENDING; valid ones come last
         order = jnp.argsort(-dist, axis=1)                   # far..near
@@ -130,8 +196,6 @@ def traverse8(
         # nearest child (last valid in sorted order) becomes the current
         # entry; the other n_hit-1 are pushed far-to-near.
         nearest = entry_s[:, WIDTH - 1]
-        # push slots: sorted child j (valid, not nearest) goes to
-        # stack[sptr + (# valid among positions < j)]
         prefix = jnp.cumsum(valid_s.astype(jnp.int32), axis=1) - 1  # rank
         is_push = valid_s & (prefix < (n_hit - 1)[:, None]) & is_interior[:, None]
         # non-pushed slots target stack_depth (out of bounds -> dropped);
@@ -140,11 +204,19 @@ def traverse8(
         stack = stack.at[rows_lane[:, None], slot].set(
             jnp.where(is_push, entry_s, 0), mode="drop"
         )
+        if instanced:
+            stack_iid = s["stack_iid"].at[rows_lane[:, None], slot].set(
+                jnp.where(is_push, iid[:, None], -1), mode="drop"
+            )
         sptr_int = sptr + jnp.where(is_interior, jnp.maximum(n_hit - 1, 0), 0)
         descend = is_interior & (n_hit > 0)
 
         # ---- leaf: up to LEAF_MAX contiguous triangles ----
-        start, count = _decode_leaf(jnp.where(is_leaf, entry, -1))
+        if instanced:
+            start = jnp.where(is_leaf, (-entry - 1) >> 3, -1)
+            count = jnp.where(is_leaf, (-entry - 1) & 7, 0)
+        else:
+            start, count = _decode_leaf(jnp.where(is_leaf, entry, -1))
         k = start[:, None] + jnp.arange(LEAF_MAX, dtype=jnp.int32)[None, :]
         k_ok = is_leaf[:, None] & (
             jnp.arange(LEAF_MAX, dtype=jnp.int32)[None, :] < count[:, None]
@@ -152,8 +224,8 @@ def traverse8(
         kc = jnp.clip(k, 0, max(num_tris - 1, 0))
         trows = tris9[kc]                                    # (N, 4, 9)
         tvalid, tt = intersect_triangle(
-            origin[:, None, :],
-            direction[:, None, :],
+            o_loc[:, None, :],
+            d_loc[:, None, :],
             trows[..., 0:3],
             trows[..., 3:6],
             trows[..., 6:9],
@@ -167,6 +239,8 @@ def traverse8(
         hit = jnp.where(
             chunk_hit, jnp.take_along_axis(kc, j[:, None], axis=1)[:, 0], hit
         )
+        if instanced:
+            hit_iid = jnp.where(chunk_hit, iid, s["hit_iid"])
 
         # ---- next entry ----
         finished = is_leaf | (is_interior & (n_hit == 0))
@@ -178,12 +252,19 @@ def traverse8(
         entry_next = jnp.where(
             descend, nearest, jnp.where(want_pop & can_pop, top, DONE)
         )
+        if instanced:
+            top_iid = stack_iid[rows_lane, jnp.maximum(sptr_int - 1, 0)]
+            iid_next = jnp.where(
+                descend, iid, jnp.where(want_pop & can_pop, top_iid, iid)
+            )
+            iid_next = jnp.where(is_inst, iid_next_if_inst, iid_next)
+            entry_next = jnp.where(is_inst, blas_entry, entry_next)
         entry_next = jnp.where(lane_active, entry_next, DONE)
         if any_hit:
             entry_next = jnp.where(finished_now_hit, DONE, entry_next)
         sptr_next = jnp.where(lane_active & want_pop & can_pop, sptr_int - 1, sptr_int)
 
-        return dict(
+        out = dict(
             entry=entry_next,
             stack=stack,
             sptr=sptr_next,
@@ -191,6 +272,11 @@ def traverse8(
             hit=hit,
             depth=jnp.where(descend & count_depth, depth + 1, depth),
         )
+        if instanced:
+            out["iid"] = iid_next
+            out["stack_iid"] = stack_iid
+            out["hit_iid"] = hit_iid
+        return out
 
     out = jax.lax.while_loop(cond, body, state)
     hit_leaf = out["hit"]
@@ -199,4 +285,5 @@ def traverse8(
         leaf_tri_id[jnp.clip(hit_leaf, 0, max(num_tris - 1, 0))],
         -1,
     )
-    return out["t"], hit_orig, out["depth"]
+    hit_iid = out["hit_iid"] if instanced else jnp.full((n,), -1, jnp.int32)
+    return out["t"], hit_orig, out["depth"], hit_iid

@@ -72,7 +72,7 @@ def test_traverse8_matches_brute_force(option, rng_np):
     b, w = _build8(m, option)
     o, d = _random_rays(rng_np, 512)
     t_init = jnp.full((512,), RAY_TMAX, jnp.float32)
-    t, hit, depth = traverse_wide.traverse8(
+    t, hit, depth, _ = traverse_wide.traverse8(
         o, d, t_init, jnp.asarray(w.nodes), jnp.asarray(w.tris9),
         jnp.asarray(w.leaf_tri_id), (0,), stack_depth=7 * (w.max_depth + 1) + 1,
     )
@@ -93,12 +93,12 @@ def test_traverse8_any_hit_and_tmax(rng_np):
     o = jnp.tile(jnp.array([[0.11, 0.07, 5.0]]), (2, 1))
     d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (2, 1))
     t_init = jnp.array([3.0, 10.0], jnp.float32)
-    t, hit, _ = traverse_wide.traverse8(o, d, t_init, *args, (0,))
+    t, hit, _, _ = traverse_wide.traverse8(o, d, t_init, *args, (0,))
     assert int(hit[0]) == -1 and int(hit[1]) >= 0
     o, d = _random_rays(rng_np, 128)
     tfull = jnp.full((128,), RAY_TMAX, jnp.float32)
-    _, h1, _ = traverse_wide.traverse8(o, d, tfull, *args, (0,))
-    _, h2, _ = traverse_wide.traverse8(o, d, tfull, *args, (0,), any_hit=True)
+    _, h1, _, _ = traverse_wide.traverse8(o, d, tfull, *args, (0,))
+    _, h2, _, _ = traverse_wide.traverse8(o, d, tfull, *args, (0,), any_hit=True)
     np.testing.assert_array_equal(np.asarray(h1) >= 0, np.asarray(h2) >= 0)
 
 
