@@ -64,6 +64,35 @@ def _decode_leaf(e):
     return v >> 3, v & 7
 
 
+# optimal 19-comparator sorting network for 8 inputs
+_SORT8_PAIRS = (
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7),
+    (1, 5), (2, 6), (3, 5), (2, 4),
+    (1, 2), (3, 4), (5, 6),
+)
+
+
+def _sort8_desc(dist, entry):
+    """Sort 8 (dist, entry) columns descending by dist.
+
+    jnp.argsort on (N, 8) lowers to a ~6 ms sort on TPU; this fixed
+    network is ~19 vectorized compare-exchanges (~0.05 ms).  Tie order
+    differs from a stable sort, which traversal correctness ignores.
+    """
+    d = [dist[:, i] for i in range(WIDTH)]
+    e = [entry[:, i] for i in range(WIDTH)]
+    for i, j in _SORT8_PAIRS:
+        swap = d[i] < d[j]
+        di = jnp.where(swap, d[j], d[i])
+        dj = jnp.where(swap, d[i], d[j])
+        ei = jnp.where(swap, e[j], e[i])
+        ej = jnp.where(swap, e[i], e[j])
+        d[i], d[j], e[i], e[j] = di, dj, ei, ej
+    return jnp.stack(d, axis=1), jnp.stack(e, axis=1)
+
+
 def traverse8(
     origin,
     direction,
@@ -115,7 +144,8 @@ def traverse8(
         state["iid"] = jnp.full((n,), -1, jnp.int32)
         state["stack_iid"] = jnp.full((n, stack_depth), -1, jnp.int32)
         state["hit_iid"] = jnp.full((n,), -1, jnp.int32)
-    rows_lane = jnp.arange(n, dtype=jnp.int32)
+    # (1, S) lane indices for one-hot stack addressing
+    lane_idx = jnp.arange(stack_depth, dtype=jnp.int32)[None, :]
 
     def local_ray(iid):
         """Object-space ray for the lane's current instance (identity
@@ -187,9 +217,7 @@ def traverse8(
         child_entry = child_entry.astype(jnp.int32)
 
         # sort children by distance DESCENDING; valid ones come last
-        order = jnp.argsort(-dist, axis=1)                   # far..near
-        dist_s = jnp.take_along_axis(dist, order, axis=1)
-        entry_s = jnp.take_along_axis(child_entry, order, axis=1)
+        dist_s, entry_s = _sort8_desc(dist, child_entry)     # far..near
         valid_s = dist_s != AABB_MISS
         n_hit = jnp.sum(valid_s, axis=1).astype(jnp.int32)   # (N,)
 
@@ -198,15 +226,19 @@ def traverse8(
         nearest = entry_s[:, WIDTH - 1]
         prefix = jnp.cumsum(valid_s.astype(jnp.int32), axis=1) - 1  # rank
         is_push = valid_s & (prefix < (n_hit - 1)[:, None]) & is_interior[:, None]
-        # non-pushed slots target stack_depth (out of bounds -> dropped);
-        # negative sentinels would wrap, not drop
-        slot = jnp.where(is_push, sptr[:, None] + prefix, stack_depth)
-        stack = stack.at[rows_lane[:, None], slot].set(
-            jnp.where(is_push, entry_s, 0), mode="drop"
+        # one-hot writes: per-lane dynamic scatter costs ~13 ms/step on
+        # TPU; a lane-index comparison against the (N, S) stack is pure
+        # vector work.  Pushed child k lands at lane index sptr + rank.
+        slot = jnp.where(is_push, sptr[:, None] + prefix, -1)   # (N, 8)
+        write = lane_idx[:, :, None] == slot[:, None, :]        # (N, S, 8)
+        write_any = jnp.any(write, axis=2)
+        write_val = jnp.sum(
+            jnp.where(write, entry_s[:, None, :], 0), axis=2
         )
+        stack = jnp.where(write_any, write_val, stack)
         if instanced:
-            stack_iid = s["stack_iid"].at[rows_lane[:, None], slot].set(
-                jnp.where(is_push, iid[:, None], -1), mode="drop"
+            stack_iid = jnp.where(
+                write_any, iid[:, None], s["stack_iid"]
             )
         sptr_int = sptr + jnp.where(is_interior, jnp.maximum(n_hit - 1, 0), 0)
         descend = is_interior & (n_hit > 0)
@@ -232,13 +264,15 @@ def traverse8(
         )
         tvalid = tvalid & k_ok & (tt < t[:, None])
         tt = jnp.where(tvalid, tt, jnp.inf)
-        j = jnp.argmin(tt, axis=1)
-        best_t = jnp.take_along_axis(tt, j[:, None], axis=1)[:, 0]
+        # min + equality select instead of argmin/take_along_axis (the
+        # latter lower to slow per-lane gathers on TPU)
+        best_t = jnp.min(tt, axis=1)
         chunk_hit = jnp.isfinite(best_t)
-        t = jnp.where(chunk_hit, best_t, t)
-        hit = jnp.where(
-            chunk_hit, jnp.take_along_axis(kc, j[:, None], axis=1)[:, 0], hit
+        kc_best = jnp.min(
+            jnp.where(tt == best_t[:, None], kc, jnp.int32(0x7FFFFFFF)), axis=1
         )
+        t = jnp.where(chunk_hit, best_t, t)
+        hit = jnp.where(chunk_hit, kc_best, hit)
         if instanced:
             hit_iid = jnp.where(chunk_hit, iid, s["hit_iid"])
 
@@ -248,12 +282,13 @@ def traverse8(
             finished_now_hit = is_leaf & chunk_hit
         want_pop = finished
         can_pop = sptr_int > 0
-        top = stack[rows_lane, jnp.maximum(sptr_int - 1, 0)]
+        top_mask = lane_idx == jnp.maximum(sptr_int - 1, 0)[:, None]
+        top = jnp.sum(jnp.where(top_mask, stack, 0), axis=1)
         entry_next = jnp.where(
             descend, nearest, jnp.where(want_pop & can_pop, top, DONE)
         )
         if instanced:
-            top_iid = stack_iid[rows_lane, jnp.maximum(sptr_int - 1, 0)]
+            top_iid = jnp.sum(jnp.where(top_mask, stack_iid, 0), axis=1)
             iid_next = jnp.where(
                 descend, iid, jnp.where(want_pop & can_pop, top_iid, iid)
             )

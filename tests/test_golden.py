@@ -1,0 +1,107 @@
+"""Golden-image regression at fixed seed (SURVEY.md section 4).
+
+Deterministic renders (fixed RNG streams, CPU backend) are pinned to
+stored golden framebuffers.  Any change to sampling, traversal order
+decisions that affect RNG consumption, or shading math shows up as a
+diff here; intentional changes regenerate via
+    python tests/test_golden.py regen
+"""
+
+import os
+import sys
+
+import numpy as np
+
+from cpugpupathtracing_tpu.config import (
+    CameraConfig,
+    RenderConfig,
+    RenderMode,
+    RenderSettings,
+)
+from cpugpupathtracing_tpu.models import materials as matlib, mesh as meshlib
+from cpugpupathtracing_tpu.models.renderer import Renderer
+from cpugpupathtracing_tpu.models.scene import Scene
+from cpugpupathtracing_tpu.models.whitted import make_whitted_scene
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _scene():
+    s = Scene()
+    white = s.add_material(matlib.Material.diffuse((0.9, 0.9, 0.9)))
+    blue = s.add_material(matlib.Material.diffuse((0.2, 0.2, 0.8)))
+    light = s.add_material(matlib.Material.light((1.0, 0.95, 0.8), 10.0))
+    glass = s.add_material(
+        matlib.Material.dielectric((1.0, 1.0, 1.0), 0.0, 1.0, (0.2, 0.8, 0.8), 1.517)
+    )
+    s.add_mesh("ico", meshlib.icosphere(radius=1.5, subdivisions=2), glass)
+    s.add_mesh("cube", meshlib.cube(center=(2.8, -0.5, -1.0), half=0.9), blue)
+    s.add_plane("floor", (0.0, -2.0, 0.0), (0.0, 1.0, 0.0), white)
+    li = s.add_sphere("light", (8.0, 9.0, 7.0), 4.0, light)
+    s.mark_light(li)
+    return s
+
+
+CASES = {
+    "advanced": RenderSettings(render_mode=RenderMode.ADVANCED),
+    "bruteforce": RenderSettings(render_mode=RenderMode.BRUTE_FORCE),
+    "comparison": RenderSettings(render_mode=RenderMode.COMPARISON),
+    "advanced_nonee_uniform": RenderSettings(
+        render_mode=RenderMode.ADVANCED,
+        next_event_estimation=False,
+        cosine_weighted_diffuse=False,
+    ),
+}
+
+
+def _render(name):
+    settings = CASES[name]
+    r = Renderer(
+        _scene(),
+        camera=CameraConfig(pos=(0.0, 0.5, 7.0)),
+        config=RenderConfig(width=96, height=54, seed=0x12345678),
+        settings=settings,
+    )
+    r.render(3)
+    return r.image_u32()
+
+
+def _whitted_render():
+    r = Renderer(
+        make_whitted_scene(),
+        camera=CameraConfig(pos=(0.0, 0.5, 8.0)),
+        config=RenderConfig(width=96, height=54),
+        settings=RenderSettings(render_mode=RenderMode.WHITTED, max_ray_depth=4),
+    )
+    r.render(2)
+    return r.image_u32()
+
+
+def _all():
+    out = {name: _render(name) for name in CASES}
+    out["whitted"] = _whitted_render()
+    return out
+
+
+def test_goldens():
+    import pytest
+
+    path = os.path.join(GOLDEN_DIR, "frames.npz")
+    if not os.path.exists(path):
+        pytest.skip("no goldens recorded; run: python tests/test_golden.py regen")
+    stored = np.load(path)
+    for name, img in _all().items():
+        assert name in stored, f"golden for '{name}' missing; regenerate"
+        np.testing.assert_array_equal(
+            img, stored[name],
+            err_msg=f"golden mismatch for '{name}' -- sampling/shading changed",
+        )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez_compressed(os.path.join(GOLDEN_DIR, "frames.npz"), **_all())
+        print("goldens regenerated")
+    else:
+        print("usage: python tests/test_golden.py regen")
