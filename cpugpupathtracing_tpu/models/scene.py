@@ -79,10 +79,15 @@ class DeviceScene:
     wnodes: jnp.ndarray = None      # (B8, 64) f32 packed wide rows
     wtris9: jnp.ndarray = None      # (TW, 9) f32 leaf order
     wleaf_id: jnp.ndarray = None    # (TW,) i32 leaf order -> original id
+    # skip-link (threaded) BVH: the stackless TPU fast path
+    snodes12: jnp.ndarray = None    # (BS, 12) threaded rows
+    stris9: jnp.ndarray = None      # (T, 9) f32 perm (leaf) order
+    sleaf_id: jnp.ndarray = None    # (T,) i32 perm order -> original id
     # instances (TLAS): object-to-world transforms baked as inverses
     inst_inv: jnp.ndarray = None        # (I, 12) f32 world->object, 3x4 rows
     inst_nrm: jnp.ndarray = None        # (I, 9) f32 normal matrix (inv^T)
     inst_blas_root: jnp.ndarray = None  # (I,) i32 wide-node row of the BLAS root
+    inst_blas_root_skip: jnp.ndarray = None  # (I,) i32 skip-node row of the BLAS root
     inst_obj: jnp.ndarray = None        # (I,) i32 owning object
     # static
     roots: tuple = dataclasses.field(metadata=dict(static=True), default=())
@@ -91,6 +96,8 @@ class DeviceScene:
     use_wide: bool = dataclasses.field(metadata=dict(static=True), default=True)
     wstack_depth: int = dataclasses.field(metadata=dict(static=True), default=48)
     num_instances: int = dataclasses.field(metadata=dict(static=True), default=0)
+    traversal: str = dataclasses.field(metadata=dict(static=True), default="skip")
+    sroot: int = dataclasses.field(metadata=dict(static=True), default=-1)
 
     @property
     def num_triangles(self) -> int:
@@ -196,11 +203,16 @@ def _instance_world_aabb(nmin, nmax, m4):
 class Scene:
     """Mutable host scene; `device()` returns a cached immutable snapshot."""
 
-    def __init__(self, use_wide: bool = True):
+    def __init__(self, use_wide: bool = True, traversal: str = "skip"):
+        """traversal: "skip" (stackless threaded BVH, the TPU fast path),
+        "wide" (8-wide ordered stack traversal), or "binary" (the
+        reference-shaped oracle).  use_wide=False forces "binary"
+        (back-compat)."""
         self.objects: list[SceneObject] = []
         self.materials: list[matlib.Material] = []
         self.light_indices: list[int] = []
-        self.use_wide = use_wide  # 8-wide BVH traversal (binary = oracle)
+        self.use_wide = use_wide
+        self.traversal = traversal if use_wide else "binary"
         self._device: DeviceScene | None = None
 
     # -- construction (Source/Main.cpp:779-819 equivalents) --
@@ -434,6 +446,58 @@ class Scene:
             wroots.append(wnode_off)
             wnode_off += len(tlas_rows)
 
+        # ---- skip-link (threaded) arrays: chained world objects + TLAS ----
+        from cpugpupathtracing_tpu.ops import traverse_skip as skiplib
+
+        mesh_objs = [
+            (oi, o) for oi, o in enumerate(self.objects) if o.kind == PRIM_MESH
+        ]
+        snode_counts = [o.bvh.num_nodes for _, o in mesh_objs]
+        s_offsets = np.concatenate([[0], np.cumsum(snode_counts)]).astype(int)
+        tlas_off = int(s_offsets[-1])
+        world_roots = [
+            s_offsets[k] for k, (_, o) in enumerate(mesh_objs) if o.instances is None
+        ]
+        chain_tail = tlas_off if num_instances else skiplib.NEXT_DONE
+        snodes_l = []
+        s_tri_off = 0
+        s_inst_root = []
+        widx = 0
+        for k, (oi, o) in enumerate(mesh_objs):
+            if o.instances is None:
+                widx += 1
+                end_next = (
+                    world_roots[widx] if widx < len(world_roots) else chain_tail
+                )
+            else:
+                end_next = skiplib.NEXT_RETURN
+                for _ in range(len(o.instances)):
+                    s_inst_root.append(int(s_offsets[k]))
+            snodes_l.append(
+                skiplib.pack_skip_nodes(
+                    o.bvh, s_tri_off, int(s_offsets[k]), int(end_next)
+                )
+            )
+            s_tri_off += o.bvh.num_triangles
+        if num_instances:
+            snodes_l.append(
+                skiplib.pack_skip_tlas(
+                    np.stack(inst_aabb_min), np.stack(inst_aabb_max),
+                    np.arange(num_instances), skiplib.NEXT_DONE, tlas_off,
+                )
+            )
+        sroot = int(world_roots[0]) if world_roots else (tlas_off if num_instances else -1)
+        # perm-ordered triangles: leaf ranges contiguous; ids map back
+        s_perm_l, s_tris_l = [], []
+        off = 0
+        for _, o in mesh_objs:
+            b = o.bvh
+            perm = b.tri_indices
+            s_tris_l.append(traverse.pack_tris(
+                b.tri_v0[perm], b.tri_v1[perm], b.tri_v2[perm]))
+            s_perm_l.append(perm.astype(i32) + off)
+            off += b.num_triangles
+
         use_wide = self.use_wide and len(wnodes) > 0
         # worst-case stack: 7 pushes per level of TLAS + deepest wide tree
         wstack = (
@@ -451,6 +515,9 @@ class Scene:
             wnodes=cat(wnodes, 64),
             wtris9=cat(wtris, 9),
             wleaf_id=cat(wleaf, 1, i32),
+            snodes12=cat(snodes_l, 12),
+            stris9=cat(s_tris_l, 9),
+            sleaf_id=cat(s_perm_l, 1, i32),
             sph_center=jnp.asarray(np.asarray(sph["center"], f32).reshape(-1, 3)),
             sph_radius=jnp.asarray(radius),
             sph_radius_sq=jnp.asarray(radius * radius),
@@ -477,6 +544,7 @@ class Scene:
                 else jnp.zeros((0, 9), f32)
             ),
             inst_blas_root=jnp.asarray(np.asarray(inst_root_l, i32)),
+            inst_blas_root_skip=jnp.asarray(np.asarray(s_inst_root, i32)),
             inst_obj=jnp.asarray(np.asarray(inst_obj_l, i32)),
             roots=tuple(roots),
             wroots=tuple(wroots),
@@ -484,6 +552,8 @@ class Scene:
             use_wide=use_wide,
             wstack_depth=wstack,
             num_instances=num_instances,
+            traversal=self.traversal if use_wide else "binary",
+            sroot=sroot,
         )
 
 
@@ -503,7 +573,30 @@ def intersect_scene(
     depth = jnp.zeros((n,), jnp.int32)
 
     inst = jnp.full((n,), -1, jnp.int32)
-    if dev.use_wide and dev.wroots:
+    if dev.use_wide and dev.traversal == "skip" and dev.sroot >= 0:
+        from cpugpupathtracing_tpu.ops import traverse_skip as skiplib
+
+        t, tri, depth, hit_iid = skiplib.traverse_skip(
+            origin, direction, t_init, dev.snodes12, dev.stris9, dev.sleaf_id,
+            dev.sroot, any_hit=any_hit, active=active,
+            inst_inv=dev.inst_inv if dev.num_instances else None,
+            inst_blas_root=dev.inst_blas_root_skip if dev.num_instances else None,
+        )
+        mesh_hit = tri >= 0
+        inst = jnp.where(mesh_hit, hit_iid, inst)
+        obj = jnp.where(
+            mesh_hit,
+            jnp.where(
+                hit_iid >= 0,
+                dev.inst_obj[jnp.maximum(hit_iid, 0)]
+                if dev.num_instances
+                else -1,
+                dev.tri_obj[jnp.maximum(tri, 0)],
+            ),
+            obj,
+        )
+        prim = jnp.where(mesh_hit, tri, prim)
+    elif dev.use_wide and dev.wroots:
         from cpugpupathtracing_tpu.ops import traverse_wide
 
         t, tri, depth, hit_iid = traverse_wide.traverse8(

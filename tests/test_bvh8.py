@@ -125,3 +125,29 @@ def test_scene_wide_matches_binary_image(rng_np):
     np.testing.assert_allclose(np.asarray(hw.t), np.asarray(hb.t), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(hw.obj), np.asarray(hb.obj))
     np.testing.assert_array_equal(np.asarray(hw.kind), np.asarray(hb.kind))
+
+
+def test_scene_skip_matches_binary_image(rng_np):
+    """Skip-link traversal (the stackless TPU fast path) returns the same
+    hits as binary and wide."""
+    from cpugpupathtracing_tpu.models import materials as matlib
+    from cpugpupathtracing_tpu.models.scene import Scene, intersect_scene
+
+    def build(traversal):
+        s = Scene(traversal=traversal) if traversal != "binary" else Scene(use_wide=False)
+        grey = s.add_material(matlib.Material.diffuse((0.5, 0.5, 0.5)))
+        s.add_mesh("ico", mesh.icosphere(subdivisions=2), grey)
+        s.add_mesh("cube", mesh.cube(center=(2.5, 0, 0)), grey)
+        s.add_sphere("ball", (-2.5, 0.0, 0.0), 1.0, grey)
+        return s.device()
+
+    dev_s, dev_w, dev_b = build("skip"), build("wide"), build("binary")
+    assert dev_s.traversal == "skip" and dev_w.traversal == "wide"
+    o, d = _random_rays(rng_np, 1024, spread=5.0)
+    t_init = jnp.full((1024,), RAY_TMAX, jnp.float32)
+    hs = intersect_scene(dev_s, o, d, t_init)
+    hw = intersect_scene(dev_w, o, d, t_init)
+    hb = intersect_scene(dev_b, o, d, t_init)
+    for h in (hw, hb):
+        np.testing.assert_allclose(np.asarray(hs.t), np.asarray(h.t), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(hs.obj), np.asarray(h.obj))

@@ -46,9 +46,9 @@ def _rays(rng_np, n):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-def _scenes():
+def _scenes(traversal="skip"):
     base = meshlib.icosphere(subdivisions=2)
-    inst = Scene()
+    inst = Scene(traversal=traversal)
     grey = inst.add_material(matlib.Material.diffuse((0.5, 0.5, 0.5)))
     inst.add_instanced_mesh("spheres", base, grey, TRANSFORMS)
 
@@ -61,9 +61,13 @@ def _scenes():
     return inst, baked
 
 
+import pytest
+
+
 class TestInstancing:
-    def test_hits_match_baked_oracle(self, rng_np):
-        inst, baked = _scenes()
+    @pytest.mark.parametrize("traversal", ["skip", "wide"])
+    def test_hits_match_baked_oracle(self, rng_np, traversal):
+        inst, baked = _scenes(traversal)
         di, db = inst.device(), baked.device()
         assert di.num_instances == 4
         o, d = _rays(rng_np, 1024)
