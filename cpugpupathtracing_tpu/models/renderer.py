@@ -239,6 +239,28 @@ class Renderer:
             return 0.0
         return self.total_energy_received / self.num_accumulated
 
+    def metrics(self) -> dict:
+        """Every stats-panel number (Main.cpp:841-857) as a queryable
+        dict, plus derived Mrays/s."""
+        dt_s = self.stats.frame_time_ms / 1000.0
+        return {
+            "fps": self.stats.fps,
+            "frame_time_ms": self.stats.frame_time_ms,
+            "traced_rays": self.stats.traced_rays,
+            "total_traced_rays": self.stats.total_traced_rays,
+            "mrays_per_s": (
+                self.stats.traced_rays / dt_s / 1e6 if dt_s > 0 else 0.0
+            ),
+            "accumulated_frames": self.num_accumulated,
+            "mean_energy": self.mean_energy,
+            "paused": self.pause_rendering,
+        }
+
+    def profile(self, log_dir: str):
+        """Context manager tracing frames with jax.profiler (xprof);
+        the TPU-native stand-in for the reference's frame timer."""
+        return jax.profiler.trace(log_dir)
+
     # ---- invalidation (ResetAccumulator, Main.cpp:238-243) ----
 
     def reset(self) -> None:
