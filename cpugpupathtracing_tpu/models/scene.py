@@ -96,7 +96,7 @@ class DeviceScene:
     use_wide: bool = dataclasses.field(metadata=dict(static=True), default=True)
     wstack_depth: int = dataclasses.field(metadata=dict(static=True), default=48)
     num_instances: int = dataclasses.field(metadata=dict(static=True), default=0)
-    traversal: str = dataclasses.field(metadata=dict(static=True), default="skip")
+    traversal: str = dataclasses.field(metadata=dict(static=True), default="wide")
     sroot: int = dataclasses.field(metadata=dict(static=True), default=-1)
 
     @property
@@ -203,11 +203,11 @@ def _instance_world_aabb(nmin, nmax, m4):
 class Scene:
     """Mutable host scene; `device()` returns a cached immutable snapshot."""
 
-    def __init__(self, use_wide: bool = True, traversal: str = "skip"):
-        """traversal: "skip" (stackless threaded BVH, the TPU fast path),
-        "wide" (8-wide ordered stack traversal), or "binary" (the
-        reference-shaped oracle).  use_wide=False forces "binary"
-        (back-compat)."""
+    def __init__(self, use_wide: bool = True, traversal: str = "wide"):
+        """traversal: "wide" (8-wide ordered stack traversal, the default:
+        fewest lockstep iterations), "skip" (stackless threaded BVH --
+        cheapest per step but unordered, so more steps), or "binary"
+        (the reference-shaped oracle).  use_wide=False forces "binary"."""
         self.objects: list[SceneObject] = []
         self.materials: list[matlib.Material] = []
         self.light_indices: list[int] = []
