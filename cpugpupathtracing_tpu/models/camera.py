@@ -79,6 +79,44 @@ def lane_rays(cam: CameraArrays, lane, width: int, height: int):
     return get_ray(cam, u, v)
 
 
+def block_shape(width: int, height: int):
+    """Pixel-block tiling for packet-coherent ray order, or None."""
+    if width % 32 == 0 and height % 32 == 0:
+        return 32, 32
+    if width % 128 == 0 and height % 8 == 0:
+        return 8, 128
+    return None
+
+
+def blocked_lane_rays(cam: CameraArrays, lane, width: int, height: int, bh: int, bw: int):
+    """Rays in pixel-block order: consecutive lanes cover a bh x bw pixel
+    block (coherent packets for ops/traverse_packet).  Returns
+    (origin, direction, pixel_index) where pixel_index is the row-major
+    framebuffer position of each lane -- used to key RNG streams so the
+    rendered image is bitwise independent of ray ordering."""
+    per_block = jnp.uint32(bh * bw)
+    bpr = jnp.uint32(width // bw)
+    bi = lane // per_block
+    w = lane % per_block
+    by = w // jnp.uint32(bw)
+    bx = w % jnp.uint32(bw)
+    x = (bi % bpr) * jnp.uint32(bw) + bx
+    y = (bi // bpr) * jnp.uint32(bh) + by
+    pix = y * jnp.uint32(width) + x
+    u = x.astype(jnp.float32) / jnp.float32(width)
+    v = y.astype(jnp.float32) / jnp.float32(height)
+    origin, direction = get_ray(cam, u, v)
+    return origin, direction, pix
+
+
+def unblock_image(arr, width: int, height: int, bh: int, bw: int):
+    """Block-order (H*W, ...) -> image row-major order, pure reshapes."""
+    lead = arr.shape[1:]
+    a = arr.reshape((height // bh, width // bw, bh, bw) + lead)
+    a = jnp.moveaxis(a, 2, 1)  # (H/bh, bh, W/bw, bw, ...)
+    return a.reshape((height * width,) + lead)
+
+
 def pixel_rays(cam: CameraArrays, width: int, height: int, *, jitter=False, rng_state=None):
     """Rays for every pixel, row-major (y, x) flattened to (H*W, 3).
 

@@ -78,14 +78,27 @@ def render_frame_kernel(
     still exists untouched.
     """
     n = width * height
-    origin, direction = camlib.lane_rays(cam, lane, width, height)
+    # pixel-block ray order: coherent packets for the Pallas traversal;
+    # RNG keys on the true pixel index, so the image is bitwise identical
+    # to row-major order. Comparison mode keeps row-major (its halves
+    # split by contiguous columns).
+    bs = camlib.block_shape(width, height)
+    if bs is not None and settings.render_mode != RenderMode.COMPARISON:
+        bh, bw = bs
+        origin, direction, pix = camlib.blocked_lane_rays(
+            cam, lane, width, height, bh, bw
+        )
+    else:
+        bs = None
+        origin, direction = camlib.lane_rays(cam, lane, width, height)
+        pix = lane
 
     frame_energy = jnp.zeros((n, 3), jnp.float32)
     traced = jnp.zeros((), jnp.int32)
 
     for s in range(spp):
         stream = (sample_base + s).astype(jnp.uint32)
-        state = rnglib.seed_lanes(lane, stream, salt=seed & 0xFFFFFFFF)
+        state = rnglib.seed_lanes(pix, stream, salt=seed & 0xFFFFFFFF)
         if settings.render_mode == RenderMode.COMPARISON:
             # split screen: left half brute force, right half advanced
             # (Main.cpp:719-725).  Rays are regrouped into contiguous
@@ -124,6 +137,9 @@ def render_frame_kernel(
         else:
             raise ValueError(f"unknown render mode {settings.render_mode}")
         frame_energy = frame_energy + energy
+
+    if bs is not None:
+        frame_energy = camlib.unblock_image(frame_energy, width, height, bh, bw)
 
     energy_sum = jnp.sum(frame_energy, dtype=jnp.float32) * 0.001
 

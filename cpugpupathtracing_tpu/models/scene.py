@@ -96,7 +96,7 @@ class DeviceScene:
     use_wide: bool = dataclasses.field(metadata=dict(static=True), default=True)
     wstack_depth: int = dataclasses.field(metadata=dict(static=True), default=48)
     num_instances: int = dataclasses.field(metadata=dict(static=True), default=0)
-    traversal: str = dataclasses.field(metadata=dict(static=True), default="wide")
+    traversal: str = dataclasses.field(metadata=dict(static=True), default="packet")
     sroot: int = dataclasses.field(metadata=dict(static=True), default=-1)
 
     @property
@@ -203,11 +203,12 @@ def _instance_world_aabb(nmin, nmax, m4):
 class Scene:
     """Mutable host scene; `device()` returns a cached immutable snapshot."""
 
-    def __init__(self, use_wide: bool = True, traversal: str = "wide"):
-        """traversal: "wide" (8-wide ordered stack traversal, the default:
-        fewest lockstep iterations), "skip" (stackless threaded BVH --
-        cheapest per step but unordered, so more steps), or "binary"
-        (the reference-shaped oracle).  use_wide=False forces "binary"."""
+    def __init__(self, use_wide: bool = True, traversal: str = "packet"):
+        """traversal: "packet" (Pallas shared-stack packet kernel -- the
+        TPU fast path; falls back to "wide" off-TPU or with instances),
+        "wide" (8-wide ordered stack traversal), "skip" (stackless
+        threaded BVH), or "binary" (the reference-shaped oracle).
+        use_wide=False forces "binary"."""
         self.objects: list[SceneObject] = []
         self.materials: list[matlib.Material] = []
         self.light_indices: list[int] = []
@@ -573,7 +574,24 @@ def intersect_scene(
     depth = jnp.zeros((n,), jnp.int32)
 
     inst = jnp.full((n,), -1, jnp.int32)
-    if dev.use_wide and dev.traversal == "skip" and dev.sroot >= 0:
+    use_packet = (
+        dev.use_wide
+        and dev.traversal == "packet"
+        and dev.wroots
+        and dev.num_instances == 0
+        and jax.default_backend() == "tpu"
+    )
+    if use_packet:
+        from cpugpupathtracing_tpu.ops import traverse_packet as packetlib
+
+        t, tri, depth, hit_iid = packetlib.traverse_packet(
+            origin, direction, t_init, dev.wnodes, dev.wtris9, dev.wleaf_id,
+            dev.wroots, active=active, any_hit=any_hit,
+        )
+        mesh_hit = tri >= 0
+        obj = jnp.where(mesh_hit, dev.tri_obj[jnp.maximum(tri, 0)], obj)
+        prim = jnp.where(mesh_hit, tri, prim)
+    elif dev.use_wide and dev.traversal == "skip" and dev.sroot >= 0:
         from cpugpupathtracing_tpu.ops import traverse_skip as skiplib
 
         t, tri, depth, hit_iid = skiplib.traverse_skip(
@@ -596,7 +614,7 @@ def intersect_scene(
             obj,
         )
         prim = jnp.where(mesh_hit, tri, prim)
-    elif dev.use_wide and dev.wroots:
+    elif dev.use_wide and dev.wroots:  # "wide", or "packet" fallback
         from cpugpupathtracing_tpu.ops import traverse_wide
 
         t, tri, depth, hit_iid = traverse_wide.traverse8(
