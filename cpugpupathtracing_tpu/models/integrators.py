@@ -160,27 +160,31 @@ def sample_light(dev: DeviceScene, state, pos):
     n_sph = (p_sph - center) / jnp.maximum(radius[:, None], 1e-20)
     area_sph = TWO_PI * dev.light_sph_radius_sq[li]
 
-    # mesh light: uniform triangle, fold-sample, half total area
-    start = dev.light_tri_start[li].astype(jnp.uint32)
-    count = dev.light_tri_count[li].astype(jnp.uint32)
-    state, ti = rnglib.next_u32_range(state, start, start + count - jnp.uint32(1))
-    tmax = max(dev.num_triangles - 1, 0)
-    ti = jnp.clip(ti.astype(jnp.int32), 0, tmax)
-    if dev.num_triangles > 0:
+    # mesh light: uniform triangle, fold-sample, half total area.
+    # statically skipped when every light is a sphere (the triangle-row
+    # gathers are expensive at wavefront width).
+    if dev.has_mesh_lights and dev.num_triangles > 0:
+        start = dev.light_tri_start[li].astype(jnp.uint32)
+        count = dev.light_tri_count[li].astype(jnp.uint32)
+        state, ti = rnglib.next_u32_range(state, start, start + count - jnp.uint32(1))
+        tmax = max(dev.num_triangles - 1, 0)
+        ti = jnp.clip(ti.astype(jnp.int32), 0, tmax)
         row = dev.tris9[ti]
         v0 = row[:, 0:3]
         v1 = v0 + row[:, 3:6]
         v2 = v0 + row[:, 6:9]
         state, p_tri = sampling.random_point_triangle(state, v0, v1, v2)
         n_tri = dev.tri_normal[ti]
+        area_tri = dev.light_half_area[li]
+        lpos = jnp.where(is_sph[:, None], p_sph, p_tri)
+        lnormal = jnp.where(is_sph[:, None], n_sph, n_tri)
+        area = jnp.where(is_sph, area_sph, area_tri)
     else:
-        p_tri = jnp.zeros_like(pos)
-        n_tri = jnp.zeros_like(pos)
-    area_tri = dev.light_half_area[li]
-
-    lpos = jnp.where(is_sph[:, None], p_sph, p_tri)
-    lnormal = jnp.where(is_sph[:, None], n_sph, n_tri)
-    area = jnp.where(is_sph, area_sph, area_tri)
+        # keep the RNG stream layout identical (3 draws) regardless
+        state, _ = rnglib.next_u32(state)
+        state, _ = rnglib.next_f32(state)
+        state, _ = rnglib.next_f32(state)
+        lpos, lnormal, area = p_sph, n_sph, area_sph
 
     lmat = _gather_material(dev, dev.obj_mat[dev.light_obj[li]])
     emission = lmat["emissive"] * lmat["intensity"][:, None]

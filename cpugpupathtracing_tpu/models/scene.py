@@ -96,6 +96,7 @@ class DeviceScene:
     use_wide: bool = dataclasses.field(metadata=dict(static=True), default=True)
     wstack_depth: int = dataclasses.field(metadata=dict(static=True), default=48)
     num_instances: int = dataclasses.field(metadata=dict(static=True), default=0)
+    has_mesh_lights: bool = dataclasses.field(metadata=dict(static=True), default=False)
     traversal: str = dataclasses.field(metadata=dict(static=True), default="packet")
     sroot: int = dataclasses.field(metadata=dict(static=True), default=-1)
 
@@ -547,6 +548,7 @@ class Scene:
             inst_blas_root=jnp.asarray(np.asarray(inst_root_l, i32)),
             inst_blas_root_skip=jnp.asarray(np.asarray(s_inst_root, i32)),
             inst_obj=jnp.asarray(np.asarray(inst_obj_l, i32)),
+            has_mesh_lights=bool(np.any(l_tri_count > 0)),
             roots=tuple(roots),
             wroots=tuple(wroots),
             num_lights=L,

@@ -67,10 +67,8 @@ def _traverse_kernel(
     iz = jnp.where(dz == 0.0, BIG, 1.0 / dz)
     t0 = t0_ref[:].reshape(shape)
 
-    for i, r in enumerate(roots):
-        stack_ref[i] = r
 
-    def slab(k, row, t):
+    def slab(k, row, t, act):
         """Child k bounds vs all rays: (mask, tile-min entry distance)."""
         bxmin = row[0, 6 * k + 0]
         bymin = row[0, 6 * k + 1]
@@ -96,7 +94,7 @@ def _traverse_kernel(
         dmin = jnp.min(jnp.where(mask, tmin, jnp.inf))
         return mask, dmin
 
-    def tri_test(idx, t, hit, box_mask):
+    def tri_test(idx, t, hit, box_mask):  # box_mask already act-masked
         """One triangle (scalars broadcast) vs rays inside the leaf box."""
         r = tris_ref[pl.ds(idx, 1), :]  # (1, 9)
         v0x, v0y, v0z = r[0, 0], r[0, 1], r[0, 2]
@@ -127,7 +125,7 @@ def _traverse_kernel(
         hit_new = jnp.where(valid, idx, hit)
         return t_new, hit_new
 
-    def body(carry):
+    def body(carry, act):
         sptr, t, hit = carry
         if any_hit:
             # occlusion query: lanes with a confirmed hit stop
@@ -145,7 +143,7 @@ def _traverse_kernel(
         for k in range(WIDTH):
             cidx = irow[0, 48 + k]
             ccnt = irow[0, 56 + k]
-            box, dmin = slab(k, row, t)
+            box, dmin = slab(k, row, t, act)
             anyhit = jnp.isfinite(dmin) & (ccnt != -1)
 
             def leaf_case(tc, box=box, cidx=cidx, ccnt=ccnt):
@@ -189,11 +187,34 @@ def _traverse_kernel(
     def cond(carry):
         return carry[0] > 0
 
+    # direction-octant partitioning: run the shared-stack traversal once
+    # per direction octant with only that octant's lanes contributing to
+    # the union.  Incoherent (bounce) tiles then pay per-octant unions
+    # instead of one catastrophic all-directions union; fully coherent
+    # tiles see ~7 near-empty runs (a handful of root tests each).
+    key = (
+        jnp.where(dx < 0, 1, 0)
+        + jnp.where(dy < 0, 2, 0)
+        + jnp.where(dz < 0, 4, 0)
+    )
+
+    def per_octant(oct_i, carry):
+        t, hit = carry
+        nonlocal_act = act & (key == oct_i)
+
+        def body_o(c):
+            return body(c, nonlocal_act)
+
+        for i, r in enumerate(roots):
+            stack_ref[i] = r
+        _, t, hit = jax.lax.while_loop(
+            cond, body_o, (jnp.int32(len(roots)), t, hit)
+        )
+        return t, hit
+
     t = t0
     hit = jnp.full(shape, -1, jnp.int32)
-    sptr, t, hit = jax.lax.while_loop(
-        cond, body, (jnp.int32(len(roots)), t, hit)
-    )
+    t, hit = jax.lax.fori_loop(0, 8, per_octant, (t, hit))
 
     t_out[:] = t.reshape(-1)
     hit_out[:] = hit.reshape(-1)
