@@ -49,17 +49,17 @@ class BVH8:
         return len(self.nodes)
 
 
-def collapse(b: BVH) -> BVH8:
+def collapse(b: BVH, leaf_max: int = LEAF_MAX) -> BVH8:
     """Collapse a binary BVH into an 8-wide one.
 
     Children of a wide node: start from the binary node's two children
     and repeatedly expand the interior candidate with the largest
     half-area until 8 slots are used or only leaves remain.
     """
-    if int(b.prim_count.max()) > LEAF_MAX:
+    if int(b.prim_count.max()) > leaf_max:
         raise ValueError(
-            f"binary BVH has leaves > {LEAF_MAX} tris; build with "
-            f"max_leaf_size={LEAF_MAX} for device traversal"
+            f"binary BVH has leaves > {leaf_max} tris; build with "
+            f"max_leaf_size={leaf_max} for device traversal"
         )
 
     left_first = b.left_first

@@ -83,6 +83,10 @@ class DeviceScene:
     snodes12: jnp.ndarray = None    # (BS, 12) threaded rows
     stris9: jnp.ndarray = None      # (T, 9) f32 perm (leaf) order
     sleaf_id: jnp.ndarray = None    # (T,) i32 perm order -> original id
+    # packet-kernel tables: wider leaves (8), shallower tree
+    pnodes: jnp.ndarray = None      # (BP, 64) wide rows for the packet kernel
+    ptris9: jnp.ndarray = None      # (TP, 9) leaf order
+    pleaf_id: jnp.ndarray = None    # (TP,) i32 -> original global tri id
     # instances (TLAS): object-to-world transforms baked as inverses
     inst_inv: jnp.ndarray = None        # (I, 12) f32 world->object, 3x4 rows
     inst_nrm: jnp.ndarray = None        # (I, 9) f32 normal matrix (inv^T)
@@ -99,6 +103,7 @@ class DeviceScene:
     has_mesh_lights: bool = dataclasses.field(metadata=dict(static=True), default=False)
     traversal: str = dataclasses.field(metadata=dict(static=True), default="packet")
     sroot: int = dataclasses.field(metadata=dict(static=True), default=-1)
+    proots: tuple = dataclasses.field(metadata=dict(static=True), default=())
 
     @property
     def num_triangles(self) -> int:
@@ -330,6 +335,8 @@ class Scene:
         sph = {k: [] for k in ("center", "radius", "obj")}
         pln = {k: [] for k in ("point", "normal", "obj")}
 
+        pnodes_l, ptris_l, pleaf_l, proots = [], [], [], []
+        pnode_off = ptri_off = 0
         inst_inv_l, inst_nrm_l, inst_root_l, inst_obj_l = [], [], [], []
         inst_aabb_min, inst_aabb_max = [], []
         has_instances = any(
@@ -358,8 +365,24 @@ class Scene:
 
                 if self.use_wide:
                     if obj._wide_cache is None or obj._wide_cache[0] is not b:
-                        obj._wide_cache = (b, bvh8lib.collapse(b))
+                        pb = b.rebuild(obj.build_option, max_leaf_size=8)
+                        obj._wide_cache = (
+                            b, bvh8lib.collapse(b), bvh8lib.collapse(pb, leaf_max=8)
+                        )
                     w = obj._wide_cache[1]
+                    pw = obj._wide_cache[2]
+                    if obj.instances is None:
+                        prow = pw.nodes.copy()
+                        pcidx = prow[:, 48:56].view(i32)
+                        pccnt = prow[:, 56:64].view(i32)
+                        pcidx[pccnt == 0] += pnode_off
+                        pcidx[pccnt > 0] += ptri_off
+                        pnodes_l.append(prow)
+                        ptris_l.append(pw.tris9)
+                        pleaf_l.append(pw.leaf_tri_id + tri_off)
+                        proots.append(pnode_off)
+                        pnode_off += pw.num_nodes
+                        ptri_off += len(pw.tris9)
                     wrow = w.nodes.copy()
                     cidx = wrow[:, 48:56].view(i32)
                     ccnt = wrow[:, 56:64].view(i32)
@@ -517,6 +540,9 @@ class Scene:
             wnodes=cat(wnodes, 64),
             wtris9=cat(wtris, 9),
             wleaf_id=cat(wleaf, 1, i32),
+            pnodes=cat(pnodes_l, 64),
+            ptris9=cat(ptris_l, 9),
+            pleaf_id=cat(pleaf_l, 1, i32),
             snodes12=cat(snodes_l, 12),
             stris9=cat(s_tris_l, 9),
             sleaf_id=cat(s_perm_l, 1, i32),
@@ -557,6 +583,7 @@ class Scene:
             num_instances=num_instances,
             traversal=self.traversal if use_wide else "binary",
             sroot=sroot,
+            proots=tuple(proots),
         )
 
 
@@ -579,7 +606,7 @@ def intersect_scene(
     use_packet = (
         dev.use_wide
         and dev.traversal == "packet"
-        and dev.wroots
+        and dev.proots
         and dev.num_instances == 0
         and jax.default_backend() == "tpu"
     )
@@ -587,8 +614,8 @@ def intersect_scene(
         from cpugpupathtracing_tpu.ops import traverse_packet as packetlib
 
         t, tri, depth, hit_iid = packetlib.traverse_packet(
-            origin, direction, t_init, dev.wnodes, dev.wtris9, dev.wleaf_id,
-            dev.wroots, active=active, any_hit=any_hit,
+            origin, direction, t_init, dev.pnodes, dev.ptris9, dev.pleaf_id,
+            dev.proots, active=active, any_hit=any_hit,
         )
         mesh_hit = tri >= 0
         obj = jnp.where(mesh_hit, dev.tri_obj[jnp.maximum(tri, 0)], obj)

@@ -1,25 +1,32 @@
-"""Pallas packet BVH traversal -- the TPU speed-of-light path.
+"""Pallas masked-packet BVH traversal -- the TPU speed-of-light path.
 
 XLA-level wavefront traversal is bound by per-lane gathers: every
-lockstep step moves a padded node row per ray through HBM (and narrow
-rows pad to 512-byte tiles).  This kernel removes gathers entirely with
-*packet traversal*: a grid program owns a TILE of rays, walks ONE shared
-node sequence from a scalar stack in SMEM, and tests every child's
-bounds (scalars extracted from a single VMEM row load) against all TILE
-rays as pure vector compares.  The BVH8 node table and the leaf-ordered
-triangles stay resident in VMEM across the whole grid (they are
-revisited blocks), so a traversal step costs one VMEM vector load plus
-~a hundred VPU ops -- no HBM traffic at all.
+lockstep step moves a padded node row per ray through HBM.  This kernel
+removes gathers entirely: a grid program owns a TILE of rays, walks one
+shared node sequence from a scalar stack in SMEM, and tests children /
+triangles as scalar-broadcast vector ops against the whole tile.  The
+BVH8 node table and leaf-ordered triangles stay VMEM-resident across the
+grid, so a traversal step costs one VMEM row load plus ~a hundred VPU
+ops -- no HBM traffic at all.
 
-The price is *union* work: the tile visits every node that ANY of its
-rays needs, so efficiency tracks ray coherence.  Primary and shadow rays
-from contiguous pixels are highly coherent; incoherent bounce rays
-degrade toward per-node full-tile tests (mitigated upstream by tracing
-in contiguous image slabs and, optionally, smaller tiles).
+Naive packet traversal visits the tile's *fan volume* (every node ANY
+ray's frustum touches), which explodes for spread-origin rays (NEE
+shadow fans from a distant ground tile can swallow the whole tree).
+This kernel is *hierarchical*: every stack entry carries the mask of
+rays that survived all ancestor boxes (a VMEM mask stack), so a child is
+pushed only when a ray that actually reached its parent hits it.  The
+visited set is then exactly the union of per-ray traversal sets -- the
+optimum for a shared-sequence scheme -- and divergence costs only what
+overlap fails to amortize.
 
-Same hit semantics as every other traversal in this package: nearest
-hit, reference triangle predicates, conservative NaN slabs.  Scenes with
-instances fall back to the XLA wide path.
+Ordering: children push far-to-near through a 19-comparator scalar
+sorting network keyed on masked tile-min slab entry distances, so t
+converges fast and far subtrees get culled.  any_hit (occlusion) lanes
+drop out of every mask as soon as they find a hit.
+
+Same hit semantics as every other traversal in this package (nearest
+hit, reference triangle predicates, conservative zero-direction slabs).
+Scenes with instances fall back to the XLA wide path.
 """
 
 from __future__ import annotations
@@ -32,34 +39,41 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024          # default rays per grid program ((8,128) vreg set)
+TILE = 1024          # rays per grid program ((8,128) vreg set)
 WIDTH = 8            # BVH8
-LEAF_MAX = 4
+LEAF_MAX = 8         # packet trees build with wider leaves (shallower unions)
 STACK = 64
 TRI_DET_EPS = 0.001
+
+# optimal 19-comparator sorting network for 8 inputs
+_SORT8 = (
+    (0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (3, 5), (2, 4),
+    (1, 2), (3, 4), (5, 6),
+)
 
 
 def _traverse_kernel(
     nodes_ref,   # (B, 64) f32 VMEM, whole table
     tris_ref,    # (T, 9)  f32 VMEM, leaf order, whole table
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (TILE,) f32
-    t0_ref,      # (TILE,) f32 initial nearest-t (tmax for shadow rays)
-    act_ref,     # (TILE,) i32 1 = lane participates
-    t_out, hit_out,  # (TILE,) f32 / i32
-    stack_ref,   # SMEM (STACK,) i32 scratch
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (tile,) f32
+    t0_ref,      # (tile,) f32 initial nearest-t (tmax for shadow rays)
+    act_ref,     # (tile,) i32 1 = lane participates
+    t_out, hit_out,  # (tile,) f32 / i32
+    stack_ref,   # SMEM (STACK,) i32 scratch: node entries
+    mask_ref,    # VMEM (STACK, tile//128, 128) i32: per-entry ray masks
     *, roots: tuple, num_tris: int, tile: int, any_hit: bool,
 ):
-    shape = (tile // 128, 128)  # (sublanes, lanes) view of the tile
+    shape = (tile // 128, 128)
     ox = ox_ref[:].reshape(shape)
     oy = oy_ref[:].reshape(shape)
     oz = oz_ref[:].reshape(shape)
     dx = dx_ref[:].reshape(shape)
     dy = dy_ref[:].reshape(shape)
     dz = dz_ref[:].reshape(shape)
-    act = act_ref[:].reshape(shape) != 0
-    # NaN-safe inverse: a zero component maps to +BIG instead of inf, so
-    # 0 * inf NaNs never arise in the slab tests (see intersect_aabb for
-    # the robustness argument; [0, BIG] over-covers the boundary case,
+    act0 = act_ref[:].reshape(shape) != 0
+    # NaN-safe inverse: zero components map to +BIG instead of inf, so
+    # 0 * inf NaNs never arise ([0, BIG] over-covers on-boundary rays,
     # which is conservative).
     BIG = 1e30
     ix = jnp.where(dx == 0.0, BIG, 1.0 / dx)
@@ -67,9 +81,12 @@ def _traverse_kernel(
     iz = jnp.where(dz == 0.0, BIG, 1.0 / dz)
     t0 = t0_ref[:].reshape(shape)
 
+    for i, r in enumerate(roots):
+        stack_ref[i] = r
+        mask_ref[i, :, :] = act0.astype(jnp.int32)
 
-    def slab(k, row, t, act):
-        """Child k bounds vs all rays: (mask, tile-min entry distance)."""
+    def slab(k, row, t, m):
+        """Child k bounds vs rays in mask m: (mask', tile-min distance)."""
         bxmin = row[0, 6 * k + 0]
         bymin = row[0, 6 * k + 1]
         bzmin = row[0, 6 * k + 2]
@@ -90,17 +107,16 @@ def _traverse_kernel(
             jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
             jnp.maximum(tz1, tz2),
         )
-        mask = (tmax >= tmin) & (tmin < t) & (tmax > 0.0) & act
+        mask = (tmax >= tmin) & (tmin < t) & (tmax > 0.0) & m
         dmin = jnp.min(jnp.where(mask, tmin, jnp.inf))
         return mask, dmin
 
-    def tri_test(idx, t, hit, box_mask):  # box_mask already act-masked
-        """One triangle (scalars broadcast) vs rays inside the leaf box."""
+    def tri_test(idx, t, hit, box_mask):
+        """One triangle (scalars broadcast) vs rays in box_mask."""
         r = tris_ref[pl.ds(idx, 1), :]  # (1, 9)
         v0x, v0y, v0z = r[0, 0], r[0, 1], r[0, 2]
         e1x, e1y, e1z = r[0, 3], r[0, 4], r[0, 5]
         e2x, e2y, e2z = r[0, 6], r[0, 7], r[0, 8]
-        # h = d x e2
         hx = dy * e2z - dz * e2y
         hy = dz * e2x - dx * e2z
         hz = dx * e2y - dy * e2x
@@ -111,7 +127,6 @@ def _traverse_kernel(
         sy = oy - v0y
         sz = oz - v0z
         u = f * (sx * hx + sy * hy + sz * hz)
-        # q = s x e1
         qx = sy * e1z - sz * e1y
         qy = sz * e1x - sx * e1z
         qz = sx * e1y - sy * e1x
@@ -125,32 +140,31 @@ def _traverse_kernel(
         hit_new = jnp.where(valid, idx, hit)
         return t_new, hit_new
 
-    def body(carry, act):
+    def body(carry):
         sptr, t, hit = carry
-        if any_hit:
-            # occlusion query: lanes with a confirmed hit stop
-            # contributing to the union (t=0 fails every box test)
-            t = jnp.where(hit >= 0, 0.0, t)
         node = stack_ref[sptr - 1]
+        m = mask_ref[pl.ds(sptr - 1, 1), :, :][0] != 0
+        if any_hit:
+            # occlusion: lanes with a confirmed hit stop contributing
+            m = m & (hit < 0)
         sptr = sptr - 1
         row = nodes_ref[pl.ds(node, 1), :]  # (1, 64)
-        irow = jax.lax.bitcast_convert_type(row, jnp.int32)  # vector bitcast
+        irow = jax.lax.bitcast_convert_type(row, jnp.int32)
 
-        # pass 1 (static unroll): masks, per-child tile-min distances,
-        # leaf triangle tests inline
         push_d = []
         push_i = []
+        push_k = []
         for k in range(WIDTH):
             cidx = irow[0, 48 + k]
             ccnt = irow[0, 56 + k]
-            box, dmin = slab(k, row, t, act)
+            box, dmin = slab(k, row, t, m)
             anyhit = jnp.isfinite(dmin) & (ccnt != -1)
 
             def leaf_case(tc, box=box, cidx=cidx, ccnt=ccnt):
                 t, hit = tc
                 for j in range(LEAF_MAX):
-                    m = box & (j < ccnt)
-                    t, hit = tri_test(cidx + j, t, hit, m)
+                    bm = box & (j < ccnt)
+                    t, hit = tri_test(cidx + j, t, hit, bm)
                 return t, hit
 
             t, hit = jax.lax.cond(
@@ -159,62 +173,47 @@ def _traverse_kernel(
             push = anyhit & (ccnt == 0)
             push_d.append(jnp.where(push, dmin, -jnp.inf))
             push_i.append(cidx)
+            push_k.append(jnp.int32(k))
+            # stage this child's mask at fixed scratch row STACK + k
+            # (vector selects with scalar predicates don't legalize, so
+            # masks are sorted by reference through these staging rows)
+            mask_ref[STACK + k, :, :] = box.astype(jnp.int32)
 
-        # pass 2: push interior children far-to-near so the nearest pops
-        # first (t converges fast, far subtrees get culled).  19-comparator
-        # scalar sorting network, descending by distance; non-pushed
-        # children carry -inf and sort last.
-        for a, b2 in (
-            (0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
-            (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (3, 5), (2, 4),
-            (1, 2), (3, 4), (5, 6),
-        ):
+        # far-to-near ordered pushes (nearest pops first): sort the
+        # scalar (distance, child, staging-row) triples
+        for a, b2 in _SORT8:
             swap = push_d[a] < push_d[b2]
-            da = jnp.where(swap, push_d[b2], push_d[a])
-            db = jnp.where(swap, push_d[a], push_d[b2])
-            ia = jnp.where(swap, push_i[b2], push_i[a])
-            ib = jnp.where(swap, push_i[a], push_i[b2])
-            push_d[a], push_d[b2] = da, db
-            push_i[a], push_i[b2] = ia, ib
+            push_d[a], push_d[b2] = (
+                jnp.where(swap, push_d[b2], push_d[a]),
+                jnp.where(swap, push_d[a], push_d[b2]),
+            )
+            push_i[a], push_i[b2] = (
+                jnp.where(swap, push_i[b2], push_i[a]),
+                jnp.where(swap, push_i[a], push_i[b2]),
+            )
+            push_k[a], push_k[b2] = (
+                jnp.where(swap, push_k[b2], push_k[a]),
+                jnp.where(swap, push_k[a], push_k[b2]),
+            )
         for k in range(WIDTH):
             push = jnp.isfinite(push_d[k])
             slot = jnp.where(push, sptr, STACK - 1)
             prev = stack_ref[slot]
             stack_ref[slot] = jnp.where(push, push_i[k], prev)
+            # child's mask: rays that reached this node AND hit the child
+            staged = mask_ref[pl.ds(STACK + push_k[k], 1), :, :]
+            mask_ref[pl.ds(slot, 1), :, :] = staged
             sptr = sptr + jnp.where(push, 1, 0)
         return sptr, t, hit
 
     def cond(carry):
         return carry[0] > 0
 
-    # direction-octant partitioning: run the shared-stack traversal once
-    # per direction octant with only that octant's lanes contributing to
-    # the union.  Incoherent (bounce) tiles then pay per-octant unions
-    # instead of one catastrophic all-directions union; fully coherent
-    # tiles see ~7 near-empty runs (a handful of root tests each).
-    key = (
-        jnp.where(dx < 0, 1, 0)
-        + jnp.where(dy < 0, 2, 0)
-        + jnp.where(dz < 0, 4, 0)
-    )
-
-    def per_octant(oct_i, carry):
-        t, hit = carry
-        nonlocal_act = act & (key == oct_i)
-
-        def body_o(c):
-            return body(c, nonlocal_act)
-
-        for i, r in enumerate(roots):
-            stack_ref[i] = r
-        _, t, hit = jax.lax.while_loop(
-            cond, body_o, (jnp.int32(len(roots)), t, hit)
-        )
-        return t, hit
-
     t = t0
     hit = jnp.full(shape, -1, jnp.int32)
-    t, hit = jax.lax.fori_loop(0, 8, per_octant, (t, hit))
+    sptr, t, hit = jax.lax.while_loop(
+        cond, body, (jnp.int32(len(roots)), t, hit)
+    )
 
     t_out[:] = t.reshape(-1)
     hit_out[:] = hit.reshape(-1)
@@ -228,9 +227,9 @@ def traverse_packet(
     *, active=None, interpret: bool = False, tile: int = TILE,
     any_hit: bool = False,
 ):
-    """Packet traversal over TILE-ray grid programs.
+    """Masked-packet traversal over tile-ray grid programs.
 
-    origin/direction (N, 3); N is padded to a TILE multiple internally.
+    origin/direction (N, 3); N is padded to a tile multiple internally.
     `roots` is a static tuple of scene-object BVH roots (all seeded on
     the shared stack). Returns (t, original tri id, zeros, -1s) matching
     the other traversals' signature (the bvh-depth debug counter is not
@@ -271,7 +270,10 @@ def traverse_packet(
             jax.ShapeDtypeStruct((n,), jnp.float32),
             jax.ShapeDtypeStruct((n,), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((STACK,), jnp.int32),
+            pltpu.VMEM((STACK + WIDTH, tile // 128, 128), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
