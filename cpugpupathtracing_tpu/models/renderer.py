@@ -277,6 +277,13 @@ class Renderer:
         the TPU-native stand-in for the reference's frame timer."""
         return jax.profiler.trace(log_dir)
 
+    def validate_frame(self) -> None:
+        """Render one frame with NaN debugging enabled -- the functional
+        replacement for the reference's (absent) sanitizers: JAX raises
+        at the first NaN-producing primitive (SURVEY.md section 5)."""
+        with jax.debug_nans(True):
+            self.render_frame()
+
     # ---- invalidation (ResetAccumulator, Main.cpp:238-243) ----
 
     def reset(self) -> None:

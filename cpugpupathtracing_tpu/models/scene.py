@@ -611,9 +611,9 @@ def intersect_scene(
         and jax.default_backend() == "tpu"
     )
     if use_packet:
-        from cpugpupathtracing_tpu.ops import traverse_packet as packetlib
+        from cpugpupathtracing_tpu.ops import traverse_packet_mr as packetlib
 
-        t, tri, depth, hit_iid = packetlib.traverse_packet(
+        t, tri, depth, hit_iid = packetlib.traverse_packet_mr(
             origin, direction, t_init, dev.pnodes, dev.ptris9, dev.pleaf_id,
             dev.proots, active=active, any_hit=any_hit,
         )

@@ -92,3 +92,52 @@ def test_packet_tmax(sphere_bvh):
     )
     assert (np.asarray(hit)[:512] == -1).all()
     assert (np.asarray(hit)[512:] >= 0).all()
+
+
+def test_packet_mr_matches_brute_force(rng_np):
+    """Multi-row (8 sub-packet) kernel vs the oracle, interpret mode."""
+    from cpugpupathtracing_tpu.ops import traverse_packet_mr as tm
+
+    m = mesh.icosphere(subdivisions=1)
+    b = bvh.build(m.positions, m.normals, m.indices,
+                  BuildOption.SAH_SPLIT_INTERVALS, max_leaf_size=8)
+    w = bvh8.collapse(b, leaf_max=8)
+    n = 1024
+    o, d = _rays(rng_np, n)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    t, hit, _, _ = tm.traverse_packet_mr(
+        o, d, t0, jnp.asarray(w.nodes), jnp.asarray(w.tris9),
+        jnp.asarray(w.leaf_tri_id), (0,), interpret=True,
+    )
+    bt, bidx = intersect.brute_force_nearest_triangle(
+        o, d, jnp.asarray(b.tri_v0), jnp.asarray(b.tri_v1 - b.tri_v0),
+        jnp.asarray(b.tri_v2 - b.tri_v0), t0,
+    )
+    np.testing.assert_array_equal(np.asarray(hit) >= 0, np.asarray(bidx) >= 0)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
+
+
+def test_packet_mr_active_and_anyhit(rng_np):
+    from cpugpupathtracing_tpu.ops import traverse_packet_mr as tm
+
+    m = mesh.icosphere(subdivisions=1)
+    b = bvh.build(m.positions, m.normals, m.indices,
+                  BuildOption.SAH_SPLIT_INTERVALS, max_leaf_size=8)
+    w = bvh8.collapse(b, leaf_max=8)
+    n = 1024
+    o, d = _rays(rng_np, n)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    act = jnp.asarray(rng_np.random(n) < 0.5)
+    args = (jnp.asarray(w.nodes), jnp.asarray(w.tris9), jnp.asarray(w.leaf_tri_id))
+    t, hit, _, _ = tm.traverse_packet_mr(
+        o, d, t0, *args, (0,), active=act, interpret=True
+    )
+    inactive = ~np.asarray(act)
+    assert (np.asarray(hit)[inactive] == -1).all()
+    _, h_any, _, _ = tm.traverse_packet_mr(
+        o, d, t0, *args, (0,), any_hit=True, interpret=True
+    )
+    _, h_near, _, _ = tm.traverse_packet_mr(
+        o, d, t0, *args, (0,), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(h_any) >= 0, np.asarray(h_near) >= 0)

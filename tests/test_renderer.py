@@ -228,3 +228,39 @@ class TestReferenceScene:
         img = r.image_rgba8()
         assert (img[..., :3].sum(-1) > 0).mean() > 0.3
         assert r.stats.traced_rays > W * H
+
+
+class TestConvergenceRMSE:
+    """The reference's split-screen comparison oracle made quantitative:
+    brute force and the advanced integrator (corrected pdfs, since the
+    reference's swapped constants deliberately bias its own comparison)
+    must converge to the same image."""
+
+    def test_brute_vs_advanced_rmse(self):
+        from cpugpupathtracing_tpu.config import DiffusePdfMode
+
+        def render(mode, frames, **kw):
+            r = Renderer(
+                small_scene(),
+                config=RenderConfig(width=48, height=27),
+                settings=RenderSettings(
+                    render_mode=mode,
+                    diffuse_pdf_mode=DiffusePdfMode.CORRECT,
+                    **kw,
+                ),
+            )
+            r.render(frames)
+            return r.radiance()
+
+        a = render(RenderMode.BRUTE_FORCE, 96)
+        b = render(RenderMode.ADVANCED, 96)
+
+        # tone-map like the display pack, then average 3x3 pixel blocks
+        # (16x effective spp) so Monte-Carlo noise doesn't mask bias
+        def pool(x):
+            x = np.clip(x, 0, 1)
+            h, w, _ = x.shape
+            return x.reshape(h // 3, 3, w // 3, 3, 3).mean((1, 3))
+
+        rmse = float(np.sqrt(np.mean((pool(a) - pool(b)) ** 2)))
+        assert rmse < 0.05, f"integrators diverge: RMSE {rmse:.4f}"
