@@ -101,6 +101,16 @@ def trace_chunked(
     on global lane index and hits are exact.
     """
     n = origin.shape[0]
+    if (
+        dev.use_wide
+        and dev.traversal == "packet"
+        and dev.num_instances == 0
+        and jax.default_backend() == "tpu"
+    ):
+        # the packet kernel's grid programs are already independent
+        # fixed-size tiles; XLA-level chunking would only serialize
+        # pallas launches
+        max_chunk = 1 << 22
     num_chunks = max(1, -(-n // max_chunk))
     while n % num_chunks != 0:
         num_chunks += 1
