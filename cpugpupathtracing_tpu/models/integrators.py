@@ -111,12 +111,15 @@ def trace_chunked(
         # fixed-size tiles; XLA-level chunking would only serialize
         # pallas launches
         max_chunk = 1 << 22
-    num_chunks = max(1, -(-n // max_chunk))
-    while n % num_chunks != 0:
-        num_chunks += 1
-    if num_chunks == 1:
+    if n <= max_chunk:
         return trace_fn(dev, settings, origin, direction, state)
-    m = n // num_chunks
+    # full-size chunks via lax.map plus ONE remainder call: exact ray
+    # counts, no divisor search (a prime n used to degrade to chunk
+    # size 1), at most two traced trace_fn bodies
+    num_full = n // max_chunk
+    rem = n % max_chunk
+    m = max_chunk
+    k = num_full * m
 
     def f(args):
         o, d, s = args
@@ -125,16 +128,28 @@ def trace_chunked(
     states, res = jax.lax.map(
         f,
         (
-            origin.reshape(num_chunks, m, 3),
-            direction.reshape(num_chunks, m, 3),
-            state.reshape(num_chunks, m),
+            origin[:k].reshape(num_full, m, 3),
+            direction[:k].reshape(num_full, m, 3),
+            state[:k].reshape(num_full, m),
         ),
     )
-    return states.reshape(n), TraceResult(
-        energy=res.energy.reshape(n, 3),
-        traced_rays=jnp.sum(res.traced_rays, dtype=jnp.int32),
-        ray_depth=res.ray_depth.reshape(n),
-        bvh_depth=res.bvh_depth.reshape(n),
+    states = states.reshape(k)
+    energy = res.energy.reshape(k, 3)
+    traced = jnp.sum(res.traced_rays, dtype=jnp.int32)
+    ray_depth = res.ray_depth.reshape(k)
+    bvh_depth = res.bvh_depth.reshape(k)
+    if rem:
+        st_r, res_r = trace_fn(dev, settings, origin[k:], direction[k:], state[k:])
+        states = jnp.concatenate([states, st_r])
+        energy = jnp.concatenate([energy, res_r.energy])
+        traced = traced + res_r.traced_rays
+        ray_depth = jnp.concatenate([ray_depth, res_r.ray_depth])
+        bvh_depth = jnp.concatenate([bvh_depth, res_r.bvh_depth])
+    return states, TraceResult(
+        energy=energy,
+        traced_rays=traced,
+        ray_depth=ray_depth,
+        bvh_depth=bvh_depth,
     )
 
 

@@ -47,6 +47,14 @@ def trace_whitted(
     state,
 ):
     """Whitted trace over a lane batch. Returns (rng_state, TraceResult)."""
+    if dev.has_mesh_lights:
+        from cpugpupathtracing_tpu.utils.log import except_error
+
+        except_error(
+            "Whitted",
+            "Whitted mode treats lights as points at sphere centers; "
+            "mesh lights are unsupported (use the path tracers)",
+        )
     n = origin.shape[0]
     f32 = jnp.float32
     if settings.debug_render_mode == DebugRenderMode.BVH_DEPTH:

@@ -283,3 +283,41 @@ class TestCounters:
         _, r1 = integrators.trace_advanced(dev, settings, o, d, st)
         _, r2 = integrators.trace_advanced(dev, settings, o, d, st)
         np.testing.assert_array_equal(np.asarray(r1.energy), np.asarray(r2.energy))
+
+
+class TestTraceChunked:
+    def test_prime_lane_count_matches_unchunked(self):
+        """Regression: a prime n must not degrade to chunk size 1 (the
+        old divisor walk); chunked results stay bitwise equal."""
+        n = 1009  # prime > max_chunk below
+        dev = outdoor_scene().device()
+        o, d = _down_rays(n)
+        settings = RenderSettings()
+        st = rnglib.seed_lanes(jnp.arange(n), 3)
+        _, ref = integrators.trace_advanced(dev, settings, o, d, st)
+        _, chk = integrators.trace_chunked(
+            integrators.trace_advanced, dev, settings, o, d, st, max_chunk=128
+        )
+        np.testing.assert_array_equal(np.asarray(ref.energy), np.asarray(chk.energy))
+        assert int(ref.traced_rays) == int(chk.traced_rays)
+        np.testing.assert_array_equal(
+            np.asarray(ref.ray_depth), np.asarray(chk.ray_depth)
+        )
+
+
+class TestWhittedLimits:
+    def test_mesh_light_raises(self):
+        from cpugpupathtracing_tpu.models import mesh as meshlib
+        from cpugpupathtracing_tpu.models.whitted import trace_whitted
+
+        s = Scene()
+        grey = s.add_material(matlib.Material.diffuse((0.5, 0.5, 0.5)))
+        light = s.add_material(matlib.Material.light((1.0, 1.0, 1.0), 5.0))
+        s.add_plane("floor", (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), grey)
+        li = s.add_mesh("mesh light", meshlib.cube(half=1.0), light)
+        s.mark_light(li)
+        dev = s.device()
+        o, d = _down_rays(8)
+        st = rnglib.seed_lanes(jnp.arange(8), 0)
+        with pytest.raises(RuntimeError):
+            trace_whitted(dev, RenderSettings(), o, d, st)
