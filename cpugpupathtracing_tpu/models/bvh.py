@@ -92,14 +92,19 @@ class BVH:
         """BVH::GetTriangle (Source/BVH.cpp:129-132)."""
         return self.tri_v0[index], self.tri_v1[index], self.tri_v2[index]
 
-    def rebuild(self, build_option: BuildOption, max_leaf_size: int | None = None) -> "BVH":
+    def rebuild(
+        self,
+        build_option: BuildOption,
+        max_leaf_size: int | None = None,
+        leaf_stop: int | None = None,
+    ) -> "BVH":
         """BVH::Rebuild (Source/BVH.cpp:47-59): rebuild over the same
         triangles with a different heuristic. Returns a new BVH (buffers
         are swapped between frames instead of mutated under tracing --
         the reference mutates in place and races its render threads)."""
         return _build_from_triangles(
             self.tri_v0, self.tri_v1, self.tri_v2, self.tri_normal,
-            build_option, max_leaf_size,
+            build_option, max_leaf_size, leaf_stop,
         )
 
 
@@ -109,6 +114,7 @@ def build(
     indices: np.ndarray,
     build_option: BuildOption = BuildOption.SAH_SPLIT_INTERVALS,
     max_leaf_size: int | None = None,
+    leaf_stop: int | None = None,
 ) -> BVH:
     """BVH::Build (Source/BVH.cpp:11-45): flatten the indexed mesh to a
     triangle soup, then subdivide."""
@@ -117,10 +123,14 @@ def build(
     nrm = np.asarray(normals, _F32)
     v0, v1, v2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
     tri_normal = nrm[idx[:, 0]]  # flat v0.normal (Source/Primitives.cpp:148-151)
-    return _build_from_triangles(v0, v1, v2, tri_normal, build_option, max_leaf_size)
+    return _build_from_triangles(
+        v0, v1, v2, tri_normal, build_option, max_leaf_size, leaf_stop
+    )
 
 
-def _build_from_triangles(v0, v1, v2, tri_normal, build_option, max_leaf_size) -> BVH:
+def _build_from_triangles(
+    v0, v1, v2, tri_normal, build_option, max_leaf_size, leaf_stop=None
+) -> BVH:
     t = len(v0)
     if t == 0:
         raise ValueError("cannot build BVH over zero triangles")
@@ -134,7 +144,7 @@ def _build_from_triangles(v0, v1, v2, tri_normal, build_option, max_leaf_size) -
         tri9 = np.concatenate(
             [np.asarray(v0, _F32), np.asarray(v1, _F32), np.asarray(v2, _F32)], axis=1
         )
-        out = native.native_bvh_build(tri9, int(build_option), max_leaf_size)
+        out = native.native_bvh_build(tri9, int(build_option), max_leaf_size, leaf_stop)
         if out is not None:
             nmin, nmax, left_first, prim_count, perm, max_depth = out
             return BVH(
@@ -181,6 +191,8 @@ def _build_from_triangles(v0, v1, v2, tri_normal, build_option, max_leaf_size) -
             first = int(left_first[node_idx])
             count = int(prim_count[node_idx])
             seg = perm[first : first + count]
+            if leaf_stop is not None and count <= leaf_stop:
+                continue  # fat leaf: the packet tables test 8 tris per row
             cen = centroids[seg]
 
             split = _choose_split(

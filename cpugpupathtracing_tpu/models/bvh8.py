@@ -35,6 +35,7 @@ from cpugpupathtracing_tpu.models.bvh import BVH, _half_area
 
 WIDTH = 8
 LEAF_MAX = 4  # binary builder enforces max_leaf_size=4 for device trees
+SLIM_EMPTY = 0x40000000  # pre-encoded entry marking an unused child slot
 
 
 @dataclasses.dataclass
@@ -144,4 +145,62 @@ def collapse(b: BVH, leaf_max: int = LEAF_MAX) -> BVH8:
         tris9=tris9,
         leaf_tri_id=leaf_ids,
         max_depth=max_depth,
+    )
+
+
+@dataclasses.dataclass
+class BVH8Slim:
+    """Leaf-blocked tables for the slim packet kernel
+    (ops/traverse_packet_slim.py): every leaf is ONE padded 288-byte row
+    (8 triangles x [v0, e1, e2]), so a traversal step does a single
+    dynamic row load per sub-packet instead of 8 narrow triangle loads.
+
+    nodes row layout, (B, 64) f32:
+      cols  0..47: 8 children x (min.xyz, max.xyz)
+      cols 48..55: bitcast int32 PRE-ENCODED child entry:
+                   >= 0 interior child row, < 0 leaf: row = -entry - 1,
+                   EMPTY (0x40000000) for unused slots (the direction-
+                   agnostic slab test can spuriously pass an empty slot's
+                   inverted bounds, so validity lives in the entry)
+      cols 56..63: bitcast int32 child_count (host-side bookkeeping and
+                   the instance hook; the kernel itself never reads it)
+    """
+
+    nodes: np.ndarray     # (B, 64) f32
+    ltris: np.ndarray     # (NL, 72) f32, zero-padded (degenerate) tris
+    leaf_id: np.ndarray   # (NL * 8,) i32 leaf slot -> original tri id, -1 pad
+    max_depth: int
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.nodes)
+
+    @property
+    def num_leaf_rows(self) -> int:
+        return len(self.ltris)
+
+
+def to_slim(w: BVH8) -> BVH8Slim:
+    """Re-encode a BVH8 (built with leaf_max=8) into leaf-blocked form."""
+    nodes = w.nodes.copy()
+    cidx = nodes[:, 48:56].view(np.int32)
+    ccnt = nodes[:, 56:64].view(np.int32)
+    is_leaf = ccnt > 0
+    if is_leaf.any() and int(ccnt[is_leaf].max()) > 8:
+        raise ValueError("slim tables need leaf_max <= 8")
+
+    starts = cidx[is_leaf]
+    counts = ccnt[is_leaf]
+    nl = len(starts)
+    ltris = np.zeros((max(nl, 1), 72), np.float32)
+    leaf_id = np.full((max(nl, 1) * 8,), -1, np.int32)
+    for row, (s, c) in enumerate(zip(starts, counts)):
+        ltris[row, : 9 * c] = w.tris9[s : s + c].reshape(-1)
+        leaf_id[row * 8 : row * 8 + c] = w.leaf_tri_id[s : s + c]
+    # pre-encode entries: leaf children -> -(leaf_row + 1); empty -> EMPTY
+    leaf_rows = np.arange(nl, dtype=np.int32)
+    cidx[is_leaf] = -(leaf_rows + 1)
+    cidx[ccnt == -1] = SLIM_EMPTY
+    return BVH8Slim(
+        nodes=nodes, ltris=ltris, leaf_id=leaf_id, max_depth=w.max_depth
     )

@@ -90,7 +90,7 @@ def block_shape(width: int, height: int):
 
 def blocked_lane_rays(cam: CameraArrays, lane, width: int, height: int, bh: int, bw: int):
     """Rays in pixel-block order: consecutive lanes cover a bh x bw pixel
-    block (coherent packets for ops/traverse_packet).  Returns
+    block (coherent packets for ops/traverse_packet_slim).  Returns
     (origin, direction, pixel_index) where pixel_index is the row-major
     framebuffer position of each lane -- used to key RNG streams so the
     rendered image is bitwise independent of ray ordering."""

@@ -83,10 +83,14 @@ class DeviceScene:
     snodes12: jnp.ndarray = None    # (BS, 12) threaded rows
     stris9: jnp.ndarray = None      # (T, 9) f32 perm (leaf) order
     sleaf_id: jnp.ndarray = None    # (T,) i32 perm order -> original id
-    # packet-kernel tables: wider leaves (8), shallower tree
-    pnodes: jnp.ndarray = None      # (BP, 64) wide rows for the packet kernel
-    ptris9: jnp.ndarray = None      # (TP, 9) leaf order
-    pleaf_id: jnp.ndarray = None    # (TP,) i32 -> original global tri id
+    # slim packet-kernel tables (models/bvh8.to_slim): fat 8-tri leaves,
+    # one 288-byte row per leaf, entries pre-encoded in the node rows
+    pnodes: jnp.ndarray = None      # (BP, 64) slim wide rows
+    pltris: jnp.ndarray = None      # (NL, 72) one padded row per leaf
+    pleaf_id: jnp.ndarray = None    # (NL*8,) i32 leaf slot -> global tri id
+    # world bounds (ray-reordering morton quantization)
+    world_lo: jnp.ndarray = None        # (3,) f32
+    world_inv_extent: jnp.ndarray = None  # (3,) f32
     # instances (TLAS): object-to-world transforms baked as inverses
     inst_inv: jnp.ndarray = None        # (I, 12) f32 world->object, 3x4 rows
     inst_nrm: jnp.ndarray = None        # (I, 9) f32 normal matrix (inv^T)
@@ -336,7 +340,7 @@ class Scene:
         pln = {k: [] for k in ("point", "normal", "obj")}
 
         pnodes_l, ptris_l, pleaf_l, proots = [], [], [], []
-        pnode_off = ptri_off = 0
+        pnode_off = pleaf_off = 0
         inst_inv_l, inst_nrm_l, inst_root_l, inst_obj_l = [], [], [], []
         inst_aabb_min, inst_aabb_max = [], []
         has_instances = any(
@@ -365,9 +369,14 @@ class Scene:
 
                 if self.use_wide:
                     if obj._wide_cache is None or obj._wide_cache[0] is not b:
-                        pb = b.rebuild(obj.build_option, max_leaf_size=8)
+                        # packet tree: fat leaves (leaf_stop=8) -- a slim
+                        # leaf is ONE row, so under-filled SAH leaves would
+                        # waste 7/8 of every leaf iteration
+                        pb = b.rebuild(obj.build_option, max_leaf_size=8, leaf_stop=8)
                         obj._wide_cache = (
-                            b, bvh8lib.collapse(b), bvh8lib.collapse(pb, leaf_max=8)
+                            b,
+                            bvh8lib.collapse(b),
+                            bvh8lib.to_slim(bvh8lib.collapse(pb, leaf_max=8)),
                         )
                     w = obj._wide_cache[1]
                     pw = obj._wide_cache[2]
@@ -376,13 +385,15 @@ class Scene:
                         pcidx = prow[:, 48:56].view(i32)
                         pccnt = prow[:, 56:64].view(i32)
                         pcidx[pccnt == 0] += pnode_off
-                        pcidx[pccnt > 0] += ptri_off
+                        pcidx[pccnt > 0] -= pleaf_off  # leaf enc -(row+1)
                         pnodes_l.append(prow)
-                        ptris_l.append(pw.tris9)
-                        pleaf_l.append(pw.leaf_tri_id + tri_off)
+                        ptris_l.append(pw.ltris)
+                        pleaf_l.append(
+                            np.where(pw.leaf_id >= 0, pw.leaf_id + tri_off, -1)
+                        )
                         proots.append(pnode_off)
                         pnode_off += pw.num_nodes
-                        ptri_off += len(pw.tris9)
+                        pleaf_off += pw.num_leaf_rows
                     wrow = w.nodes.copy()
                     cidx = wrow[:, 48:56].view(i32)
                     ccnt = wrow[:, 56:64].view(i32)
@@ -523,6 +534,26 @@ class Scene:
             s_perm_l.append(perm.astype(i32) + off)
             off += b.num_triangles
 
+        # world AABB over finite objects (planes excluded; morton keys
+        # clamp, so out-of-bounds positions merely share boundary cells)
+        wlo = np.full(3, np.inf, np.float32)
+        whi = np.full(3, -np.inf, np.float32)
+        for obj in self.objects:
+            if obj.kind == PRIM_MESH and obj.instances is None:
+                wlo = np.minimum(wlo, obj.bvh.nodes_min[0])
+                whi = np.maximum(whi, obj.bvh.nodes_max[0])
+            elif obj.kind == PRIM_SPHERE:
+                c, r = np.asarray(obj.sphere[0], np.float32), obj.sphere[1]
+                wlo = np.minimum(wlo, c - r)
+                whi = np.maximum(whi, c + r)
+        if inst_aabb_min:
+            wlo = np.minimum(wlo, np.stack(inst_aabb_min).min(0))
+            whi = np.maximum(whi, np.stack(inst_aabb_max).max(0))
+        if not np.isfinite(wlo).all():
+            wlo = np.zeros(3, np.float32)
+            whi = np.ones(3, np.float32)
+        wext = np.maximum(whi - wlo, 1e-6).astype(np.float32)
+
         use_wide = self.use_wide and len(wnodes) > 0
         # worst-case stack: 7 pushes per level of TLAS + deepest wide tree
         wstack = (
@@ -541,7 +572,7 @@ class Scene:
             wtris9=cat(wtris, 9),
             wleaf_id=cat(wleaf, 1, i32),
             pnodes=cat(pnodes_l, 64),
-            ptris9=cat(ptris_l, 9),
+            pltris=cat(ptris_l, 72),
             pleaf_id=cat(pleaf_l, 1, i32),
             snodes12=cat(snodes_l, 12),
             stris9=cat(s_tris_l, 9),
@@ -574,6 +605,8 @@ class Scene:
             inst_blas_root=jnp.asarray(np.asarray(inst_root_l, i32)),
             inst_blas_root_skip=jnp.asarray(np.asarray(s_inst_root, i32)),
             inst_obj=jnp.asarray(np.asarray(inst_obj_l, i32)),
+            world_lo=jnp.asarray(wlo.astype(np.float32)),
+            world_inv_extent=jnp.asarray((1.0 / wext).astype(np.float32)),
             has_mesh_lights=bool(np.any(l_tri_count > 0)),
             roots=tuple(roots),
             wroots=tuple(wroots),
@@ -611,10 +644,10 @@ def intersect_scene(
         and jax.default_backend() == "tpu"
     )
     if use_packet:
-        from cpugpupathtracing_tpu.ops import traverse_packet_mr as packetlib
+        from cpugpupathtracing_tpu.ops import traverse_packet_slim as packetlib
 
-        t, tri, depth, hit_iid = packetlib.traverse_packet_mr(
-            origin, direction, t_init, dev.pnodes, dev.ptris9, dev.pleaf_id,
+        t, tri, depth, hit_iid = packetlib.traverse_packet_slim(
+            origin, direction, t_init, dev.pnodes, dev.pltris, dev.pleaf_id,
             dev.proots, active=active, any_hit=any_hit,
         )
         mesh_hit = tri >= 0

@@ -56,7 +56,7 @@ def get_lib():
         lib.bvh_build.restype = ctypes.c_int
         lib.bvh_build.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -69,7 +69,12 @@ def get_lib():
     return _lib
 
 
-def native_bvh_build(tri_verts: np.ndarray, build_option: int, max_leaf_size: int | None):
+def native_bvh_build(
+    tri_verts: np.ndarray,
+    build_option: int,
+    max_leaf_size: int | None,
+    leaf_stop: int | None = None,
+):
     """Run the native builder. tri_verts: (T, 9) f32 [v0, v1, v2].
     Returns (nodes_min, nodes_max, left_first, prim_count, perm, max_depth)
     or None if the native library is unavailable."""
@@ -91,7 +96,7 @@ def native_bvh_build(tri_verts: np.ndarray, build_option: int, max_leaf_size: in
 
     rc = lib.bvh_build(
         p(tri_verts, ctypes.c_float), t, int(build_option),
-        int(max_leaf_size or 0),
+        int(max_leaf_size or 0), int(leaf_stop or 0),
         p(nodes_min, ctypes.c_float), p(nodes_max, ctypes.c_float),
         p(left_first, ctypes.c_int32), p(prim_count, ctypes.c_int32),
         p(perm, ctypes.c_int32), p(info, ctypes.c_int32),

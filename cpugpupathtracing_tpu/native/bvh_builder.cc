@@ -42,6 +42,8 @@ struct Builder {
   int T;
   int option;
   int max_leaf;
+  int leaf_stop;  // stop subdividing at <= N tris (0 = off); fat leaves
+                  // for the packet tables, where a leaf is one row
 
   std::vector<V3> cen, tmin, tmax;
   std::vector<int32_t> perm;
@@ -177,6 +179,7 @@ struct Builder {
       max_depth = std::max(max_depth, depth);
       int first = left_first[node];
       int count = prim_count[node];
+      if (leaf_stop > 0 && count <= leaf_stop) continue;
 
       int axis; float pos;
       bool split = choose_split(node, first, count, axis, pos);
@@ -253,15 +256,16 @@ extern "C" {
 //   nodes_min/max: 4*T*3 floats; left_first/prim_count: 4*T ints;
 //   perm: T ints; out_info: [num_nodes, max_depth].
 int bvh_build(const float* tri_verts, int num_tris, int build_option,
-              int max_leaf_size, float* nodes_min, float* nodes_max,
-              int32_t* left_first, int32_t* prim_count, int32_t* perm,
-              int32_t* out_info) {
+              int max_leaf_size, int leaf_stop, float* nodes_min,
+              float* nodes_max, int32_t* left_first, int32_t* prim_count,
+              int32_t* perm, int32_t* out_info) {
   if (num_tris <= 0) return 1;
   Builder b;
   b.tv = tri_verts;
   b.T = num_tris;
   b.option = build_option;
   b.max_leaf = max_leaf_size;
+  b.leaf_stop = leaf_stop;
   b.nodes_min = nodes_min;
   b.nodes_max = nodes_max;
   b.left_first = left_first;

@@ -1,0 +1,319 @@
+"""Slim multi-row packet traversal: the round-2 TPU fast path.
+
+Same execution shape as ops/traverse_packet_mr.py (8 independent 128-lane
+sub-packets per 1024-ray tile, per-row stacks in SMEM, node rows loading
+as an (8, 64) matrix whose column slices broadcast against the (8, 128)
+ray registers) but with the per-iteration control cost, measured to be
+the bottleneck on the TPU scalar unit, cut hard:
+
+  * NO per-stack-entry lane masks.  A child's slab pass implies the lane
+    passed every ancestor slab (child boxes nest), so per-entry masks only
+    de-duplicated work that per-lane t-pruning already bounds; dropping
+    them removes ~128 dynamic-indexed vector row ops and all staging
+    writes per iteration.  Hit results stay exact: triangle accepts are
+    validated per lane against (act, t) only.
+  * Leaves are ONE padded 288-byte row (models/bvh8.py to_slim): a leaf
+    resolves in a single iteration with a single dynamic row load, versus
+    LEAF_CHUNK narrow loads and cursor bookkeeping.
+  * Child entries are PRE-ENCODED in the node row (interior row / leaf
+    row / EMPTY sentinel), so per-child decode disappears.
+  * Ordering: closest-hit pushes the nearest child LAST (one scalar
+    argmin sweep, ~7 compares) instead of a 19-stage sorting network;
+    any-hit pushes in fixed order (occlusion needs no ordering).
+  * Per-lane bvh_depth is REAL here (the packet_mr kernel returned
+    zeros): a lane counts an expansion when it passes >= 1 child slab,
+    which equals the per-lane descend count of ops/traverse_wide.py up to
+    t-evolution timing (documented AOV semantics; heatmaps match).
+
+Reference parity: hit predicate identical to BVH::Traverse
+(Source/BVH.cpp:61-127) composed over the 8-wide tree; payload.tri_idx
+maps back to original ids via leaf_id like Source/BVH.cpp:81.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
+
+TILE = 1024
+ROWS = 8
+LANES = 128
+WIDTH = 8
+LEAF_TRIS = 8
+STACK = 64
+TRI_DET_EPS = 0.001
+DONE = 0x7FFFFFFF
+BIG = 1e30
+
+
+def _traverse_kernel(
+    nodes_ref,   # (B, 64) f32 VMEM, entries pre-encoded in cols 48..55
+    ltris_ref,   # (NL, 72) f32 VMEM, one row per leaf (8 padded tris)
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (TILE,)
+    t0_ref, act_ref,
+    t_out, hit_out, depth_out,
+    entry_ref,   # SMEM (ROWS,) i32 current entry per row
+    sptr_ref,    # SMEM (ROWS,) i32 stack pointer per row
+    stack_ref,   # SMEM (ROWS, STACK) i32
+    *, roots: tuple, any_hit: bool, count_depth: bool,
+):
+    shape = (ROWS, LANES)
+    ox = ox_ref[:].reshape(shape)
+    oy = oy_ref[:].reshape(shape)
+    oz = oz_ref[:].reshape(shape)
+    dx = dx_ref[:].reshape(shape)
+    dy = dy_ref[:].reshape(shape)
+    dz = dz_ref[:].reshape(shape)
+    act0 = act_ref[:].reshape(shape) != 0
+    ix = jnp.where(dx == 0.0, BIG, 1.0 / dx)
+    iy = jnp.where(dy == 0.0, BIG, 1.0 / dy)
+    iz = jnp.where(dz == 0.0, BIG, 1.0 / dz)
+    t0 = t0_ref[:].reshape(shape)
+
+    for j in range(ROWS):
+        entry_ref[j] = roots[0]
+        sptr_ref[j] = len(roots) - 1
+        for i, r in enumerate(roots[1:]):
+            stack_ref[j, i] = r
+
+    def body(carry):
+        t, hit, depth, _ = carry
+        m = act0
+        if any_hit:
+            m = m & (hit < 0)
+
+        # ---- per-row entry decode + row loads (scalar control) ----
+        nrows, lrows, leaf_s, lrow_s = [], [], [], []
+        for j in range(ROWS):
+            e = entry_ref[j]
+            live = e != DONE
+            leaf = live & (e < 0)
+            node = jnp.where(live & (e >= 0), e, 0)
+            lrow = jnp.where(leaf, -e - 1, 0)
+            nrows.append(nodes_ref[pl.ds(node, 1), :])
+            lrows.append(ltris_ref[pl.ds(lrow, 1), :])
+            leaf_s.append(leaf)
+            lrow_s.append(lrow)
+        nmat = jnp.concatenate(nrows, axis=0)          # (8, 64)
+        lmat = jnp.concatenate(lrows, axis=0)          # (8, 72)
+        imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
+        leaf_v = jnp.concatenate(
+            [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
+            axis=0,
+        ) != 0                                          # (8, 1)
+        lrow_v = jnp.concatenate(
+            [jnp.full((1, 1), lrow_s[j], jnp.int32) for j in range(ROWS)],
+            axis=0,
+        )                                               # (8, 1)
+
+        # ---- interior: 8 child slab tests on (8,1)-broadcast bounds ----
+        child_dmin = []
+        lane_desc = None
+        for k in range(WIDTH):
+            b = nmat[:, 6 * k : 6 * k + 6]
+            tx1 = (b[:, 0:1] - ox) * ix
+            ty1 = (b[:, 1:2] - oy) * iy
+            tz1 = (b[:, 2:3] - oz) * iz
+            tx2 = (b[:, 3:4] - ox) * ix
+            ty2 = (b[:, 4:5] - oy) * iy
+            tz2 = (b[:, 5:6] - oz) * iz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+                jnp.minimum(tz1, tz2),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+                jnp.maximum(tz1, tz2),
+            )
+            valid_v = imat[:, 48 + k : 49 + k] != SLIM_EMPTY   # (8, 1)
+            bm = (
+                (tmax >= tmin) & (tmin < t) & (tmax > 0.0)
+                & m & ~leaf_v & valid_v
+            )
+            child_dmin.append(
+                jnp.min(jnp.where(bm, tmin, jnp.inf), axis=1, keepdims=True)
+            )
+            if count_depth:
+                lane_desc = bm if lane_desc is None else (lane_desc | bm)
+        if count_depth:
+            depth = depth + lane_desc.astype(jnp.int32)
+
+        # ---- leaf: 8 triangles from one (8, 72) matrix ----
+        for c in range(LEAF_TRIS):
+            tm = lmat[:, 9 * c : 9 * c + 9]
+            v0x, v0y, v0z = tm[:, 0:1], tm[:, 1:2], tm[:, 2:3]
+            e1x, e1y, e1z = tm[:, 3:4], tm[:, 4:5], tm[:, 5:6]
+            e2x, e2y, e2z = tm[:, 6:7], tm[:, 7:8], tm[:, 8:9]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            det_ok = jnp.abs(a) >= TRI_DET_EPS
+            f = 1.0 / jnp.where(det_ok, a, 1.0)
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            valid = (
+                det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
+                & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
+                & m & leaf_v
+            )
+            t = jnp.where(valid, tt, t)
+            hit = jnp.where(valid, lrow_v * LEAF_TRIS + c, hit)
+
+        # ---- per-row control (scalar): push children, pop next ----
+        alive = jnp.int32(0)
+        for j in range(ROWS):
+            e = entry_ref[j]
+            live = e != DONE
+            sp = sptr_ref[j]
+
+            ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
+            es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+            if any_hit:
+                order = range(WIDTH)
+                best_k = None
+            else:
+                # nearest child pushed last (pops first); full sorting
+                # costs ~3x the scalar ops for little extra pruning
+                best_d = ds_[0]
+                best_k = jnp.int32(0)
+                for k in range(1, WIDTH):
+                    sw = ds_[k] < best_d
+                    best_d = jnp.where(sw, ds_[k], best_d)
+                    best_k = jnp.where(sw, jnp.int32(k), best_k)
+                order = range(WIDTH)
+            for k in order:
+                push = jnp.isfinite(ds_[k])
+                if best_k is not None:
+                    push = push & (best_k != k)
+                slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
+                prev = stack_ref[j, slot]
+                stack_ref[j, slot] = jnp.where(push, es_[k], prev)
+                sp = sp + jnp.where(push, 1, 0)
+            if best_k is not None:
+                push = jnp.isfinite(best_d)
+                ent_b = es_[0]
+                for k in range(1, WIDTH):
+                    ent_b = jnp.where(best_k == k, es_[k], ent_b)
+                slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
+                prev = stack_ref[j, slot]
+                stack_ref[j, slot] = jnp.where(push, ent_b, prev)
+                sp = sp + jnp.where(push, 1, 0)
+
+            # both entry kinds finish in one iteration: pop or done
+            can = live & (sp > 0)
+            top = stack_ref[j, jnp.maximum(sp - 1, 0)]
+            nxt = jnp.where(can, top, DONE)
+            sptr_ref[j] = jnp.where(can, sp - 1, sp)
+            entry_ref[j] = nxt
+            alive = alive + jnp.where(nxt != DONE, 1, 0)
+        return t, hit, depth, alive
+
+    def cond(carry):
+        return carry[3] > 0
+
+    t, hit, depth, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            t0,
+            jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape, jnp.int32),
+            jnp.int32(1),
+        ),
+    )
+    t_out[:] = t.reshape(-1)
+    hit_out[:] = hit.reshape(-1)
+    depth_out[:] = depth.reshape(-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("roots", "interpret", "any_hit", "count_depth"),
+)
+def traverse_packet_slim(
+    origin, direction, t_init, nodes, ltris, leaf_id, roots,
+    *, active=None, interpret: bool = False, any_hit: bool = False,
+    count_depth: bool = True,
+):
+    """Slim packet traversal.
+
+    Args mirror traverse_packet_mr: rays (N, 3)/(N,), slim tables from
+    models/bvh8.to_slim (nodes (B, 64), ltris (NL, 72), leaf_id (NL*8,)),
+    `roots` a tuple of root rows pre-seeded per sub-packet.  Returns
+    (t, original tri id or -1, per-lane bvh_depth, instance id (-1)).
+    """
+    n0 = origin.shape[0]
+    roots = tuple(int(r) for r in roots)
+    n = -(-n0 // TILE) * TILE
+    num_tiles = n // TILE
+    if active is None:
+        act = jnp.ones((n0,), jnp.int32)
+    else:
+        act = active.astype(jnp.int32)
+    if n != n0:
+        pad = n - n0
+        origin = jnp.concatenate([origin, jnp.ones((pad, 3), origin.dtype)])
+        direction = jnp.concatenate([direction, jnp.ones((pad, 3), direction.dtype)])
+        t_init = jnp.concatenate([t_init, jnp.zeros((pad,), t_init.dtype)])
+        act = jnp.concatenate([act, jnp.zeros((pad,), jnp.int32)])
+
+    t, hit, depth = pl.pallas_call(
+        functools.partial(
+            _traverse_kernel,
+            roots=roots,
+            any_hit=any_hit,
+            count_depth=count_depth,
+        ),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)] * 8,
+        out_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n,), jnp.float32),
+            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((ROWS,), jnp.int32),
+            pltpu.SMEM((ROWS,), jnp.int32),
+            pltpu.SMEM((ROWS, STACK), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        nodes, ltris,
+        origin[:, 0], origin[:, 1], origin[:, 2],
+        direction[:, 0], direction[:, 1], direction[:, 2],
+        t_init, act,
+    )
+    t = t[:n0]
+    hit = hit[:n0]
+    depth = depth[:n0]
+    nl8 = leaf_id.shape[0]
+    hit_orig = jnp.where(
+        hit >= 0, leaf_id[jnp.clip(hit, 0, max(nl8 - 1, 0))], -1
+    )
+    return t, hit_orig, depth, jnp.full((n0,), -1, jnp.int32)

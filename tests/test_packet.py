@@ -1,6 +1,8 @@
-"""Pallas packet-traversal kernel vs the brute-force oracle (interpret
-mode: the kernel's semantics run on CPU; compiled-mode parity is covered
-by the TPU benchmarks)."""
+"""Slim Pallas packet-traversal kernel vs the brute-force oracle.
+
+Interpret mode exercises the kernel's semantics on CPU; compiled-mode
+parity on the real chip is gated by tools/tpu_parity_gate.py (wired into
+bench.py so every perf run re-proves correctness)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -9,17 +11,20 @@ import pytest
 from cpugpupathtracing_tpu.config import BuildOption
 from cpugpupathtracing_tpu.models import bvh, bvh8, mesh
 from cpugpupathtracing_tpu.ops import intersect
-from cpugpupathtracing_tpu.ops import traverse_packet as tp
+from cpugpupathtracing_tpu.ops import traverse_packet_slim as tps
 from cpugpupathtracing_tpu.utils.vecmath import RAY_TMAX
 
 
-@pytest.fixture(scope="module")
-def sphere_bvh():
+@pytest.fixture(scope="module", params=[1, 8])
+def sphere_slim(request):
+    """(binary BVH, slim tables) -- leaf_stop 1 (thin SAH leaves) and 8
+    (fat packet leaves) exercise both leaf occupancy extremes."""
     m = mesh.icosphere(subdivisions=2)
     b = bvh.build(m.positions, m.normals, m.indices,
-                  BuildOption.SAH_SPLIT_INTERVALS, max_leaf_size=4)
-    w = bvh8.collapse(b)
-    return b, w
+                  BuildOption.SAH_SPLIT_INTERVALS, max_leaf_size=8,
+                  leaf_stop=request.param)
+    s = bvh8.to_slim(bvh8.collapse(b, leaf_max=8))
+    return b, s
 
 
 def _rays(rng_np, n):
@@ -30,114 +35,124 @@ def _rays(rng_np, n):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-def test_packet_matches_brute_force(sphere_bvh, rng_np):
-    b, w = sphere_bvh
+def _tables(s):
+    return jnp.asarray(s.nodes), jnp.asarray(s.ltris), jnp.asarray(s.leaf_id)
+
+
+def test_slim_matches_brute_force(sphere_slim, rng_np):
+    b, s = sphere_slim
     n = 2048
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
-    t, hit, _, _ = tp.traverse_packet(
-        o, d, t0, jnp.asarray(w.nodes), jnp.asarray(w.tris9),
-        jnp.asarray(w.leaf_tri_id), (0,), interpret=True,
+    t, hit, depth, _ = tps.traverse_packet_slim(
+        o, d, t0, *_tables(s), (0,), interpret=True,
     )
     bt, bidx = intersect.brute_force_nearest_triangle(
         o, d, jnp.asarray(b.tri_v0), jnp.asarray(b.tri_v1 - b.tri_v0),
         jnp.asarray(b.tri_v2 - b.tri_v0), t0,
     )
-    np.testing.assert_array_equal(np.asarray(hit) >= 0, np.asarray(bidx) >= 0)
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(bidx))
     np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
+    # bvh_depth is real on this kernel (the AOV the mr kernel zeroed):
+    # every ray that hit descended at least once
+    assert (np.asarray(depth)[np.asarray(hit) >= 0] >= 1).all()
 
 
-def test_packet_padding_and_active(sphere_bvh, rng_np):
+def test_slim_padding_and_active(sphere_slim, rng_np):
     """Non-multiple-of-tile ray counts are padded; inactive lanes are
-    excluded from the union and report misses."""
-    b, w = sphere_bvh
+    excluded from unions and report misses; active lanes stay exact."""
+    b, s = sphere_slim
     n = 1500  # not a multiple of 1024
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
     act = jnp.asarray(rng_np.random(n) < 0.5)
-    t, hit, _, _ = tp.traverse_packet(
-        o, d, t0, jnp.asarray(w.nodes), jnp.asarray(w.tris9),
-        jnp.asarray(w.leaf_tri_id), (0,), active=act, interpret=True,
+    t, hit, _, _ = tps.traverse_packet_slim(
+        o, d, t0, *_tables(s), (0,), active=act, interpret=True,
     )
     assert t.shape == (n,)
     inactive = ~np.asarray(act)
     assert (np.asarray(hit)[inactive] == -1).all()
     np.testing.assert_allclose(np.asarray(t)[inactive], RAY_TMAX)
+    bt, bidx = intersect.brute_force_nearest_triangle(
+        o, d, jnp.asarray(b.tri_v0), jnp.asarray(b.tri_v1 - b.tri_v0),
+        jnp.asarray(b.tri_v2 - b.tri_v0), t0,
+    )
+    a = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(hit)[a], np.asarray(bidx)[a])
 
 
-def test_packet_any_hit_occlusion(sphere_bvh, rng_np):
-    b, w = sphere_bvh
+def test_slim_any_hit_occlusion(sphere_slim, rng_np):
+    b, s = sphere_slim
     n = 1024
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
-    args = (jnp.asarray(w.nodes), jnp.asarray(w.tris9), jnp.asarray(w.leaf_tri_id))
-    _, h_near, _, _ = tp.traverse_packet(o, d, t0, *args, (0,), interpret=True)
-    _, h_any, _, _ = tp.traverse_packet(
-        o, d, t0, *args, (0,), any_hit=True, interpret=True
+    _, h_near, _, _ = tps.traverse_packet_slim(
+        o, d, t0, *_tables(s), (0,), interpret=True
+    )
+    _, h_any, _, _ = tps.traverse_packet_slim(
+        o, d, t0, *_tables(s), (0,), any_hit=True, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(h_any) >= 0, np.asarray(h_near) >= 0)
 
 
-def test_packet_tmax(sphere_bvh):
-    b, w = sphere_bvh
+def test_slim_tmax(sphere_slim):
+    b, s = sphere_slim
     o = jnp.tile(jnp.array([[0.11, 0.07, 5.0]]), (1024, 1))
     d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (1024, 1))
     t0 = jnp.concatenate([
         jnp.full((512,), 3.0, jnp.float32),   # tmax before the sphere
         jnp.full((512,), 10.0, jnp.float32),
     ])
-    t, hit, _, _ = tp.traverse_packet(
-        o, d, t0, jnp.asarray(w.nodes), jnp.asarray(w.tris9),
-        jnp.asarray(w.leaf_tri_id), (0,), interpret=True,
+    t, hit, _, _ = tps.traverse_packet_slim(
+        o, d, t0, *_tables(s), (0,), interpret=True,
     )
     assert (np.asarray(hit)[:512] == -1).all()
     assert (np.asarray(hit)[512:] >= 0).all()
 
 
-def test_packet_mr_matches_brute_force(rng_np):
-    """Multi-row (8 sub-packet) kernel vs the oracle, interpret mode."""
-    from cpugpupathtracing_tpu.ops import traverse_packet_mr as tm
+def test_slim_multi_root(rng_np):
+    """Two concatenated objects, both roots pre-seeded: nearest hit must
+    win across objects (the fused IntersectScene contract)."""
+    m1 = mesh.icosphere(subdivisions=1)
+    m2 = mesh.cube(half=0.4)
+    parts, roots, node_off, leaf_off, tri_off = [], [], 0, 0, 0
+    ln, lt, li = [], [], []
+    tv0, tv1, tv2 = [], [], []
+    for m in (m1, m2):
+        b = bvh.build(m.positions, m.normals, m.indices,
+                      BuildOption.SAH_SPLIT_INTERVALS, max_leaf_size=8,
+                      leaf_stop=8)
+        s = bvh8.to_slim(bvh8.collapse(b, leaf_max=8))
+        nd = s.nodes.copy()
+        cidx = nd[:, 48:56].view(np.int32)
+        ccnt = nd[:, 56:64].view(np.int32)
+        cidx[ccnt == 0] += node_off
+        cidx[ccnt > 0] -= leaf_off
+        ln.append(nd)
+        lt.append(s.ltris)
+        li.append(np.where(s.leaf_id >= 0, s.leaf_id + tri_off, -1))
+        roots.append(node_off)
+        node_off += s.num_nodes
+        leaf_off += s.num_leaf_rows
+        tri_off += b.num_triangles
+        tv0.append(b.tri_v0)
+        tv1.append(b.tri_v1)
+        tv2.append(b.tri_v2)
+    nodes = jnp.asarray(np.concatenate(ln))
+    ltris = jnp.asarray(np.concatenate(lt))
+    lid = jnp.asarray(np.concatenate(li))
+    v0 = np.concatenate(tv0)
+    v1 = np.concatenate(tv1)
+    v2 = np.concatenate(tv2)
 
-    m = mesh.icosphere(subdivisions=1)
-    b = bvh.build(m.positions, m.normals, m.indices,
-                  BuildOption.SAH_SPLIT_INTERVALS, max_leaf_size=8)
-    w = bvh8.collapse(b, leaf_max=8)
     n = 1024
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
-    t, hit, _, _ = tm.traverse_packet_mr(
-        o, d, t0, jnp.asarray(w.nodes), jnp.asarray(w.tris9),
-        jnp.asarray(w.leaf_tri_id), (0,), interpret=True,
+    t, hit, _, _ = tps.traverse_packet_slim(
+        o, d, t0, nodes, ltris, lid, tuple(roots), interpret=True,
     )
     bt, bidx = intersect.brute_force_nearest_triangle(
-        o, d, jnp.asarray(b.tri_v0), jnp.asarray(b.tri_v1 - b.tri_v0),
-        jnp.asarray(b.tri_v2 - b.tri_v0), t0,
+        o, d, jnp.asarray(v0), jnp.asarray(v1 - v0), jnp.asarray(v2 - v0), t0,
     )
-    np.testing.assert_array_equal(np.asarray(hit) >= 0, np.asarray(bidx) >= 0)
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(bidx))
     np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
-
-
-def test_packet_mr_active_and_anyhit(rng_np):
-    from cpugpupathtracing_tpu.ops import traverse_packet_mr as tm
-
-    m = mesh.icosphere(subdivisions=1)
-    b = bvh.build(m.positions, m.normals, m.indices,
-                  BuildOption.SAH_SPLIT_INTERVALS, max_leaf_size=8)
-    w = bvh8.collapse(b, leaf_max=8)
-    n = 1024
-    o, d = _rays(rng_np, n)
-    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
-    act = jnp.asarray(rng_np.random(n) < 0.5)
-    args = (jnp.asarray(w.nodes), jnp.asarray(w.tris9), jnp.asarray(w.leaf_tri_id))
-    t, hit, _, _ = tm.traverse_packet_mr(
-        o, d, t0, *args, (0,), active=act, interpret=True
-    )
-    inactive = ~np.asarray(act)
-    assert (np.asarray(hit)[inactive] == -1).all()
-    _, h_any, _, _ = tm.traverse_packet_mr(
-        o, d, t0, *args, (0,), any_hit=True, interpret=True
-    )
-    _, h_near, _, _ = tm.traverse_packet_mr(
-        o, d, t0, *args, (0,), interpret=True
-    )
-    np.testing.assert_array_equal(np.asarray(h_any) >= 0, np.asarray(h_near) >= 0)

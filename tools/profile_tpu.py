@@ -109,14 +109,14 @@ def _packet_setup():
 
 def section_kernel():
     print("== packet kernel: coherent vs incoherent ==")
-    from cpugpupathtracing_tpu.ops import traverse_packet_mr as pk
+    from cpugpupathtracing_tpu.ops import traverse_packet_slim as pk
 
     dev, o, d, n = _packet_setup()
     t0 = jnp.full((n,), 1e30, jnp.float32)
 
     f = jax.jit(
-        lambda o, d, t: pk.traverse_packet_mr(
-            o, d, t, dev.pnodes, dev.ptris9, dev.pleaf_id, dev.proots
+        lambda o, d, t: pk.traverse_packet_slim(
+            o, d, t, dev.pnodes, dev.pltris, dev.pleaf_id, dev.proots
         )
     )
     dt = bench(f, o, d, t0, label=f"primary coherent {n} rays")
@@ -173,8 +173,8 @@ def section_kernel():
     dl = lightc[None, :] - og
     dl = dl / jnp.linalg.norm(dl, axis=1, keepdims=True)
     fa = jax.jit(
-        lambda o, d, t: pk.traverse_packet_mr(
-            o, d, t, dev.pnodes, dev.ptris9, dev.pleaf_id, dev.proots,
+        lambda o, d, t: pk.traverse_packet_slim(
+            o, d, t, dev.pnodes, dev.pltris, dev.pleaf_id, dev.proots,
             any_hit=True,
         )
     )
@@ -191,12 +191,12 @@ def section_kernel():
 
     # same but each light's rays as a masked pass
     def two_pass(o, d, t, pick):
-        t1, h1, _, _ = pk.traverse_packet_mr(
-            o, d, t, dev.pnodes, dev.ptris9, dev.pleaf_id, dev.proots,
+        t1, h1, _, _ = pk.traverse_packet_slim(
+            o, d, t, dev.pnodes, dev.pltris, dev.pleaf_id, dev.proots,
             active=pick.astype(jnp.int32), any_hit=True,
         )
-        t2, h2, _, _ = pk.traverse_packet_mr(
-            o, d, t, dev.pnodes, dev.ptris9, dev.pleaf_id, dev.proots,
+        t2, h2, _, _ = pk.traverse_packet_slim(
+            o, d, t, dev.pnodes, dev.pltris, dev.pleaf_id, dev.proots,
             active=(~pick).astype(jnp.int32), any_hit=True,
         )
         return jnp.where(pick, t1, t2), jnp.where(pick, h1, h2)

@@ -71,7 +71,7 @@ def section_pallas():
     from cpugpupathtracing_tpu.models import materials as matlib
     from cpugpupathtracing_tpu.models import mesh as meshlib
     from cpugpupathtracing_tpu.models.scene import Scene, make_reference_scene
-    from cpugpupathtracing_tpu.ops import traverse_packet_mr as pk
+    from cpugpupathtracing_tpu.ops import traverse_packet_slim as pk
 
     tiny = Scene()
     m = tiny.add_material(matlib.Material.diffuse((0.5, 0.5, 0.5)))
@@ -81,16 +81,16 @@ def section_pallas():
     d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]], jnp.float32), (1024, 1))
     t0 = jnp.full((1024,), 1e30, jnp.float32)
     f = jax.jit(
-        lambda o, d, t: pk.traverse_packet_mr(
-            o, d, t, tdev.pnodes, tdev.ptris9, tdev.pleaf_id, tdev.proots
+        lambda o, d, t: pk.traverse_packet_slim(
+            o, d, t, tdev.pnodes, tdev.pltris, tdev.pleaf_id, tdev.proots
         )
     )
     bench(f, o, d, t0, label="packet kernel 1 tile, 12-tri cube table")
 
     dev = make_reference_scene().device()
     fd = jax.jit(
-        lambda o, d, t: pk.traverse_packet_mr(
-            o, d, t, dev.pnodes, dev.ptris9, dev.pleaf_id, dev.proots
+        lambda o, d, t: pk.traverse_packet_slim(
+            o, d, t, dev.pnodes, dev.pltris, dev.pleaf_id, dev.proots
         )
     )
     for ntiles in (1, 4, 16, 64):

@@ -30,15 +30,15 @@ def main():
     from cpugpupathtracing_tpu.config import CameraConfig
     from cpugpupathtracing_tpu.models import camera as camlib
     from cpugpupathtracing_tpu.models.scene import make_reference_scene
-    from cpugpupathtracing_tpu.ops import traverse_packet_mr as pk
+    from cpugpupathtracing_tpu.ops import traverse_packet_slim as pk
 
     dev = make_reference_scene().device()
     K = 8
 
     def chained(o, d, t):
         def body(i, t):
-            t2, hit, _, _ = pk.traverse_packet_mr(
-                o, d, t, dev.pnodes, dev.ptris9, dev.pleaf_id, dev.proots
+            t2, hit, _, _ = pk.traverse_packet_slim(
+                o, d, t, dev.pnodes, dev.pltris, dev.pleaf_id, dev.proots
             )
             # data dependence: reset to t_init but keep the chain live
             return jnp.where(hit >= -1, t, t2 * 0 + t)
