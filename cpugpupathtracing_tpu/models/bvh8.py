@@ -151,9 +151,19 @@ def collapse(b: BVH, leaf_max: int = LEAF_MAX) -> BVH8:
 @dataclasses.dataclass
 class BVH8Slim:
     """Leaf-blocked tables for the slim packet kernel
-    (ops/traverse_packet_slim.py): every leaf is ONE padded 288-byte row
-    (8 triangles x [v0, e1, e2]), so a traversal step does a single
-    dynamic row load per sub-packet instead of 8 narrow triangle loads.
+    (ops/traverse_packet_slim.py): every leaf is ONE 512-byte row of
+    8 triangle records, so a traversal step does a single full-tile
+    dynamic row load per sub-packet AND returns everything shading needs
+    (flat normal, owning object, original triangle id) without any
+    XLA-level per-lane gathers afterwards -- measured at ~0.5 GB/s on
+    TPU, those gathers dominated the round-1 frame.
+
+    ltris row layout, (NL, 128) f32 = 8 records x 16 cols:
+      +0..2  v0        +3..5  e1 = v1 - v0     +6..8  e2 = v2 - v0
+      +9..11 flat v0.normal (TriangleNormal, Source/Primitives.cpp:148)
+      +12    owning object index (bitcast i32; scene fills this)
+      +13    original triangle id (bitcast i32; -1 in padding records)
+      +14,15 zero padding (degenerate records fail the determinant test)
 
     nodes row layout, (B, 64) f32:
       cols  0..47: 8 children x (min.xyz, max.xyz)
@@ -167,8 +177,7 @@ class BVH8Slim:
     """
 
     nodes: np.ndarray     # (B, 64) f32
-    ltris: np.ndarray     # (NL, 72) f32, zero-padded (degenerate) tris
-    leaf_id: np.ndarray   # (NL * 8,) i32 leaf slot -> original tri id, -1 pad
+    ltris: np.ndarray     # (NL, 128) f32 leaf records
     max_depth: int
 
     @property
@@ -180,8 +189,11 @@ class BVH8Slim:
         return len(self.ltris)
 
 
-def to_slim(w: BVH8) -> BVH8Slim:
-    """Re-encode a BVH8 (built with leaf_max=8) into leaf-blocked form."""
+def to_slim(w: BVH8, tri_normal: np.ndarray) -> BVH8Slim:
+    """Re-encode a BVH8 (built with leaf_max=8) into leaf-blocked form.
+
+    tri_normal: (T, 3) flat per-triangle normals in ORIGINAL order.
+    The object-index column is left 0; the scene build stamps it."""
     nodes = w.nodes.copy()
     cidx = nodes[:, 48:56].view(np.int32)
     ccnt = nodes[:, 56:64].view(np.int32)
@@ -192,15 +204,20 @@ def to_slim(w: BVH8) -> BVH8Slim:
     starts = cidx[is_leaf]
     counts = ccnt[is_leaf]
     nl = len(starts)
-    ltris = np.zeros((max(nl, 1), 72), np.float32)
-    leaf_id = np.full((max(nl, 1) * 8,), -1, np.int32)
-    for row, (s, c) in enumerate(zip(starts, counts)):
-        ltris[row, : 9 * c] = w.tris9[s : s + c].reshape(-1)
-        leaf_id[row * 8 : row * 8 + c] = w.leaf_tri_id[s : s + c]
+    ltris = np.zeros((max(nl, 1), 128), np.float32)
+    tid_view = ltris.view(np.int32)
+    for row, (st, c) in enumerate(zip(starts, counts)):
+        for k in range(8):
+            base = 16 * k
+            if k < c:
+                ltris[row, base : base + 9] = w.tris9[st + k]
+                orig = int(w.leaf_tri_id[st + k])
+                ltris[row, base + 9 : base + 12] = tri_normal[orig]
+                tid_view[row, base + 13] = orig
+            else:
+                tid_view[row, base + 13] = -1
     # pre-encode entries: leaf children -> -(leaf_row + 1); empty -> EMPTY
     leaf_rows = np.arange(nl, dtype=np.int32)
     cidx[is_leaf] = -(leaf_rows + 1)
     cidx[ccnt == -1] = SLIM_EMPTY
-    return BVH8Slim(
-        nodes=nodes, ltris=ltris, leaf_id=leaf_id, max_depth=w.max_depth
-    )
+    return BVH8Slim(nodes=nodes, ltris=ltris, max_depth=w.max_depth)

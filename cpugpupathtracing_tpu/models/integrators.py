@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from cpugpupathtracing_tpu.config import DebugRenderMode, DiffusePdfMode, RenderSettings
 from cpugpupathtracing_tpu.models.scene import DeviceScene, hit_surface, intersect_scene
 from cpugpupathtracing_tpu.ops import sampling
+from cpugpupathtracing_tpu.ops.gathers import select_rows
 from cpugpupathtracing_tpu.utils import rng as rnglib
 from cpugpupathtracing_tpu.utils.vecmath import (
     INV_PI,
@@ -154,16 +155,20 @@ def trace_chunked(
 
 
 def _gather_material(dev: DeviceScene, mat_idx):
+    """Material lookup (GetRayHitResult's data.materials[mat_index],
+    Source/Main.cpp:336) as select chains: a handful of materials make a
+    small table, and per-lane XLA gathers cost ~15 ms each at wavefront
+    width on TPU (ops/gathers.py)."""
     m = dev.mat
     return dict(
-        albedo=m.albedo[mat_idx],
-        specular=m.specular[mat_idx],
-        refractivity=m.refractivity[mat_idx],
-        absorption=m.absorption[mat_idx],
-        ior=m.ior[mat_idx],
-        emissive=m.emissive[mat_idx],
-        intensity=m.intensity[mat_idx],
-        is_light=m.is_light[mat_idx],
+        albedo=select_rows(m.albedo, mat_idx),
+        specular=select_rows(m.specular, mat_idx),
+        refractivity=select_rows(m.refractivity, mat_idx),
+        absorption=select_rows(m.absorption, mat_idx),
+        ior=select_rows(m.ior, mat_idx),
+        emissive=select_rows(m.emissive, mat_idx),
+        intensity=select_rows(m.intensity, mat_idx),
+        is_light=select_rows(m.is_light, mat_idx),
     )
 
 
@@ -176,21 +181,21 @@ def sample_light(dev: DeviceScene, state, pos):
     nl = dev.num_lights
     state, li = rnglib.next_u32_range(state, 0, nl - 1)
     li = li.astype(jnp.int32)
-    is_sph = dev.light_is_sphere[li]
+    is_sph = select_rows(dev.light_is_sphere, li)
 
     # sphere light: visible-hemisphere point, half-sphere area
-    center = dev.light_sph_center[li]
-    radius = dev.light_sph_radius[li]
+    center = select_rows(dev.light_sph_center, li)
+    radius = select_rows(dev.light_sph_radius, li)
     state, p_sph = sampling.random_point_sphere_facing(state, center, radius, pos)
     n_sph = (p_sph - center) / jnp.maximum(radius[:, None], 1e-20)
-    area_sph = TWO_PI * dev.light_sph_radius_sq[li]
+    area_sph = TWO_PI * select_rows(dev.light_sph_radius_sq, li)
 
     # mesh light: uniform triangle, fold-sample, half total area.
     # statically skipped when every light is a sphere (the triangle-row
     # gathers are expensive at wavefront width).
     if dev.has_mesh_lights and dev.num_triangles > 0:
-        start = dev.light_tri_start[li].astype(jnp.uint32)
-        count = dev.light_tri_count[li].astype(jnp.uint32)
+        start = select_rows(dev.light_tri_start, li).astype(jnp.uint32)
+        count = select_rows(dev.light_tri_count, li).astype(jnp.uint32)
         state, ti = rnglib.next_u32_range(state, start, start + count - jnp.uint32(1))
         tmax = max(dev.num_triangles - 1, 0)
         ti = jnp.clip(ti.astype(jnp.int32), 0, tmax)
@@ -200,7 +205,7 @@ def sample_light(dev: DeviceScene, state, pos):
         v2 = v0 + row[:, 6:9]
         state, p_tri = sampling.random_point_triangle(state, v0, v1, v2)
         n_tri = dev.tri_normal[ti]
-        area_tri = dev.light_half_area[li]
+        area_tri = select_rows(dev.light_half_area, li)
         lpos = jnp.where(is_sph[:, None], p_sph, p_tri)
         lnormal = jnp.where(is_sph[:, None], n_sph, n_tri)
         area = jnp.where(is_sph, area_sph, area_tri)
@@ -211,7 +216,9 @@ def sample_light(dev: DeviceScene, state, pos):
         state, _ = rnglib.next_f32(state)
         lpos, lnormal, area = p_sph, n_sph, area_sph
 
-    lmat = _gather_material(dev, dev.obj_mat[dev.light_obj[li]])
+    lmat = _gather_material(
+        dev, select_rows(dev.obj_mat, select_rows(dev.light_obj, li))
+    )
     emission = lmat["emissive"] * lmat["intensity"][:, None]
 
     to_light = lpos - pos

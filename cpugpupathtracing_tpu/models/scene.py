@@ -32,6 +32,7 @@ from cpugpupathtracing_tpu.models import bvh as bvhlib
 from cpugpupathtracing_tpu.models import materials as matlib
 from cpugpupathtracing_tpu.models.mesh import Mesh
 from cpugpupathtracing_tpu.ops import intersect, traverse
+from cpugpupathtracing_tpu.ops.gathers import select_rows
 from cpugpupathtracing_tpu.utils.log import except_error
 from cpugpupathtracing_tpu.utils.vecmath import normalize
 
@@ -84,10 +85,10 @@ class DeviceScene:
     stris9: jnp.ndarray = None      # (T, 9) f32 perm (leaf) order
     sleaf_id: jnp.ndarray = None    # (T,) i32 perm order -> original id
     # slim packet-kernel tables (models/bvh8.to_slim): fat 8-tri leaves,
-    # one 288-byte row per leaf, entries pre-encoded in the node rows
+    # one 512-byte shading-complete row per leaf (embedded flat normal,
+    # object index, global triangle id), entries pre-encoded in nodes
     pnodes: jnp.ndarray = None      # (BP, 64) slim wide rows
-    pltris: jnp.ndarray = None      # (NL, 72) one padded row per leaf
-    pleaf_id: jnp.ndarray = None    # (NL*8,) i32 leaf slot -> global tri id
+    pltris: jnp.ndarray = None      # (NL, 128) leaf records
     # world bounds (ray-reordering morton quantization)
     world_lo: jnp.ndarray = None        # (3,) f32
     world_inv_extent: jnp.ndarray = None  # (3,) f32
@@ -124,6 +125,9 @@ class Hit(NamedTuple):
     prim: jnp.ndarray     # (N,) i32 global tri index / sphere row / plane row
     bvh_depth: jnp.ndarray  # (N,) i32 interior descents (debug AOV)
     inst: jnp.ndarray     # (N,) i32 instance id, -1 = world-space hit
+    # mesh normal returned by the slim packet kernel (None on the paths
+    # that gather it in hit_surface instead)
+    normal: jnp.ndarray | None = None
 
 
 @dataclasses.dataclass
@@ -376,7 +380,9 @@ class Scene:
                         obj._wide_cache = (
                             b,
                             bvh8lib.collapse(b),
-                            bvh8lib.to_slim(bvh8lib.collapse(pb, leaf_max=8)),
+                            bvh8lib.to_slim(
+                                bvh8lib.collapse(pb, leaf_max=8), pb.tri_normal
+                            ),
                         )
                     w = obj._wide_cache[1]
                     pw = obj._wide_cache[2]
@@ -387,10 +393,15 @@ class Scene:
                         pcidx[pccnt == 0] += pnode_off
                         pcidx[pccnt > 0] -= pleaf_off  # leaf enc -(row+1)
                         pnodes_l.append(prow)
-                        ptris_l.append(pw.ltris)
-                        pleaf_l.append(
-                            np.where(pw.leaf_id >= 0, pw.leaf_id + tri_off, -1)
-                        )
+                        # stamp object index + globalize triangle ids in
+                        # the shading-complete leaf records
+                        lt = pw.ltris.copy()
+                        ltv = lt.view(i32)
+                        for krec in range(8):
+                            ltv[:, 16 * krec + 12] = oi
+                            tidc = ltv[:, 16 * krec + 13]
+                            tidc[tidc >= 0] += tri_off
+                        ptris_l.append(lt)
                         proots.append(pnode_off)
                         pnode_off += pw.num_nodes
                         pleaf_off += pw.num_leaf_rows
@@ -572,8 +583,7 @@ class Scene:
             wtris9=cat(wtris, 9),
             wleaf_id=cat(wleaf, 1, i32),
             pnodes=cat(pnodes_l, 64),
-            pltris=cat(ptris_l, 72),
-            pleaf_id=cat(pleaf_l, 1, i32),
+            pltris=cat(ptris_l, 128),
             snodes12=cat(snodes_l, 12),
             stris9=cat(s_tris_l, 9),
             sleaf_id=cat(s_perm_l, 1, i32),
@@ -643,15 +653,16 @@ def intersect_scene(
         and dev.num_instances == 0
         and jax.default_backend() == "tpu"
     )
+    mesh_normal = None
     if use_packet:
         from cpugpupathtracing_tpu.ops import traverse_packet_slim as packetlib
 
-        t, tri, depth, hit_iid = packetlib.traverse_packet_slim(
-            origin, direction, t_init, dev.pnodes, dev.pltris, dev.pleaf_id,
+        t, tri, pobj, mesh_normal, depth = packetlib.traverse_packet_slim(
+            origin, direction, t_init, dev.pnodes, dev.pltris,
             dev.proots, active=active, any_hit=any_hit,
         )
         mesh_hit = tri >= 0
-        obj = jnp.where(mesh_hit, dev.tri_obj[jnp.maximum(tri, 0)], obj)
+        obj = jnp.where(mesh_hit, pobj, obj)
         prim = jnp.where(mesh_hit, tri, prim)
     elif dev.use_wide and dev.traversal == "skip" and dev.sroot >= 0:
         from cpugpupathtracing_tpu.ops import traverse_skip as skiplib
@@ -719,7 +730,7 @@ def intersect_scene(
         best = jnp.take_along_axis(ts, j[:, None], axis=1)[:, 0]
         closer = jnp.isfinite(best)
         t = jnp.where(closer, best, t)
-        obj = jnp.where(closer, dev.sph_obj[j], obj)
+        obj = jnp.where(closer, select_rows(dev.sph_obj, j), obj)
         kind = jnp.where(closer, PRIM_SPHERE, kind)
         prim = jnp.where(closer, j.astype(jnp.int32), prim)
 
@@ -733,11 +744,14 @@ def intersect_scene(
         best = jnp.take_along_axis(ts, j[:, None], axis=1)[:, 0]
         closer = jnp.isfinite(best)
         t = jnp.where(closer, best, t)
-        obj = jnp.where(closer, dev.pln_obj[j], obj)
+        obj = jnp.where(closer, select_rows(dev.pln_obj, j), obj)
         kind = jnp.where(closer, PRIM_PLANE, kind)
         prim = jnp.where(closer, j.astype(jnp.int32), prim)
 
-    return Hit(t=t, obj=obj, kind=kind, prim=prim, bvh_depth=depth, inst=inst)
+    return Hit(
+        t=t, obj=obj, kind=kind, prim=prim, bvh_depth=depth, inst=inst,
+        normal=mesh_normal,
+    )
 
 
 def hit_surface(dev: DeviceScene, hit: Hit, origin, direction):
@@ -746,8 +760,12 @@ def hit_surface(dev: DeviceScene, hit: Hit, origin, direction):
     Lanes with obj == -1 produce clamped garbage the caller must mask."""
     pos = origin + direction * hit.t[:, None]
     pc = jnp.maximum(hit.prim, 0)
-    n_mesh = dev.tri_normal[jnp.minimum(pc, dev.tri_normal.shape[0] - 1)] \
-        if dev.tri_normal.shape[0] > 0 else jnp.zeros_like(pos)
+    if hit.normal is not None:
+        n_mesh = hit.normal  # slim packet kernel returned it in-register
+    elif dev.tri_normal.shape[0] > 0:
+        n_mesh = dev.tri_normal[jnp.minimum(pc, dev.tri_normal.shape[0] - 1)]
+    else:
+        n_mesh = jnp.zeros_like(pos)
     if dev.num_instances:
         # instanced hits: world normal = normalize(inv(M)^T @ n_object)
         nm = dev.inst_nrm[jnp.maximum(hit.inst, 0)].reshape(-1, 3, 3)
@@ -755,19 +773,19 @@ def hit_surface(dev: DeviceScene, hit: Hit, origin, direction):
         n_mesh = jnp.where((hit.inst >= 0)[:, None], n_world, n_mesh)
     if dev.sph_center.shape[0] > 0:
         sc = jnp.minimum(pc, dev.sph_center.shape[0] - 1)
-        n_sph = normalize(pos - dev.sph_center[sc])
+        n_sph = normalize(pos - select_rows(dev.sph_center, sc))
     else:
         n_sph = jnp.zeros_like(pos)
     if dev.pln_normal.shape[0] > 0:
         pl = jnp.minimum(pc, dev.pln_normal.shape[0] - 1)
-        n_pln = dev.pln_normal[pl]
+        n_pln = select_rows(dev.pln_normal, pl)
     else:
         n_pln = jnp.zeros_like(pos)
     normal = jnp.where(
         (hit.kind == PRIM_SPHERE)[:, None], n_sph,
         jnp.where((hit.kind == PRIM_PLANE)[:, None], n_pln, n_mesh),
     )
-    mat_idx = dev.obj_mat[jnp.maximum(hit.obj, 0)]
+    mat_idx = select_rows(dev.obj_mat, jnp.maximum(hit.obj, 0))
     return pos, normal, mat_idx
 
 

@@ -12,9 +12,11 @@ the bottleneck on the TPU scalar unit, cut hard:
     them removes ~128 dynamic-indexed vector row ops and all staging
     writes per iteration.  Hit results stay exact: triangle accepts are
     validated per lane against (act, t) only.
-  * Leaves are ONE padded 288-byte row (models/bvh8.py to_slim): a leaf
-    resolves in a single iteration with a single dynamic row load, versus
-    LEAF_CHUNK narrow loads and cursor bookkeeping.
+  * Leaves are ONE padded 512-byte row (models/bvh8.py to_slim): a leaf
+    resolves in a single iteration with a single dynamic row load, and
+    the records embed flat normal / object index / original triangle id,
+    so the hit returns SHADING-COMPLETE payloads -- no XLA per-lane
+    gathers (measured ~0.5 GB/s on this chip) remain after traversal.
   * Child entries are PRE-ENCODED in the node row (interior row / leaf
     row / EMPTY sentinel), so per-child decode disappears.
   * Ordering: closest-hit pushes the nearest child LAST (one scalar
@@ -54,10 +56,10 @@ BIG = 1e30
 
 def _traverse_kernel(
     nodes_ref,   # (B, 64) f32 VMEM, entries pre-encoded in cols 48..55
-    ltris_ref,   # (NL, 72) f32 VMEM, one row per leaf (8 padded tris)
+    ltris_ref,   # (NL, 128) f32 VMEM, one row per leaf (8 x 16-col records)
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (TILE,)
     t0_ref, act_ref,
-    t_out, hit_out, depth_out,
+    t_out, hit_out, obj_out, nx_out, ny_out, nz_out, depth_out,
     entry_ref,   # SMEM (ROWS,) i32 current entry per row
     sptr_ref,    # SMEM (ROWS,) i32 stack pointer per row
     stack_ref,   # SMEM (ROWS, STACK) i32
@@ -83,7 +85,7 @@ def _traverse_kernel(
             stack_ref[j, i] = r
 
     def body(carry):
-        t, hit, depth, _ = carry
+        t, hit, obj, nx, ny, nz, depth, _ = carry
         m = act0
         if any_hit:
             m = m & (hit < 0)
@@ -101,7 +103,7 @@ def _traverse_kernel(
             leaf_s.append(leaf)
             lrow_s.append(lrow)
         nmat = jnp.concatenate(nrows, axis=0)          # (8, 64)
-        lmat = jnp.concatenate(lrows, axis=0)          # (8, 72)
+        lmat = jnp.concatenate(lrows, axis=0)          # (8, 128)
         imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
         leaf_v = jnp.concatenate(
             [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
@@ -144,9 +146,10 @@ def _traverse_kernel(
         if count_depth:
             depth = depth + lane_desc.astype(jnp.int32)
 
-        # ---- leaf: 8 triangles from one (8, 72) matrix ----
+        # ---- leaf: 8 x 16-col records from one (8, 128) matrix ----
+        limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
         for c in range(LEAF_TRIS):
-            tm = lmat[:, 9 * c : 9 * c + 9]
+            tm = lmat[:, 16 * c : 16 * c + 12]
             v0x, v0y, v0z = tm[:, 0:1], tm[:, 1:2], tm[:, 2:3]
             e1x, e1y, e1z = tm[:, 3:4], tm[:, 4:5], tm[:, 5:6]
             e2x, e2y, e2z = tm[:, 6:7], tm[:, 7:8], tm[:, 8:9]
@@ -171,7 +174,11 @@ def _traverse_kernel(
                 & m & leaf_v
             )
             t = jnp.where(valid, tt, t)
-            hit = jnp.where(valid, lrow_v * LEAF_TRIS + c, hit)
+            hit = jnp.where(valid, limat[:, 16 * c + 13 : 16 * c + 14], hit)
+            obj = jnp.where(valid, limat[:, 16 * c + 12 : 16 * c + 13], obj)
+            nx = jnp.where(valid, tm[:, 9:10], nx)
+            ny = jnp.where(valid, tm[:, 10:11], ny)
+            nz = jnp.where(valid, tm[:, 11:12], nz)
 
         # ---- per-row control (scalar): push children, pop next ----
         alive = jnp.int32(0)
@@ -220,23 +227,31 @@ def _traverse_kernel(
             sptr_ref[j] = jnp.where(can, sp - 1, sp)
             entry_ref[j] = nxt
             alive = alive + jnp.where(nxt != DONE, 1, 0)
-        return t, hit, depth, alive
+        return t, hit, obj, nx, ny, nz, depth, alive
 
     def cond(carry):
-        return carry[3] > 0
+        return carry[7] > 0
 
-    t, hit, depth, _ = jax.lax.while_loop(
+    t, hit, obj, nx, ny, nz, depth, _ = jax.lax.while_loop(
         cond,
         body,
         (
             t0,
             jnp.full(shape, -1, jnp.int32),
+            jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.int32),
             jnp.int32(1),
         ),
     )
     t_out[:] = t.reshape(-1)
     hit_out[:] = hit.reshape(-1)
+    obj_out[:] = obj.reshape(-1)
+    nx_out[:] = nx.reshape(-1)
+    ny_out[:] = ny.reshape(-1)
+    nz_out[:] = nz.reshape(-1)
     depth_out[:] = depth.reshape(-1)
 
 
@@ -245,16 +260,16 @@ def _traverse_kernel(
     static_argnames=("roots", "interpret", "any_hit", "count_depth"),
 )
 def traverse_packet_slim(
-    origin, direction, t_init, nodes, ltris, leaf_id, roots,
+    origin, direction, t_init, nodes, ltris, roots,
     *, active=None, interpret: bool = False, any_hit: bool = False,
     count_depth: bool = True,
 ):
-    """Slim packet traversal.
+    """Slim packet traversal with shading-complete hit payloads.
 
-    Args mirror traverse_packet_mr: rays (N, 3)/(N,), slim tables from
-    models/bvh8.to_slim (nodes (B, 64), ltris (NL, 72), leaf_id (NL*8,)),
-    `roots` a tuple of root rows pre-seeded per sub-packet.  Returns
-    (t, original tri id or -1, per-lane bvh_depth, instance id (-1)).
+    Rays (N, 3)/(N,), slim tables from models/bvh8.to_slim (nodes
+    (B, 64), ltris (NL, 128) leaf records), `roots` a tuple of root rows
+    pre-seeded per sub-packet.  Returns (t, original tri id or -1,
+    owning object index, flat normal (N, 3), per-lane bvh_depth).
     """
     n0 = origin.shape[0]
     roots = tuple(int(r) for r in roots)
@@ -271,7 +286,7 @@ def traverse_packet_slim(
         t_init = jnp.concatenate([t_init, jnp.zeros((pad,), t_init.dtype)])
         act = jnp.concatenate([act, jnp.zeros((pad,), jnp.int32)])
 
-    t, hit, depth = pl.pallas_call(
+    t, hit, obj, nx, ny, nz, depth = pl.pallas_call(
         functools.partial(
             _traverse_kernel,
             roots=roots,
@@ -285,13 +300,15 @@ def traverse_packet_slim(
         ]
         + [pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)] * 8,
         out_specs=[
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
+        ] * 7,
         out_shape=[
             jax.ShapeDtypeStruct((n,), jnp.float32),
             jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n,), jnp.float32),
+            jax.ShapeDtypeStruct((n,), jnp.float32),
+            jax.ShapeDtypeStruct((n,), jnp.float32),
             jax.ShapeDtypeStruct((n,), jnp.int32),
         ],
         scratch_shapes=[
@@ -309,11 +326,5 @@ def traverse_packet_slim(
         direction[:, 0], direction[:, 1], direction[:, 2],
         t_init, act,
     )
-    t = t[:n0]
-    hit = hit[:n0]
-    depth = depth[:n0]
-    nl8 = leaf_id.shape[0]
-    hit_orig = jnp.where(
-        hit >= 0, leaf_id[jnp.clip(hit, 0, max(nl8 - 1, 0))], -1
-    )
-    return t, hit_orig, depth, jnp.full((n0,), -1, jnp.int32)
+    normal = jnp.stack([nx[:n0], ny[:n0], nz[:n0]], axis=1)
+    return t[:n0], hit[:n0], obj[:n0], normal, depth[:n0]

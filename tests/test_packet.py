@@ -23,7 +23,7 @@ def sphere_slim(request):
     b = bvh.build(m.positions, m.normals, m.indices,
                   BuildOption.SAH_SPLIT_INTERVALS, max_leaf_size=8,
                   leaf_stop=request.param)
-    s = bvh8.to_slim(bvh8.collapse(b, leaf_max=8))
+    s = bvh8.to_slim(bvh8.collapse(b, leaf_max=8), b.tri_normal)
     return b, s
 
 
@@ -36,7 +36,7 @@ def _rays(rng_np, n):
 
 
 def _tables(s):
-    return jnp.asarray(s.nodes), jnp.asarray(s.ltris), jnp.asarray(s.leaf_id)
+    return jnp.asarray(s.nodes), jnp.asarray(s.ltris)
 
 
 def test_slim_matches_brute_force(sphere_slim, rng_np):
@@ -44,7 +44,7 @@ def test_slim_matches_brute_force(sphere_slim, rng_np):
     n = 2048
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
-    t, hit, depth, _ = tps.traverse_packet_slim(
+    t, hit, obj, normal, depth = tps.traverse_packet_slim(
         o, d, t0, *_tables(s), (0,), interpret=True,
     )
     bt, bidx = intersect.brute_force_nearest_triangle(
@@ -56,6 +56,11 @@ def test_slim_matches_brute_force(sphere_slim, rng_np):
     # bvh_depth is real on this kernel (the AOV the mr kernel zeroed):
     # every ray that hit descended at least once
     assert (np.asarray(depth)[np.asarray(hit) >= 0] >= 1).all()
+    # shading-complete payload: the embedded flat normal matches the
+    # binary tree's per-triangle v0.normal for every hit
+    hm = np.asarray(hit) >= 0
+    expect_n = b.tri_normal[np.asarray(hit)[hm]]
+    np.testing.assert_array_equal(np.asarray(normal)[hm], expect_n)
 
 
 def test_slim_padding_and_active(sphere_slim, rng_np):
@@ -66,7 +71,7 @@ def test_slim_padding_and_active(sphere_slim, rng_np):
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
     act = jnp.asarray(rng_np.random(n) < 0.5)
-    t, hit, _, _ = tps.traverse_packet_slim(
+    t, hit, _, _, _ = tps.traverse_packet_slim(
         o, d, t0, *_tables(s), (0,), active=act, interpret=True,
     )
     assert t.shape == (n,)
@@ -86,10 +91,10 @@ def test_slim_any_hit_occlusion(sphere_slim, rng_np):
     n = 1024
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
-    _, h_near, _, _ = tps.traverse_packet_slim(
+    _, h_near, _, _, _ = tps.traverse_packet_slim(
         o, d, t0, *_tables(s), (0,), interpret=True
     )
-    _, h_any, _, _ = tps.traverse_packet_slim(
+    _, h_any, _, _, _ = tps.traverse_packet_slim(
         o, d, t0, *_tables(s), (0,), any_hit=True, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(h_any) >= 0, np.asarray(h_near) >= 0)
@@ -103,7 +108,7 @@ def test_slim_tmax(sphere_slim):
         jnp.full((512,), 3.0, jnp.float32),   # tmax before the sphere
         jnp.full((512,), 10.0, jnp.float32),
     ])
-    t, hit, _, _ = tps.traverse_packet_slim(
+    t, hit, _, _, _ = tps.traverse_packet_slim(
         o, d, t0, *_tables(s), (0,), interpret=True,
     )
     assert (np.asarray(hit)[:512] == -1).all()
@@ -118,19 +123,24 @@ def test_slim_multi_root(rng_np):
     parts, roots, node_off, leaf_off, tri_off = [], [], 0, 0, 0
     ln, lt, li = [], [], []
     tv0, tv1, tv2 = [], [], []
-    for m in (m1, m2):
+    for oi, m in enumerate((m1, m2)):
         b = bvh.build(m.positions, m.normals, m.indices,
                       BuildOption.SAH_SPLIT_INTERVALS, max_leaf_size=8,
                       leaf_stop=8)
-        s = bvh8.to_slim(bvh8.collapse(b, leaf_max=8))
+        s = bvh8.to_slim(bvh8.collapse(b, leaf_max=8), b.tri_normal)
         nd = s.nodes.copy()
         cidx = nd[:, 48:56].view(np.int32)
         ccnt = nd[:, 56:64].view(np.int32)
         cidx[ccnt == 0] += node_off
         cidx[ccnt > 0] -= leaf_off
         ln.append(nd)
-        lt.append(s.ltris)
-        li.append(np.where(s.leaf_id >= 0, s.leaf_id + tri_off, -1))
+        lrec = s.ltris.copy()
+        lv = lrec.view(np.int32)
+        for k in range(8):
+            lv[:, 16 * k + 12] = oi
+            tid = lv[:, 16 * k + 13]
+            tid[tid >= 0] += tri_off
+        lt.append(lrec)
         roots.append(node_off)
         node_off += s.num_nodes
         leaf_off += s.num_leaf_rows
@@ -140,7 +150,6 @@ def test_slim_multi_root(rng_np):
         tv2.append(b.tri_v2)
     nodes = jnp.asarray(np.concatenate(ln))
     ltris = jnp.asarray(np.concatenate(lt))
-    lid = jnp.asarray(np.concatenate(li))
     v0 = np.concatenate(tv0)
     v1 = np.concatenate(tv1)
     v2 = np.concatenate(tv2)
@@ -148,8 +157,8 @@ def test_slim_multi_root(rng_np):
     n = 1024
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
-    t, hit, _, _ = tps.traverse_packet_slim(
-        o, d, t0, nodes, ltris, lid, tuple(roots), interpret=True,
+    t, hit, hobj, _, _ = tps.traverse_packet_slim(
+        o, d, t0, nodes, ltris, tuple(roots), interpret=True,
     )
     bt, bidx = intersect.brute_force_nearest_triangle(
         o, d, jnp.asarray(v0), jnp.asarray(v1 - v0), jnp.asarray(v2 - v0), t0,
