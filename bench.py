@@ -73,6 +73,17 @@ def main():
         rays += r.stats.traced_rays
     wall = time.time() - t0
 
+    # compiled-kernel parity gate (tools/tpu_parity_gate.py): every
+    # recorded perf number re-proves hit correctness on the same binary
+    parity = None
+    if jax.default_backend() == "tpu" and args.config == 3:
+        import sys as _sys
+
+        _sys.path.insert(0, "tools")
+        from tpu_parity_gate import check_parity
+
+        parity = check_parity()["ok"]
+
     mrays = rays / wall / 1e6
     frame_ms = wall / frames * 1000.0
     result = {
@@ -88,6 +99,7 @@ def main():
             "frames_timed": frames,
             "scene_build_s": round(build_s, 1),
             "first_frame_s": round(compile_s, 1),
+            "compiled_parity_ok": parity,
             "device": str(jax.devices()[0]),
         },
     }

@@ -42,7 +42,13 @@ import jax
 import jax.numpy as jnp
 
 from cpugpupathtracing_tpu.config import DebugRenderMode, DiffusePdfMode, RenderSettings
-from cpugpupathtracing_tpu.models.scene import DeviceScene, hit_surface, intersect_scene
+from cpugpupathtracing_tpu.models.scene import (
+    DeviceScene,
+    hit_surface,
+    intersect_scene,
+    packet_path_active,
+    reorder_key,
+)
 from cpugpupathtracing_tpu.ops import sampling
 from cpugpupathtracing_tpu.ops.gathers import select_rows
 from cpugpupathtracing_tpu.utils import rng as rnglib
@@ -89,6 +95,7 @@ def trace_chunked(
     direction,
     state,
     max_chunk: int = 131072,
+    idx=None,
 ):
     """Run a trace function over the batch in sequential chunks via
     lax.map.
@@ -102,18 +109,15 @@ def trace_chunked(
     on global lane index and hits are exact.
     """
     n = origin.shape[0]
-    if (
-        dev.use_wide
-        and dev.traversal == "packet"
-        and dev.num_instances == 0
-        and jax.default_backend() == "tpu"
-    ):
+    if packet_path_active(dev):
         # the packet kernel's grid programs are already independent
         # fixed-size tiles; XLA-level chunking would only serialize
         # pallas launches
         max_chunk = 1 << 22
     if n <= max_chunk:
-        return trace_fn(dev, settings, origin, direction, state)
+        return trace_fn(dev, settings, origin, direction, state, idx=idx)
+    # chunked calls drop idx: wavefront sorting only runs on the
+    # unchunked packet path (chunk-local identities would be needed)
     # full-size chunks via lax.map plus ONE remainder call: exact ray
     # counts, no divisor search (a prime n used to degrade to chunk
     # size 1), at most two traced trace_fn bodies
@@ -152,6 +156,84 @@ def trace_chunked(
         ray_depth=ray_depth,
         bvh_depth=bvh_depth,
     )
+
+
+def sort_wavefront(dev: DeviceScene, c: dict, slots) -> dict:
+    """Permute every per-lane carry column by the ray-coherence key
+    (scene.reorder_key) of the carry's next ray.
+
+    The TPU replacement for the reference's early-returning pool threads
+    (Source/Main.cpp:704-748): the packet kernel traverses 128-lane
+    sub-packets in lockstep, so scattered dead lanes and incoherent
+    bounce fans cost the union of every lane's node sequence.  One sort
+    per depth (a) drains dead lanes in compact sub-packets and (b)
+    regroups survivors by direction octant + origin morton.  Bitwise
+    invisible: shading and RNG are strictly per-lane (the state and the
+    `lane` identity column ride along), hits are exact, and the only
+    cross-lane reduction (`traced`) is an integer sum.
+
+    The permutation is ONE multi-payload lax.sort: on this part a sort
+    with k payload operands is far cheaper than sort-then-gather (key +
+    6 payloads ~9.6 ms at 1080p vs ~60 ms for a second (N, 8) row
+    gather, tools/profile_reorder.py).  The small integer/bool entries
+    (active, is_specular, final_depth, bvh_depth0) fold into ONE payload
+    -- fd(8 bits) | bvh_depth0 << 8 (22 bits) | active << 30 |
+    is_specular << 31 -- to cut the operand count.  `slots` is the fixed
+    0..N-1 position iota passed as a DEVICE array (an embedded iota
+    breaks multi-device dispatch, see camera.lane_rays); it rides as a
+    payload only to keep the sort's operand shapes uniform.
+    """
+    act_i = c["active"].astype(jnp.int32)
+    key = reorder_key(dev, c["ray_o"], c["ray_d"], act_i)
+
+    folded = dict(c)
+    word = folded.pop("final_depth") | (folded.pop("bvh_depth0") << 8)
+    word = word | (act_i << 30)
+    folded.pop("active")
+    spec = folded.pop("is_specular", None)
+    if spec is not None:
+        word = word | (spec.astype(jnp.int32) << 31)
+    folded["_word"] = word
+
+    cols, meta = [], {}
+    for k in sorted(folded):
+        v = folded[k]
+        if v.ndim == 0:
+            continue
+        if v.ndim == 2:
+            meta[k] = (len(cols), v.shape[1])
+            cols.extend(v[:, j] for j in range(v.shape[1]))
+        else:
+            meta[k] = (len(cols), 0)
+            cols.append(v)
+    cols = jax.lax.sort((key, *cols), num_keys=1)[1:]
+
+    out = {}
+    for k, v in folded.items():
+        if v.ndim == 0:
+            out[k] = v
+            continue
+        start, width = meta[k]
+        if width:
+            out[k] = jnp.stack(cols[start : start + width], axis=1)
+        else:
+            out[k] = cols[start]
+    word = out.pop("_word")
+    out["final_depth"] = word & 0xFF
+    out["bvh_depth0"] = (word >> 8) & 0x3FFFFF
+    out["active"] = (word >> 30) & 1 != 0
+    if spec is not None:
+        out["is_specular"] = word < 0  # bit 31
+    return out
+
+
+def restore_lane_order(lane, slots, cols):
+    """Undo wavefront sorting: one multi-payload sort keyed on the
+    original lane id returns the given per-lane columns to caller
+    order.  `slots` is unused (kept for signature parity with
+    sort_wavefront's iota-free contract)."""
+    del slots
+    return jax.lax.sort((lane, *cols), num_keys=1)[1:]
 
 
 def _gather_material(dev: DeviceScene, mat_idx):
@@ -287,9 +369,13 @@ def trace_advanced(
     origin,
     direction,
     state,
+    idx=None,
 ) -> tuple[jnp.ndarray, TraceResult]:
     """TracePathAdvanced (Source/Main.cpp:396-579) over a lane batch.
     The depth loop is a lax.scan (one traced body, fast compiles).
+    `idx` (optional (N,) 0..N-1 device array) enables once-per-depth
+    wavefront sorting on the packet path (sort_wavefront) -- bitwise
+    identical images, coherent sub-packets, dead-lane compaction.
     Returns (rng_state, TraceResult)."""
     n = origin.shape[0]
     f32 = jnp.float32
@@ -297,6 +383,11 @@ def trace_advanced(
     if debug_bvh:
         return _debug_bvh_result(dev, origin, direction, state, n)
     nee = settings.next_event_estimation and dev.num_lights > 0
+    do_sort = (
+        idx is not None
+        and settings.max_ray_depth + 1 <= 0xFF  # fits sort_wavefront's fold
+        and packet_path_active(dev)
+    )
 
     carry = dict(
         throughput=jnp.ones((n, 3), f32),
@@ -310,6 +401,8 @@ def trace_advanced(
         bvh_depth0=jnp.zeros((n,), jnp.int32),
         traced=jnp.zeros((), jnp.int32),
     )
+    if do_sort:
+        carry["lane"] = idx.astype(jnp.int32)
 
     def body(c, depth):
         state = c["state"]
@@ -442,21 +535,22 @@ def trace_advanced(
         is_specular = jnp.where(sel_spec | diel_bounce, True, is_specular)
         is_specular = jnp.where(sel_diff, False, is_specular)
 
-        return (
-            dict(
-                throughput=throughput,
-                energy=energy,
-                active=active,
-                is_specular=is_specular,
-                ray_o=ray_o,
-                ray_d=ray_d,
-                state=state,
-                final_depth=final_depth,
-                bvh_depth0=bvh_depth0,
-                traced=traced,
-            ),
-            None,
+        nc = dict(
+            throughput=throughput,
+            energy=energy,
+            active=active,
+            is_specular=is_specular,
+            ray_o=ray_o,
+            ray_d=ray_d,
+            state=state,
+            final_depth=final_depth,
+            bvh_depth0=bvh_depth0,
+            traced=traced,
         )
+        if do_sort:
+            nc["lane"] = c["lane"]
+            nc = sort_wavefront(dev, nc, idx.astype(jnp.int32))
+        return nc, None
 
     carry, _ = jax.lax.scan(
         body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
@@ -465,6 +559,17 @@ def trace_advanced(
     final_depth = jnp.where(
         active, settings.max_ray_depth + 1, carry["final_depth"]
     )
+    state, bvh_depth0 = carry["state"], carry["bvh_depth0"]
+    if do_sort:
+        e0, e1, e2, final_depth, bvh_depth0, state = restore_lane_order(
+            carry["lane"],
+            idx.astype(jnp.int32),
+            (
+                energy[:, 0], energy[:, 1], energy[:, 2],
+                final_depth, bvh_depth0, state,
+            ),
+        )
+        energy = jnp.stack([e0, e1, e2], axis=1)
     if settings.debug_render_mode == DebugRenderMode.RAY_DEPTH:
         # energy OVERWRITE (Main.cpp:575-576)
         energy = lerp(
@@ -472,8 +577,8 @@ def trace_advanced(
             _RED,
             (final_depth.astype(f32) / f32(settings.max_ray_depth))[:, None],
         )
-    return carry["state"], TraceResult(
-        energy, carry["traced"], final_depth, carry["bvh_depth0"]
+    return state, TraceResult(
+        energy, carry["traced"], final_depth, bvh_depth0
     )
 
 
@@ -483,14 +588,21 @@ def trace_brute(
     origin,
     direction,
     state,
+    idx=None,
 ) -> tuple[jnp.ndarray, TraceResult]:
     """TracePath (Source/Main.cpp:581-689): brute-force path tracing.
     The recursion is a linear chain, unrolled to throughput form; the
-    depth loop is a lax.scan.  Returns (rng_state, TraceResult)."""
+    depth loop is a lax.scan.  `idx` enables once-per-depth wavefront
+    sorting (see trace_advanced).  Returns (rng_state, TraceResult)."""
     n = origin.shape[0]
     f32 = jnp.float32
     if settings.debug_render_mode == DebugRenderMode.BVH_DEPTH:
         return _debug_bvh_result(dev, origin, direction, state, n)
+    do_sort = (
+        idx is not None
+        and settings.max_ray_depth + 1 <= 0xFF  # fits sort_wavefront's fold
+        and packet_path_active(dev)
+    )
 
     carry = dict(
         throughput=jnp.ones((n, 3), f32),
@@ -503,6 +615,8 @@ def trace_brute(
         bvh_depth0=jnp.zeros((n,), jnp.int32),
         traced=jnp.zeros((), jnp.int32),
     )
+    if do_sort:
+        carry["lane"] = idx.astype(jnp.int32)
 
     def body(c, depth):
         state = c["state"]
@@ -580,20 +694,21 @@ def trace_brute(
         ray_o = jnp.where(bounced[:, None], new_o, ray_o)
         ray_d = jnp.where(bounced[:, None], new_dir, ray_d)
 
-        return (
-            dict(
-                throughput=throughput,
-                energy=energy,
-                active=active,
-                ray_o=ray_o,
-                ray_d=ray_d,
-                state=state,
-                final_depth=final_depth,
-                bvh_depth0=bvh_depth0,
-                traced=traced,
-            ),
-            None,
+        nc = dict(
+            throughput=throughput,
+            energy=energy,
+            active=active,
+            ray_o=ray_o,
+            ray_d=ray_d,
+            state=state,
+            final_depth=final_depth,
+            bvh_depth0=bvh_depth0,
+            traced=traced,
         )
+        if do_sort:
+            nc["lane"] = c["lane"]
+            nc = sort_wavefront(dev, nc, idx.astype(jnp.int32))
+        return nc, None
 
     carry, _ = jax.lax.scan(
         body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
@@ -601,6 +716,17 @@ def trace_brute(
     final_depth = jnp.where(
         carry["active"], settings.max_ray_depth + 1, carry["final_depth"]
     )
-    return carry["state"], TraceResult(
-        carry["energy"], carry["traced"], final_depth, carry["bvh_depth0"]
+    energy, state, bvh_depth0 = carry["energy"], carry["state"], carry["bvh_depth0"]
+    if do_sort:
+        e0, e1, e2, final_depth, bvh_depth0, state = restore_lane_order(
+            carry["lane"],
+            idx.astype(jnp.int32),
+            (
+                energy[:, 0], energy[:, 1], energy[:, 2],
+                final_depth, bvh_depth0, state,
+            ),
+        )
+        energy = jnp.stack([e0, e1, e2], axis=1)
+    return state, TraceResult(
+        energy, carry["traced"], final_depth, bvh_depth0
     )

@@ -52,6 +52,27 @@ from cpugpupathtracing_tpu.utils.log import log_info, log_warn
 from cpugpupathtracing_tpu.utils.vecmath import vec4_to_uint
 
 
+def trace_sample(dev, settings, origin, direction, state, idx):
+    """One sample over prepared rays: the render-mode dispatch shared by
+    the single-chip frame kernel and the sharded per-chip bodies
+    (parallel/sharding.py), so both run the identical integrator +
+    packet + wavefront-sorting code.  COMPARISON splits the frame and is
+    handled by the caller."""
+    if settings.render_mode == RenderMode.BRUTE_FORCE:
+        fn = integrators.trace_brute
+    elif settings.render_mode == RenderMode.ADVANCED:
+        fn = integrators.trace_advanced
+    elif settings.render_mode == RenderMode.WHITTED:
+        from cpugpupathtracing_tpu.models.whitted import trace_whitted
+
+        fn = trace_whitted
+    else:
+        raise ValueError(f"unknown render mode {settings.render_mode}")
+    return integrators.trace_chunked(
+        fn, dev, settings, origin, direction, state, idx=idx
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("settings", "width", "height", "spp", "seed"),
@@ -95,6 +116,9 @@ def render_frame_kernel(
 
     frame_energy = jnp.zeros((n, 3), jnp.float32)
     traced = jnp.zeros((), jnp.int32)
+    # lane identity for ray reordering (a device argument, not an
+    # embedded iota -- see the lane parameter's rationale above)
+    lane_idx = lane.astype(jnp.int32)
 
     for s in range(spp):
         stream = (sample_base + s).astype(jnp.uint32)
@@ -123,19 +147,11 @@ def render_frame_kernel(
                 axis=1,
             ).reshape(-1, 3)
             traced = traced + res_l.traced_rays + res_r.traced_rays
-        elif settings.render_mode == RenderMode.BRUTE_FORCE:
-            _, res = integrators.trace_chunked(integrators.trace_brute, dev, settings, origin, direction, state)
-            energy, traced = res.energy, traced + res.traced_rays
-        elif settings.render_mode == RenderMode.ADVANCED:
-            _, res = integrators.trace_chunked(integrators.trace_advanced, dev, settings, origin, direction, state)
-            energy, traced = res.energy, traced + res.traced_rays
-        elif settings.render_mode == RenderMode.WHITTED:
-            from cpugpupathtracing_tpu.models.whitted import trace_whitted
-
-            _, res = integrators.trace_chunked(trace_whitted, dev, settings, origin, direction, state)
-            energy, traced = res.energy, traced + res.traced_rays
         else:
-            raise ValueError(f"unknown render mode {settings.render_mode}")
+            _, res = trace_sample(
+                dev, settings, origin, direction, state, lane_idx
+            )
+            energy, traced = res.energy, traced + res.traced_rays
         frame_energy = frame_energy + energy
 
     if bs is not None:

@@ -21,6 +21,7 @@ in-flight tracing -- buffers swap between frames.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import jax
@@ -630,8 +631,53 @@ class Scene:
         )
 
 
+def reorder_key(dev: DeviceScene, origin, direction, act):
+    """Ray-coherence sort key: active-first | direction octant | origin
+    morton (5 bits/axis over the scene AABB).  Sorting a wavefront by
+    this key at depth boundaries (integrators._sorted_scan_hooks)
+    clusters dead lanes into sub-packets that drain in one iteration
+    (compaction) and rebuilds sub-packet coherence for bounce/shadow
+    rays; hits are exact either way, so images are bitwise unchanged."""
+    q = jnp.clip(
+        ((origin - dev.world_lo) * dev.world_inv_extent * 32.0).astype(jnp.int32),
+        0, 31,
+    )
+
+    def spread(v):
+        v = (v | (v << 8)) & 0x0300F
+        v = (v | (v << 4)) & 0x030C3
+        v = (v | (v << 2)) & 0x09249
+        return v
+
+    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    octant = (
+        (direction[:, 0] < 0).astype(jnp.int32)
+        | ((direction[:, 1] < 0).astype(jnp.int32) << 1)
+        | ((direction[:, 2] < 0).astype(jnp.int32) << 2)
+    )
+    return ((1 - act) << 18) | (octant << 15) | morton
+
+
+def packet_path_active(dev: DeviceScene) -> bool:
+    """True when intersect_scene will run the Pallas packet kernel (the
+    coherence-sensitive path that wavefront sorting feeds).
+    CPUGPU_TPU_FORCE_PACKET=1 runs it in interpret mode on CPU -- test
+    coverage for the packet + reorder code off-chip."""
+    return bool(
+        dev.use_wide
+        and dev.traversal == "packet"
+        and dev.proots
+        and dev.num_instances == 0
+        and (
+            jax.default_backend() == "tpu"
+            or os.environ.get("CPUGPU_TPU_FORCE_PACKET") == "1"
+        )
+    )
+
+
 def intersect_scene(
-    dev: DeviceScene, origin, direction, t_init, *, any_hit: bool = False, active=None
+    dev: DeviceScene, origin, direction, t_init, *, any_hit: bool = False,
+    active=None,
 ) -> Hit:
     """Nearest hit across every object (IntersectScene,
     Source/Main.cpp:299-316): one fused BVH traversal over all mesh
@@ -646,20 +692,14 @@ def intersect_scene(
     depth = jnp.zeros((n,), jnp.int32)
 
     inst = jnp.full((n,), -1, jnp.int32)
-    use_packet = (
-        dev.use_wide
-        and dev.traversal == "packet"
-        and dev.proots
-        and dev.num_instances == 0
-        and jax.default_backend() == "tpu"
-    )
     mesh_normal = None
-    if use_packet:
+    if packet_path_active(dev):
         from cpugpupathtracing_tpu.ops import traverse_packet_slim as packetlib
 
         t, tri, pobj, mesh_normal, depth = packetlib.traverse_packet_slim(
             origin, direction, t_init, dev.pnodes, dev.pltris,
             dev.proots, active=active, any_hit=any_hit,
+            interpret=jax.default_backend() != "tpu",
         )
         mesh_hit = tri >= 0
         obj = jnp.where(mesh_hit, pobj, obj)

@@ -32,8 +32,15 @@ from cpugpupathtracing_tpu.models.integrators import (
     _gather_material,
     _GREEN,
     _RED,
+    restore_lane_order,
+    sort_wavefront,
 )
-from cpugpupathtracing_tpu.models.scene import DeviceScene, hit_surface, intersect_scene
+from cpugpupathtracing_tpu.models.scene import (
+    DeviceScene,
+    hit_surface,
+    intersect_scene,
+    packet_path_active,
+)
 from cpugpupathtracing_tpu.ops import sampling
 from cpugpupathtracing_tpu.utils import rng as rnglib
 from cpugpupathtracing_tpu.utils.vecmath import RAY_NUDGE, RAY_TMAX, dot, length, lerp
@@ -45,6 +52,7 @@ def trace_whitted(
     origin,
     direction,
     state,
+    idx=None,
 ):
     """Whitted trace over a lane batch. Returns (rng_state, TraceResult)."""
     if dev.has_mesh_lights:
@@ -61,6 +69,11 @@ def trace_whitted(
         from cpugpupathtracing_tpu.models.integrators import _debug_bvh_result
 
         return _debug_bvh_result(dev, origin, direction, state, n)
+    do_sort = (
+        idx is not None
+        and settings.max_ray_depth + 1 <= 0xFF  # fits sort_wavefront's fold
+        and packet_path_active(dev)
+    )
 
     carry = dict(
         throughput=jnp.ones((n, 3), f32),
@@ -73,6 +86,8 @@ def trace_whitted(
         bvh_depth0=jnp.zeros((n,), jnp.int32),
         traced=jnp.zeros((), jnp.int32),
     )
+    if do_sort:
+        carry["lane"] = idx.astype(jnp.int32)
 
     # point-light positions: light object centers (spheres) and
     # mesh-light triangle-range centroids are not defined; restrict to
@@ -187,20 +202,21 @@ def trace_whitted(
         ray_o = jnp.where(bounced[:, None], pos + new_dir * RAY_NUDGE, ray_o)
         ray_d = jnp.where(bounced[:, None], new_dir, ray_d)
 
-        return (
-            dict(
-                throughput=throughput,
-                energy=energy,
-                active=active,
-                ray_o=ray_o,
-                ray_d=ray_d,
-                state=state,
-                final_depth=final_depth,
-                bvh_depth0=bvh_depth0,
-                traced=traced,
-            ),
-            None,
+        nc = dict(
+            throughput=throughput,
+            energy=energy,
+            active=active,
+            ray_o=ray_o,
+            ray_d=ray_d,
+            state=state,
+            final_depth=final_depth,
+            bvh_depth0=bvh_depth0,
+            traced=traced,
         )
+        if do_sort:
+            nc["lane"] = c["lane"]
+            nc = sort_wavefront(dev, nc, idx.astype(jnp.int32))
+        return nc, None
 
     carry, _ = jax.lax.scan(
         body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
@@ -209,14 +225,25 @@ def trace_whitted(
     final_depth = jnp.where(
         carry["active"], settings.max_ray_depth + 1, carry["final_depth"]
     )
+    state, bvh_depth0 = carry["state"], carry["bvh_depth0"]
+    if do_sort:
+        e0, e1, e2, final_depth, bvh_depth0, state = restore_lane_order(
+            carry["lane"],
+            idx.astype(jnp.int32),
+            (
+                energy[:, 0], energy[:, 1], energy[:, 2],
+                final_depth, bvh_depth0, state,
+            ),
+        )
+        energy = jnp.stack([e0, e1, e2], axis=1)
     if settings.debug_render_mode == DebugRenderMode.RAY_DEPTH:
         energy = lerp(
             _GREEN,
             _RED,
             (final_depth.astype(f32) / f32(settings.max_ray_depth))[:, None],
         )
-    return carry["state"], TraceResult(
-        energy, carry["traced"], final_depth, carry["bvh_depth0"]
+    return state, TraceResult(
+        energy, carry["traced"], final_depth, bvh_depth0
     )
 
 

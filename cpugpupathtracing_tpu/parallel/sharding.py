@@ -32,7 +32,7 @@ from jax import shard_map
 
 from cpugpupathtracing_tpu.config import RenderMode, RenderSettings
 from cpugpupathtracing_tpu.models import camera as camlib
-from cpugpupathtracing_tpu.models import integrators
+from cpugpupathtracing_tpu.models.renderer import trace_sample
 from cpugpupathtracing_tpu.models.scene import DeviceScene
 from cpugpupathtracing_tpu.utils import rng as rnglib
 from cpugpupathtracing_tpu.utils.vecmath import vec4_to_uint
@@ -45,16 +45,22 @@ def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
     return Mesh(devs, (axis,))
 
 
-def _trace(dev, settings, origin, direction, state):
-    if settings.render_mode == RenderMode.BRUTE_FORCE:
-        fn = integrators.trace_brute
-    elif settings.render_mode == RenderMode.WHITTED:
-        from cpugpupathtracing_tpu.models.whitted import trace_whitted
-
-        fn = trace_whitted
-    else:
-        fn = integrators.trace_advanced
-    return integrators.trace_chunked(fn, dev, settings, origin, direction, state)
+def _shard_rays(cam, lanes, width, height, settings):
+    """Ray generation for a shard's lane slice: the same pixel-block
+    ordering as the single-chip fast path (renderer.render_frame_kernel)
+    when the resolution tiles, else row-major.  `lanes` are global
+    blocked-enumeration slots; RNG keys on the true pixel index, so the
+    image is bitwise independent of both the ordering and the shard
+    decomposition.  Returns (origin, direction, pix, block_shape)."""
+    bs = camlib.block_shape(width, height)
+    if bs is not None and settings.render_mode != RenderMode.COMPARISON:
+        bh, bw = bs
+        origin, direction, pix = camlib.blocked_lane_rays(
+            cam, lanes, width, height, bh, bw
+        )
+        return origin, direction, pix, bs
+    origin, direction = camlib.lane_rays(cam, lanes, width, height)
+    return origin, direction, lanes, None
 
 
 @functools.partial(
@@ -88,50 +94,95 @@ def render_frame_sharded(
     axis = mesh.axis_names[0]
     if n % d != 0:
         raise ValueError(f"pixel count {n} not divisible by {d} devices")
+    if settings.render_mode == RenderMode.COMPARISON:
+        raise ValueError(
+            "COMPARISON is a single-chip split-screen debug view; "
+            "render it with render_frame_kernel"
+        )
+    bs = camlib.block_shape(width, height)
 
     if shard_mode == "pixels":
+        # Each chip traces a contiguous slice of the BLOCKED lane
+        # enumeration -- the identical coherent ray order, packet kernel,
+        # and wavefront sorting as the single-chip fast path -- and the
+        # blocked->row-major permutation runs once per frame OUTSIDE the
+        # shard_map (one (N, 3) reshard over ICI, negligible next to the
+        # trace).  RNG keys on true pixel index, so the accumulator is
+        # bitwise identical to the single-chip frame.
 
-        def body(acc_shard, lanes):
-            origin, direction = camlib.lane_rays(cam, lanes, width, height)
+        def body(lanes):
+            origin, direction, pix, _ = _shard_rays(
+                cam, lanes, width, height, settings
+            )
+            shard = jax.lax.axis_index(axis)
+            local_idx = lanes.astype(jnp.int32) - shard.astype(jnp.int32) * (
+                n // d
+            )
             energy = jnp.zeros((n // d, 3), jnp.float32)
             traced = jnp.zeros((), jnp.int32)
             for s in range(spp):
                 stream = (sample_base + s).astype(jnp.uint32)
-                st = rnglib.seed_lanes(lanes, stream, salt=seed & 0xFFFFFFFF)
-                _, res = _trace(dev, settings, origin, direction, st)
+                st = rnglib.seed_lanes(pix, stream, salt=seed & 0xFFFFFFFF)
+                _, res = trace_sample(dev, settings, origin, direction, st, local_idx)
                 energy = energy + res.energy
                 traced = traced + res.traced_rays
+            return energy, jax.lax.psum(traced, axis)
+
+        energy, traced = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis),),
+            out_specs=(P(axis), P()),
+            check_vma=False,
+        )(lane)
+        if bs is not None:
+            energy = camlib.unblock_image(energy, width, height, bs[0], bs[1])
+
+        def accum(acc_shard, energy_shard):
             sample = jnp.concatenate(
-                [energy, jnp.full((n // d, 1), float(spp), jnp.float32)], axis=1
+                [
+                    energy_shard,
+                    jnp.full((n // d, 1), float(spp), jnp.float32),
+                ],
+                axis=1,
             )
             acc_shard = acc_shard + sample
             pix = vec4_to_uint(acc_shard / jnp.maximum(acc_shard[:, 3:4], 1.0))
-            return acc_shard, pix, jax.lax.psum(traced, axis)
+            return acc_shard, pix
 
-        fn = shard_map(
-            body,
+        acc, pixels = shard_map(
+            accum,
             mesh=mesh,
             in_specs=(P(axis), P(axis)),
-            out_specs=(P(axis), P(axis), P()),
+            out_specs=(P(axis), P(axis)),
             check_vma=False,
-        )
-        return fn(accumulator, lane)
+        )(accumulator, energy)
+        return acc, pixels, traced
 
     if shard_mode == "samples":
 
         def body(acc_rep, lanes):
             shard = jax.lax.axis_index(axis)
-            origin, direction = camlib.lane_rays(cam, lanes, width, height)
+            origin, direction, pix, bs_ = _shard_rays(
+                cam, lanes, width, height, settings
+            )
             energy = jnp.zeros((n, 3), jnp.float32)
             traced = jnp.zeros((), jnp.int32)
             for s in range(spp):
                 stream = (
                     sample_base + shard.astype(jnp.int32) * spp + s
                 ).astype(jnp.uint32)
-                st = rnglib.seed_lanes(lanes, stream, salt=seed & 0xFFFFFFFF)
-                _, res = _trace(dev, settings, origin, direction, st)
+                st = rnglib.seed_lanes(pix, stream, salt=seed & 0xFFFFFFFF)
+                _, res = trace_sample(
+                    dev, settings, origin, direction, st,
+                    lanes.astype(jnp.int32),
+                )
                 energy = energy + res.energy
                 traced = traced + res.traced_rays
+            if bs_ is not None:
+                energy = camlib.unblock_image(
+                    energy, width, height, bs_[0], bs_[1]
+                )
             # sum sample sets across chips over ICI
             energy = jax.lax.psum(energy, axis)
             traced = jax.lax.psum(traced, axis)

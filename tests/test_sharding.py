@@ -119,3 +119,27 @@ class TestSampleSharding:
         m_s = np.asarray(acc_s)[:, :3].sum() / 8
         m_p = np.asarray(acc_p)[:, :3].sum() / 8
         np.testing.assert_allclose(m_s, m_p, rtol=0.05)
+
+
+class TestShardedFastPath:
+    def test_pixel_sharding_packet_sort_bitwise(self, monkeypatch):
+        """The sharded path routes through the same packet kernel +
+        wavefront sorting as the single-chip fast path (forced into
+        interpret mode on CPU) and stays bitwise identical."""
+        monkeypatch.setenv("CPUGPU_TPU_FORCE_PACKET", "1")
+        dev = tiny_scene().device()
+        from cpugpupathtracing_tpu.config import CameraConfig
+
+        cam = camlib.to_arrays(CameraConfig())
+        settings = RenderSettings(max_ray_depth=3)
+        seed = 99
+        acc1, pix1, traced1 = _single_chip_frame(dev, cam, settings, seed)
+        mesh = sharding.make_mesh(8)
+        acc = jnp.zeros((W * H, 4), jnp.float32)
+        acc8, pix8, traced8 = sharding.render_frame_sharded(
+            dev, cam, acc, jnp.int32(0), jnp.arange(W * H, dtype=jnp.uint32),
+            settings, W, H, 1, seed, mesh, "pixels"
+        )
+        np.testing.assert_array_equal(pix1, np.asarray(pix8))
+        np.testing.assert_array_equal(acc1, np.asarray(acc8))
+        assert traced1 == int(traced8)
