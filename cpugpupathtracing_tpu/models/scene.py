@@ -98,6 +98,7 @@ class DeviceScene:
     inst_nrm: jnp.ndarray = None        # (I, 9) f32 normal matrix (inv^T)
     inst_blas_root: jnp.ndarray = None  # (I,) i32 wide-node row of the BLAS root
     inst_blas_root_skip: jnp.ndarray = None  # (I,) i32 skip-node row of the BLAS root
+    inst_blas_root_packet: jnp.ndarray = None  # (I,) i32 slim-node row of the BLAS root
     inst_obj: jnp.ndarray = None        # (I,) i32 owning object
     # static
     roots: tuple = dataclasses.field(metadata=dict(static=True), default=())
@@ -205,6 +206,25 @@ def _build_tlas_rows(imin: np.ndarray, imax: np.ndarray) -> tuple[np.ndarray, in
     return np.stack(rows), depth
 
 
+def _slim_tlas_rows(tlas_rows: np.ndarray, p_off: int) -> np.ndarray:
+    """Re-encode raw TLAS rows (LOCAL interior indices, CCNT_INSTANCE
+    leaves) for the slim packet kernel: interior children -> global slim
+    row, instance children -> SLIM_EMPTY + 1 + instance id, empty ->
+    SLIM_EMPTY (ops/traverse_packet_slim.py entry encoding)."""
+    from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
+    from cpugpupathtracing_tpu.ops.traverse_wide import CCNT_INSTANCE
+
+    rows = tlas_rows.copy()
+    cidx = rows[:, 48:56].view(np.int32)
+    ccnt = rows[:, 56:64].view(np.int32)
+    inst = ccnt == CCNT_INSTANCE
+    cidx[inst] = SLIM_EMPTY + 1 + cidx[inst]
+    cidx[ccnt == 0] += p_off
+    cidx[ccnt == -1] = SLIM_EMPTY
+    ccnt[:] = -1  # the slim kernel never reads counts
+    return rows
+
+
 def _instance_world_aabb(nmin, nmax, m4):
     """Transform an AABB's 8 corners by the 4x4 object-to-world matrix."""
     xs = [nmin[0], nmax[0]]
@@ -220,10 +240,10 @@ class Scene:
 
     def __init__(self, use_wide: bool = True, traversal: str = "packet"):
         """traversal: "packet" (Pallas shared-stack packet kernel -- the
-        TPU fast path; falls back to "wide" off-TPU or with instances),
-        "wide" (8-wide ordered stack traversal), "skip" (stackless
-        threaded BVH), or "binary" (the reference-shaped oracle).
-        use_wide=False forces "binary"."""
+        TPU fast path, incl. TLAS instances; falls back to "wide"
+        off-TPU), "wide" (8-wide ordered stack traversal), "skip"
+        (stackless threaded BVH), or "binary" (the reference-shaped
+        oracle).  use_wide=False forces "binary"."""
         self.objects: list[SceneObject] = []
         self.materials: list[matlib.Material] = []
         self.light_indices: list[int] = []
@@ -347,6 +367,7 @@ class Scene:
         pnodes_l, ptris_l, pleaf_l, proots = [], [], [], []
         pnode_off = pleaf_off = 0
         inst_inv_l, inst_nrm_l, inst_root_l, inst_obj_l = [], [], [], []
+        p_inst_root_l = []
         inst_aabb_min, inst_aabb_max = [], []
         has_instances = any(
             o.kind == PRIM_MESH and o.instances is not None for o in self.objects
@@ -387,25 +408,28 @@ class Scene:
                         )
                     w = obj._wide_cache[1]
                     pw = obj._wide_cache[2]
+                    prow = pw.nodes.copy()
+                    pcidx = prow[:, 48:56].view(i32)
+                    pccnt = prow[:, 56:64].view(i32)
+                    pcidx[pccnt == 0] += pnode_off
+                    pcidx[pccnt > 0] -= pleaf_off  # leaf enc -(row+1)
+                    pnodes_l.append(prow)
+                    # stamp object index + globalize triangle ids in
+                    # the shading-complete leaf records
+                    lt = pw.ltris.copy()
+                    ltv = lt.view(i32)
+                    for krec in range(8):
+                        ltv[:, 16 * krec + 12] = oi
+                        tidc = ltv[:, 16 * krec + 13]
+                        tidc[tidc >= 0] += tri_off
+                    ptris_l.append(lt)
                     if obj.instances is None:
-                        prow = pw.nodes.copy()
-                        pcidx = prow[:, 48:56].view(i32)
-                        pccnt = prow[:, 56:64].view(i32)
-                        pcidx[pccnt == 0] += pnode_off
-                        pcidx[pccnt > 0] -= pleaf_off  # leaf enc -(row+1)
-                        pnodes_l.append(prow)
-                        # stamp object index + globalize triangle ids in
-                        # the shading-complete leaf records
-                        lt = pw.ltris.copy()
-                        ltv = lt.view(i32)
-                        for krec in range(8):
-                            ltv[:, 16 * krec + 12] = oi
-                            tidc = ltv[:, 16 * krec + 13]
-                            tidc[tidc >= 0] += tri_off
-                        ptris_l.append(lt)
                         proots.append(pnode_off)
-                        pnode_off += pw.num_nodes
-                        pleaf_off += pw.num_leaf_rows
+                    else:
+                        # one slim BLAS shared by every instance
+                        p_blas_root_this = pnode_off
+                    pnode_off += pw.num_nodes
+                    pleaf_off += pw.num_leaf_rows
                     wrow = w.nodes.copy()
                     cidx = wrow[:, 48:56].view(i32)
                     ccnt = wrow[:, 56:64].view(i32)
@@ -424,6 +448,7 @@ class Scene:
                                 inv[:3, :3].T.astype(f32).reshape(9)
                             )
                             inst_root_l.append(wnode_off)
+                            p_inst_root_l.append(p_blas_root_this)
                             inst_obj_l.append(oi)
                             amin, amax = _instance_world_aabb(
                                 b.nodes_min[0], b.nodes_max[0], np.asarray(m4, f32)
@@ -487,6 +512,13 @@ class Scene:
             tlas_rows, tlas_depth = _build_tlas_rows(
                 np.stack(inst_aabb_min), np.stack(inst_aabb_max)
             )
+            # slim-encoded copy for the packet kernel BEFORE the wide
+            # offset adjustment: interior -> global slim row, instance ->
+            # SLIM_EMPTY + 1 + id, empty -> SLIM_EMPTY
+            prow = _slim_tlas_rows(tlas_rows, pnode_off)
+            pnodes_l.append(prow)
+            proots.append(pnode_off)
+            pnode_off += len(prow)
             cidx = tlas_rows[:, 48:56].view(i32)
             ccnt = tlas_rows[:, 56:64].view(i32)
             cidx[ccnt == 0] += wnode_off
@@ -615,6 +647,7 @@ class Scene:
             ),
             inst_blas_root=jnp.asarray(np.asarray(inst_root_l, i32)),
             inst_blas_root_skip=jnp.asarray(np.asarray(s_inst_root, i32)),
+            inst_blas_root_packet=jnp.asarray(np.asarray(p_inst_root_l, i32)),
             inst_obj=jnp.asarray(np.asarray(inst_obj_l, i32)),
             world_lo=jnp.asarray(wlo.astype(np.float32)),
             world_inv_extent=jnp.asarray((1.0 / wext).astype(np.float32)),
@@ -667,7 +700,6 @@ def packet_path_active(dev: DeviceScene) -> bool:
         dev.use_wide
         and dev.traversal == "packet"
         and dev.proots
-        and dev.num_instances == 0
         and (
             jax.default_backend() == "tpu"
             or os.environ.get("CPUGPU_TPU_FORCE_PACKET") == "1"
@@ -696,14 +728,18 @@ def intersect_scene(
     if packet_path_active(dev):
         from cpugpupathtracing_tpu.ops import traverse_packet_slim as packetlib
 
-        t, tri, pobj, mesh_normal, depth = packetlib.traverse_packet_slim(
+        t, tri, pobj, mesh_normal, depth, kiid = packetlib.traverse_packet_slim(
             origin, direction, t_init, dev.pnodes, dev.pltris,
             dev.proots, active=active, any_hit=any_hit,
             interpret=jax.default_backend() != "tpu",
+            inst_inv=dev.inst_inv if dev.num_instances else None,
+            inst_root=dev.inst_blas_root_packet if dev.num_instances else None,
         )
         mesh_hit = tri >= 0
         obj = jnp.where(mesh_hit, pobj, obj)
         prim = jnp.where(mesh_hit, tri, prim)
+        if dev.num_instances:
+            inst = jnp.where(mesh_hit, kiid, inst)
     elif dev.use_wide and dev.traversal == "skip" and dev.sroot >= 0:
         from cpugpupathtracing_tpu.ops import traverse_skip as skiplib
 

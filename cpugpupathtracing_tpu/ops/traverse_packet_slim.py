@@ -18,7 +18,7 @@ the bottleneck on the TPU scalar unit, cut hard:
     so the hit returns SHADING-COMPLETE payloads -- no XLA per-lane
     gathers (measured ~0.5 GB/s on this chip) remain after traversal.
   * Child entries are PRE-ENCODED in the node row (interior row / leaf
-    row / EMPTY sentinel), so per-child decode disappears.
+    row / EMPTY sentinel / instance id), so per-child decode disappears.
   * Ordering: closest-hit pushes the nearest child LAST (one scalar
     argmin sweep, ~7 compares) instead of a 19-stage sorting network;
     any-hit pushes in fixed order (occlusion needs no ordering).
@@ -26,6 +26,18 @@ the bottleneck on the TPU scalar unit, cut hard:
     zeros): a lane counts an expansion when it passes >= 1 child slab,
     which equals the per-lane descend count of ops/traverse_wide.py up to
     t-evolution timing (documented AOV semantics; heatmaps match).
+
+TLAS / instances (the reference's planned feature, README.md:12-16):
+with `inst_inv` + `inst_root` given, TLAS node rows may carry INSTANCE
+child entries (encoded > SLIM_EMPTY).  Popping one switches the whole
+sub-packet row into the instance's object space -- the 3x4 inverse
+transform is scalar-loaded from SMEM and applied to the row's ray
+registers (kept in VMEM scratch; direction left unnormalized so t stays
+the world-space parameter) -- pushes a RESTORE marker, and descends into
+the BLAS root.  Popping RESTORE swaps the world-space registers back.
+Instances never nest, per-row state is one SMEM scalar, and the whole
+machinery is compiled out when `inst_inv is None` (non-instanced scenes
+pay nothing).
 
 Reference parity: hit predicate identical to BVH::Traverse
 (Source/BVH.cpp:61-127) composed over the 8-wide tree; payload.tri_idx
@@ -51,31 +63,48 @@ LEAF_TRIS = 8
 STACK = 64
 TRI_DET_EPS = 0.001
 DONE = 0x7FFFFFFF
+RESTORE = 0x3FFFFFFF  # stack marker: leave instance space (< SLIM_EMPTY,
+# far above any real node row index)
 BIG = 1e30
 
 
 def _traverse_kernel(
-    nodes_ref,   # (B, 64) f32 VMEM, entries pre-encoded in cols 48..55
-    ltris_ref,   # (NL, 128) f32 VMEM, one row per leaf (8 x 16-col records)
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (TILE,)
-    t0_ref, act_ref,
-    t_out, hit_out, obj_out, nx_out, ny_out, nz_out, depth_out,
-    entry_ref,   # SMEM (ROWS,) i32 current entry per row
-    sptr_ref,    # SMEM (ROWS,) i32 stack pointer per row
-    stack_ref,   # SMEM (ROWS, STACK) i32
-    *, roots: tuple, any_hit: bool, count_depth: bool,
+    *refs,
+    roots: tuple, any_hit: bool, count_depth: bool, instanced: bool,
 ):
+    if instanced:
+        (
+            nodes_ref, ltris_ref, inst_inv_ref, inst_root_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref, act_ref,
+            t_out, hit_out, obj_out, nx_out, ny_out, nz_out, depth_out,
+            iid_out,
+            entry_ref, sptr_ref, stack_ref, iid_ref, rays_ref,
+        ) = refs
+        num_inst = inst_root_ref.shape[0]
+    else:
+        (
+            nodes_ref, ltris_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref, act_ref,
+            t_out, hit_out, obj_out, nx_out, ny_out, nz_out, depth_out,
+            iid_out,
+            entry_ref, sptr_ref, stack_ref,
+        ) = refs
+
     shape = (ROWS, LANES)
-    ox = ox_ref[:].reshape(shape)
-    oy = oy_ref[:].reshape(shape)
-    oz = oz_ref[:].reshape(shape)
-    dx = dx_ref[:].reshape(shape)
-    dy = dy_ref[:].reshape(shape)
-    dz = dz_ref[:].reshape(shape)
+    ox0 = ox_ref[:].reshape(shape)
+    oy0 = oy_ref[:].reshape(shape)
+    oz0 = oz_ref[:].reshape(shape)
+    dx0 = dx_ref[:].reshape(shape)
+    dy0 = dy_ref[:].reshape(shape)
+    dz0 = dz_ref[:].reshape(shape)
     act0 = act_ref[:].reshape(shape) != 0
-    ix = jnp.where(dx == 0.0, BIG, 1.0 / dx)
-    iy = jnp.where(dy == 0.0, BIG, 1.0 / dy)
-    iz = jnp.where(dz == 0.0, BIG, 1.0 / dz)
+
+    def inv_dir(d):
+        return jnp.where(d == 0.0, BIG, 1.0 / d)
+
+    ix0 = inv_dir(dx0)
+    iy0 = inv_dir(dy0)
+    iz0 = inv_dir(dz0)
     t0 = t0_ref[:].reshape(shape)
 
     for j in range(ROWS):
@@ -83,25 +112,52 @@ def _traverse_kernel(
         sptr_ref[j] = len(roots) - 1
         for i, r in enumerate(roots[1:]):
             stack_ref[j, i] = r
+        if instanced:
+            iid_ref[j] = -1
+    if instanced:
+        # per-row mutable ray registers (world or current-instance object
+        # space); component c's row j lives at rays_ref[c * ROWS + j]
+        for c, v in enumerate((ox0, oy0, oz0, dx0, dy0, dz0, ix0, iy0, iz0)):
+            rays_ref[c * ROWS : (c + 1) * ROWS, :] = v
 
     def body(carry):
-        t, hit, obj, nx, ny, nz, depth, _ = carry
+        if instanced:
+            t, hit, obj, nx, ny, nz, depth, hiid, _ = carry
+            ox = rays_ref[0 * ROWS : 1 * ROWS, :]
+            oy = rays_ref[1 * ROWS : 2 * ROWS, :]
+            oz = rays_ref[2 * ROWS : 3 * ROWS, :]
+            dx = rays_ref[3 * ROWS : 4 * ROWS, :]
+            dy = rays_ref[4 * ROWS : 5 * ROWS, :]
+            dz = rays_ref[5 * ROWS : 6 * ROWS, :]
+            ix = rays_ref[6 * ROWS : 7 * ROWS, :]
+            iy = rays_ref[7 * ROWS : 8 * ROWS, :]
+            iz = rays_ref[8 * ROWS : 9 * ROWS, :]
+        else:
+            t, hit, obj, nx, ny, nz, depth, _ = carry
+            hiid = None
+            ox, oy, oz = ox0, oy0, oz0
+            dx, dy, dz = dx0, dy0, dz0
+            ix, iy, iz = ix0, iy0, iz0
         m = act0
         if any_hit:
             m = m & (hit < 0)
 
         # ---- per-row entry decode + row loads (scalar control) ----
-        nrows, lrows, leaf_s, lrow_s = [], [], [], []
+        nrows, lrows, leaf_s, int_s = [], [], [], []
         for j in range(ROWS):
             e = entry_ref[j]
             live = e != DONE
             leaf = live & (e < 0)
-            node = jnp.where(live & (e >= 0), e, 0)
+            if instanced:
+                interior = live & (e >= 0) & (e < RESTORE)
+            else:
+                interior = live & (e >= 0)
+            node = jnp.where(interior, e, 0)
             lrow = jnp.where(leaf, -e - 1, 0)
             nrows.append(nodes_ref[pl.ds(node, 1), :])
             lrows.append(ltris_ref[pl.ds(lrow, 1), :])
             leaf_s.append(leaf)
-            lrow_s.append(lrow)
+            int_s.append(interior)
         nmat = jnp.concatenate(nrows, axis=0)          # (8, 64)
         lmat = jnp.concatenate(lrows, axis=0)          # (8, 128)
         imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
@@ -109,10 +165,17 @@ def _traverse_kernel(
             [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
             axis=0,
         ) != 0                                          # (8, 1)
-        lrow_v = jnp.concatenate(
-            [jnp.full((1, 1), lrow_s[j], jnp.int32) for j in range(ROWS)],
+        int_v = jnp.concatenate(
+            [jnp.full((1, 1), int_s[j], jnp.int32) for j in range(ROWS)],
             axis=0,
-        )                                               # (8, 1)
+        ) != 0                                          # (8, 1): gates slab
+        # work to live interior rows (finished / instance-marker rows
+        # would otherwise retest row 0's children and inflate bvh_depth)
+        if instanced:
+            iid_v = jnp.concatenate(
+                [jnp.full((1, 1), iid_ref[j], jnp.int32) for j in range(ROWS)],
+                axis=0,
+            )                                           # (8, 1)
 
         # ---- interior: 8 child slab tests on (8,1)-broadcast bounds ----
         child_dmin = []
@@ -136,7 +199,7 @@ def _traverse_kernel(
             valid_v = imat[:, 48 + k : 49 + k] != SLIM_EMPTY   # (8, 1)
             bm = (
                 (tmax >= tmin) & (tmin < t) & (tmax > 0.0)
-                & m & ~leaf_v & valid_v
+                & m & int_v & valid_v
             )
             child_dmin.append(
                 jnp.min(jnp.where(bm, tmin, jnp.inf), axis=1, keepdims=True)
@@ -179,12 +242,15 @@ def _traverse_kernel(
             nx = jnp.where(valid, tm[:, 9:10], nx)
             ny = jnp.where(valid, tm[:, 10:11], ny)
             nz = jnp.where(valid, tm[:, 11:12], nz)
+            if instanced:
+                hiid = jnp.where(valid, iid_v, hiid)
 
         # ---- per-row control (scalar): push children, pop next ----
         alive = jnp.int32(0)
         for j in range(ROWS):
             e = entry_ref[j]
             live = e != DONE
+            interior = int_s[j]
             sp = sptr_ref[j]
 
             ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
@@ -203,7 +269,7 @@ def _traverse_kernel(
                     best_k = jnp.where(sw, jnp.int32(k), best_k)
                 order = range(WIDTH)
             for k in order:
-                push = jnp.isfinite(ds_[k])
+                push = jnp.isfinite(ds_[k]) & interior
                 if best_k is not None:
                     push = push & (best_k != k)
                 slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
@@ -211,7 +277,7 @@ def _traverse_kernel(
                 stack_ref[j, slot] = jnp.where(push, es_[k], prev)
                 sp = sp + jnp.where(push, 1, 0)
             if best_k is not None:
-                push = jnp.isfinite(best_d)
+                push = jnp.isfinite(best_d) & interior
                 ent_b = es_[0]
                 for k in range(1, WIDTH):
                     ent_b = jnp.where(best_k == k, es_[k], ent_b)
@@ -220,32 +286,85 @@ def _traverse_kernel(
                 stack_ref[j, slot] = jnp.where(push, ent_b, prev)
                 sp = sp + jnp.where(push, 1, 0)
 
+            if instanced:
+                is_inst = live & (e > SLIM_EMPTY)
+                is_rest = live & (e == RESTORE)
+                iid_e = e - SLIM_EMPTY - 1
+                iid_c = jnp.clip(iid_e, 0, num_inst - 1)
+                # entering: push the RESTORE marker under the BLAS walk
+                slot = jnp.where(is_inst, jnp.minimum(sp, STACK - 1), STACK - 1)
+                prev = stack_ref[j, slot]
+                stack_ref[j, slot] = jnp.where(is_inst, RESTORE, prev)
+                sp = sp + jnp.where(is_inst, 1, 0)
+
+                @pl.when(is_inst)
+                def _enter(j=j, iid_c=iid_c):
+                    mm = [inst_inv_ref[iid_c, k] for k in range(12)]
+                    o_x = mm[0] * ox0[j] + mm[1] * oy0[j] + mm[2] * oz0[j] + mm[3]
+                    o_y = mm[4] * ox0[j] + mm[5] * oy0[j] + mm[6] * oz0[j] + mm[7]
+                    o_z = mm[8] * ox0[j] + mm[9] * oy0[j] + mm[10] * oz0[j] + mm[11]
+                    d_x = mm[0] * dx0[j] + mm[1] * dy0[j] + mm[2] * dz0[j]
+                    d_y = mm[4] * dx0[j] + mm[5] * dy0[j] + mm[6] * dz0[j]
+                    d_z = mm[8] * dx0[j] + mm[9] * dy0[j] + mm[10] * dz0[j]
+                    rays_ref[0 * ROWS + j, :] = o_x
+                    rays_ref[1 * ROWS + j, :] = o_y
+                    rays_ref[2 * ROWS + j, :] = o_z
+                    rays_ref[3 * ROWS + j, :] = d_x
+                    rays_ref[4 * ROWS + j, :] = d_y
+                    rays_ref[5 * ROWS + j, :] = d_z
+                    rays_ref[6 * ROWS + j, :] = inv_dir(d_x)
+                    rays_ref[7 * ROWS + j, :] = inv_dir(d_y)
+                    rays_ref[8 * ROWS + j, :] = inv_dir(d_z)
+
+                @pl.when(is_rest)
+                def _leave(j=j):
+                    rays_ref[0 * ROWS + j, :] = ox0[j]
+                    rays_ref[1 * ROWS + j, :] = oy0[j]
+                    rays_ref[2 * ROWS + j, :] = oz0[j]
+                    rays_ref[3 * ROWS + j, :] = dx0[j]
+                    rays_ref[4 * ROWS + j, :] = dy0[j]
+                    rays_ref[5 * ROWS + j, :] = dz0[j]
+                    rays_ref[6 * ROWS + j, :] = ix0[j]
+                    rays_ref[7 * ROWS + j, :] = iy0[j]
+                    rays_ref[8 * ROWS + j, :] = iz0[j]
+
+                iid_ref[j] = jnp.where(
+                    is_inst, iid_e, jnp.where(is_rest, -1, iid_ref[j])
+                )
+
             # both entry kinds finish in one iteration: pop or done
             can = live & (sp > 0)
+            if instanced:
+                can = can & ~is_inst  # entering descends, not pops
             top = stack_ref[j, jnp.maximum(sp - 1, 0)]
             nxt = jnp.where(can, top, DONE)
+            if instanced:
+                blas_e = inst_root_ref[iid_c]
+                nxt = jnp.where(is_inst, blas_e, nxt)
             sptr_ref[j] = jnp.where(can, sp - 1, sp)
             entry_ref[j] = nxt
             alive = alive + jnp.where(nxt != DONE, 1, 0)
+        if instanced:
+            return t, hit, obj, nx, ny, nz, depth, hiid, alive
         return t, hit, obj, nx, ny, nz, depth, alive
 
     def cond(carry):
-        return carry[7] > 0
+        return carry[-1] > 0
 
-    t, hit, obj, nx, ny, nz, depth, _ = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            t0,
-            jnp.full(shape, -1, jnp.int32),
-            jnp.full(shape, -1, jnp.int32),
-            jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.int32),
-            jnp.int32(1),
-        ),
-    )
+    init = [
+        t0,
+        jnp.full(shape, -1, jnp.int32),
+        jnp.full(shape, -1, jnp.int32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.int32),
+    ]
+    if instanced:
+        init.append(jnp.full(shape, -1, jnp.int32))
+    init.append(jnp.int32(1))
+    out = jax.lax.while_loop(cond, body, tuple(init))
+    t, hit, obj, nx, ny, nz, depth = out[:7]
     t_out[:] = t.reshape(-1)
     hit_out[:] = hit.reshape(-1)
     obj_out[:] = obj.reshape(-1)
@@ -253,6 +372,10 @@ def _traverse_kernel(
     ny_out[:] = ny.reshape(-1)
     nz_out[:] = nz.reshape(-1)
     depth_out[:] = depth.reshape(-1)
+    if instanced:
+        iid_out[:] = out[7].reshape(-1)
+    else:
+        iid_out[:] = jnp.full((TILE,), -1, jnp.int32)
 
 
 @functools.partial(
@@ -262,17 +385,22 @@ def _traverse_kernel(
 def traverse_packet_slim(
     origin, direction, t_init, nodes, ltris, roots,
     *, active=None, interpret: bool = False, any_hit: bool = False,
-    count_depth: bool = True,
+    count_depth: bool = True, inst_inv=None, inst_root=None,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
     Rays (N, 3)/(N,), slim tables from models/bvh8.to_slim (nodes
     (B, 64), ltris (NL, 128) leaf records), `roots` a tuple of root rows
-    pre-seeded per sub-packet.  Returns (t, original tri id or -1,
-    owning object index, flat normal (N, 3), per-lane bvh_depth).
+    pre-seeded per sub-packet.  With inst_inv (I, 12) world->object
+    transforms and inst_root (I,) BLAS slim root rows, TLAS instance
+    entries are traversed in object space (see module docstring).
+    Returns (t, original tri id or -1, owning object index, flat normal
+    (N, 3) -- OBJECT space for instanced hits -- per-lane bvh_depth,
+    hit instance id or -1).
     """
     n0 = origin.shape[0]
     roots = tuple(int(r) for r in roots)
+    instanced = inst_inv is not None
     n = -(-n0 // TILE) * TILE
     num_tiles = n // TILE
     if active is None:
@@ -286,22 +414,43 @@ def traverse_packet_slim(
         t_init = jnp.concatenate([t_init, jnp.zeros((pad,), t_init.dtype)])
         act = jnp.concatenate([act, jnp.zeros((pad,), jnp.int32)])
 
-    t, hit, obj, nx, ny, nz, depth = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    inputs = [nodes, ltris]
+    scratch = [
+        pltpu.SMEM((ROWS,), jnp.int32),
+        pltpu.SMEM((ROWS,), jnp.int32),
+        pltpu.SMEM((ROWS, STACK), jnp.int32),
+    ]
+    if instanced:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        inputs += [inst_inv, inst_root.astype(jnp.int32)]
+        scratch += [
+            pltpu.SMEM((ROWS,), jnp.int32),
+            pltpu.VMEM((9 * ROWS, LANES), jnp.float32),
+        ]
+    in_specs += [
+        pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
+    ] * 8
+
+    t, hit, obj, nx, ny, nz, depth, iid = pl.pallas_call(
         functools.partial(
             _traverse_kernel,
             roots=roots,
             any_hit=any_hit,
             count_depth=count_depth,
+            instanced=instanced,
         ),
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ]
-        + [pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)] * 8,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
-        ] * 7,
+        ] * 8,
         out_shape=[
             jax.ShapeDtypeStruct((n,), jnp.float32),
             jax.ShapeDtypeStruct((n,), jnp.int32),
@@ -310,21 +459,18 @@ def traverse_packet_slim(
             jax.ShapeDtypeStruct((n,), jnp.float32),
             jax.ShapeDtypeStruct((n,), jnp.float32),
             jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n,), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.SMEM((ROWS,), jnp.int32),
-            pltpu.SMEM((ROWS,), jnp.int32),
-            pltpu.SMEM((ROWS, STACK), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
-        nodes, ltris,
+        *inputs,
         origin[:, 0], origin[:, 1], origin[:, 2],
         direction[:, 0], direction[:, 1], direction[:, 2],
         t_init, act,
     )
     normal = jnp.stack([nx[:n0], ny[:n0], nz[:n0]], axis=1)
-    return t[:n0], hit[:n0], obj[:n0], normal, depth[:n0]
+    return t[:n0], hit[:n0], obj[:n0], normal, depth[:n0], iid[:n0]

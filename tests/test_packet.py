@@ -44,7 +44,7 @@ def test_slim_matches_brute_force(sphere_slim, rng_np):
     n = 2048
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
-    t, hit, obj, normal, depth = tps.traverse_packet_slim(
+    t, hit, obj, normal, depth, _iid = tps.traverse_packet_slim(
         o, d, t0, *_tables(s), (0,), interpret=True,
     )
     bt, bidx = intersect.brute_force_nearest_triangle(
@@ -71,7 +71,7 @@ def test_slim_padding_and_active(sphere_slim, rng_np):
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
     act = jnp.asarray(rng_np.random(n) < 0.5)
-    t, hit, _, _, _ = tps.traverse_packet_slim(
+    t, hit, _, _, _, _ = tps.traverse_packet_slim(
         o, d, t0, *_tables(s), (0,), active=act, interpret=True,
     )
     assert t.shape == (n,)
@@ -91,10 +91,10 @@ def test_slim_any_hit_occlusion(sphere_slim, rng_np):
     n = 1024
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
-    _, h_near, _, _, _ = tps.traverse_packet_slim(
+    _, h_near, _, _, _, _ = tps.traverse_packet_slim(
         o, d, t0, *_tables(s), (0,), interpret=True
     )
-    _, h_any, _, _, _ = tps.traverse_packet_slim(
+    _, h_any, _, _, _, _ = tps.traverse_packet_slim(
         o, d, t0, *_tables(s), (0,), any_hit=True, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(h_any) >= 0, np.asarray(h_near) >= 0)
@@ -108,7 +108,7 @@ def test_slim_tmax(sphere_slim):
         jnp.full((512,), 3.0, jnp.float32),   # tmax before the sphere
         jnp.full((512,), 10.0, jnp.float32),
     ])
-    t, hit, _, _, _ = tps.traverse_packet_slim(
+    t, hit, _, _, _, _ = tps.traverse_packet_slim(
         o, d, t0, *_tables(s), (0,), interpret=True,
     )
     assert (np.asarray(hit)[:512] == -1).all()
@@ -157,7 +157,7 @@ def test_slim_multi_root(rng_np):
     n = 1024
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
-    t, hit, hobj, _, _ = tps.traverse_packet_slim(
+    t, hit, hobj, _, _, _ = tps.traverse_packet_slim(
         o, d, t0, nodes, ltris, tuple(roots), interpret=True,
     )
     bt, bidx = intersect.brute_force_nearest_triangle(

@@ -65,10 +65,10 @@ def check_parity(n_rays: int = 2048, chunk: int = 512, seed: int = 5) -> dict:
     d = jnp.concatenate([d1, d2])
     t0 = jnp.full((n_rays,), RAY_TMAX, jnp.float32)
 
-    t, hit, obj, normal, depth = tps.traverse_packet_slim(
+    t, hit, obj, normal, depth, _iid = tps.traverse_packet_slim(
         o, d, t0, dev.pnodes, dev.pltris, dev.proots
     )
-    _, hit_any, _, _, _ = tps.traverse_packet_slim(
+    _, hit_any, _, _, _, _ = tps.traverse_packet_slim(
         o, d, t0, dev.pnodes, dev.pltris, dev.proots, any_hit=True
     )
 
