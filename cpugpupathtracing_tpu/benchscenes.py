@@ -114,12 +114,12 @@ def config5_tlas_animated(num_instances: int = 6):
     s.mark_light(l1)
 
     def hook(frame: int, renderer) -> None:
-        # animate: new transforms + TLAS refit (BLAS untouched); moving
-        # geometry invalidates the accumulator like a camera move
+        # animate: new transforms + O(instances) TLAS refit (BLAS and
+        # every other device array untouched, scene.set_instance_transform);
+        # moving geometry invalidates the accumulator like a camera move
         t = 0.12 * (frame + 1)
         for i, m in enumerate(_ring_transforms(num_instances, 4.5, t)):
-            s.objects[obj].instances[i] = m
-        s._device = None
+            s.set_instance_transform(obj, i, m)
         renderer.reset()
 
     return (

@@ -250,6 +250,10 @@ class Scene:
         self.use_wide = use_wide
         self.traversal = traversal if use_wide else "binary"
         self._device: DeviceScene | None = None
+        # instance-transform-only edits refit the TLAS in O(instances)
+        # instead of rebuilding the snapshot (see _refit_device)
+        self._transforms_dirty = False
+        self._refit_meta: dict | None = None
 
     # -- construction (Source/Main.cpp:779-819 equivalents) --
 
@@ -302,12 +306,14 @@ class Scene:
 
     def set_instance_transform(self, obj_index: int, instance_index: int, transform) -> None:
         """Move one instance (animation); the next device snapshot refits
-        the TLAS over the existing BLAS (BVH refit -- no mesh rebuild)."""
+        the TLAS over the existing BLAS in O(instances) -- new world
+        AABBs + TLAS rows + inverse transforms only, every BLAS /
+        triangle / material array untouched (BVH refit, no rebuild)."""
         obj = self.objects[obj_index]
         if obj.instances is None:
             except_error("Scene", "object {} has no instances", obj.name)
         obj.instances[instance_index] = np.asarray(transform, np.float32)
-        self._device = None
+        self._transforms_dirty = True
 
     def add_sphere(self, name: str, center, radius: float, mat_index: int) -> int:
         self.objects.append(
@@ -349,7 +355,75 @@ class Scene:
     def device(self) -> DeviceScene:
         if self._device is None:
             self._device = self._build_device()
+            self._transforms_dirty = False
+        elif self._transforms_dirty:
+            self._device = self._refit_device(self._device)
+            self._transforms_dirty = False
         return self._device
+
+    def _refit_device(self, dev: DeviceScene) -> DeviceScene:
+        """O(instances) snapshot update after transform-only edits: the
+        TLAS topology is count-determined, so only the TLAS node rows
+        (wide + slim + skip encodings), the per-instance inverse /
+        normal matrices, and the world bounds change; every other array
+        is reused as-is.  Static metadata is unchanged, so jitted frame
+        functions do not recompile."""
+        from cpugpupathtracing_tpu.ops import traverse_skip as skiplib
+
+        f32, i32 = np.float32, np.int32
+        meta = self._refit_meta
+        inst_inv_l, inst_nrm_l = [], []
+        imin_l, imax_l = [], []
+        for oi, bmin, bmax in meta["inst_objs"]:
+            obj = self.objects[oi]
+            for m4 in obj.instances:
+                inv = np.linalg.inv(np.asarray(m4, np.float64))
+                inst_inv_l.append(inv[:3, :].astype(f32).reshape(12))
+                inst_nrm_l.append(inv[:3, :3].T.astype(f32).reshape(9))
+                amin, amax = _instance_world_aabb(bmin, bmax, np.asarray(m4, f32))
+                imin_l.append(amin)
+                imax_l.append(amax)
+        imin = np.stack(imin_l)
+        imax = np.stack(imax_l)
+        tlas_rows, _ = _build_tlas_rows(imin, imax)
+        if len(tlas_rows) != meta["tlas_count"]:
+            except_error(
+                "Scene", "TLAS topology changed across refit ({} -> {} rows)",
+                meta["tlas_count"], len(tlas_rows),
+            )
+        prow = _slim_tlas_rows(tlas_rows, meta["p_tlas_off"])
+        wrow = tlas_rows.copy()
+        wcidx = wrow[:, 48:56].view(i32)
+        wccnt = wrow[:, 56:64].view(i32)
+        wcidx[wccnt == 0] += meta["w_tlas_off"]
+        srow = skiplib.pack_skip_tlas(
+            imin, imax, np.arange(len(imin)), skiplib.NEXT_DONE,
+            meta["s_tlas_off"],
+        )
+
+        wlo = np.minimum(meta["static_lo"], imin.min(0))
+        whi = np.maximum(meta["static_hi"], imax.max(0))
+        wext = np.maximum(whi - wlo, 1e-6).astype(f32)
+
+        k = meta["tlas_count"]
+        return dataclasses.replace(
+            dev,
+            wnodes=jax.lax.dynamic_update_slice(
+                dev.wnodes, jnp.asarray(wrow), (meta["w_tlas_off"], 0)
+            ),
+            pnodes=jax.lax.dynamic_update_slice(
+                dev.pnodes, jnp.asarray(prow), (meta["p_tlas_off"], 0)
+            ),
+            snodes12=jax.lax.dynamic_update_slice(
+                dev.snodes12,
+                jnp.asarray(srow.astype(f32)),
+                (meta["s_tlas_off"], 0),
+            ),
+            inst_inv=jnp.asarray(np.stack(inst_inv_l)),
+            inst_nrm=jnp.asarray(np.stack(inst_nrm_l)),
+            world_lo=jnp.asarray(wlo.astype(f32)),
+            world_inv_extent=jnp.asarray((1.0 / wext).astype(f32)),
+        )
 
     def _build_device(self) -> DeviceScene:
         from cpugpupathtracing_tpu.models import bvh8 as bvh8lib
@@ -368,6 +442,7 @@ class Scene:
         pnode_off = pleaf_off = 0
         inst_inv_l, inst_nrm_l, inst_root_l, inst_obj_l = [], [], [], []
         p_inst_root_l = []
+        refit_inst_objs = []  # (obj idx, BLAS root AABB) per instanced obj
         inst_aabb_min, inst_aabb_max = [], []
         has_instances = any(
             o.kind == PRIM_MESH and o.instances is not None for o in self.objects
@@ -441,6 +516,9 @@ class Scene:
                     if obj.instances is None:
                         wroots.append(wnode_off)
                     else:
+                        refit_inst_objs.append(
+                            (oi, b.nodes_min[0].copy(), b.nodes_max[0].copy())
+                        )
                         for m4 in obj.instances:
                             inv = np.linalg.inv(np.asarray(m4, np.float64))
                             inst_inv_l.append(inv[:3, :].astype(f32).reshape(12))
@@ -518,6 +596,9 @@ class Scene:
             prow = _slim_tlas_rows(tlas_rows, pnode_off)
             pnodes_l.append(prow)
             proots.append(pnode_off)
+            refit_p_tlas_off = pnode_off
+            refit_w_tlas_off = wnode_off
+            refit_tlas_count = len(tlas_rows)
             pnode_off += len(prow)
             cidx = tlas_rows[:, 48:56].view(i32)
             ccnt = tlas_rows[:, 56:64].view(i32)
@@ -590,6 +671,7 @@ class Scene:
                 c, r = np.asarray(obj.sphere[0], np.float32), obj.sphere[1]
                 wlo = np.minimum(wlo, c - r)
                 whi = np.maximum(whi, c + r)
+        static_lo, static_hi = wlo.copy(), whi.copy()
         if inst_aabb_min:
             wlo = np.minimum(wlo, np.stack(inst_aabb_min).min(0))
             whi = np.maximum(whi, np.stack(inst_aabb_max).max(0))
@@ -597,6 +679,17 @@ class Scene:
             wlo = np.zeros(3, np.float32)
             whi = np.ones(3, np.float32)
         wext = np.maximum(whi - wlo, 1e-6).astype(np.float32)
+
+        if num_instances:
+            self._refit_meta = dict(
+                inst_objs=refit_inst_objs,
+                tlas_count=refit_tlas_count,
+                w_tlas_off=refit_w_tlas_off,
+                p_tlas_off=refit_p_tlas_off,
+                s_tlas_off=tlas_off,
+                static_lo=static_lo,
+                static_hi=static_hi,
+            )
 
         use_wide = self.use_wide and len(wnodes) > 0
         # worst-case stack: 7 pushes per level of TLAS + deepest wide tree

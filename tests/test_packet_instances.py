@@ -125,3 +125,54 @@ def test_instanced_render_matches_wide(force_packet):
         np.asarray(res_p.energy), np.asarray(res_w.energy), rtol=2e-4, atol=2e-4
     )
     assert int(res_p.traced_rays) == int(res_w.traced_rays)
+
+
+def test_refit_matches_full_rebuild(force_packet):
+    """set_instance_transform refits the TLAS in O(instances): the
+    refitted snapshot must intersect identically to a from-scratch
+    rebuild with the same transforms, reuse every BLAS array by
+    identity, and keep static metadata (no jit recompiles)."""
+    moved = _transforms()
+    moved[:, 0, 3] += 1.5  # translate all instances in x
+    moved[1, 1, 3] -= 0.7
+
+    scene = _instanced_scene()
+    dev0 = scene.device()
+    for i in range(3):
+        scene.set_instance_transform(0, i, moved[i])
+    dev_refit = scene.device()
+
+    fresh = _instanced_scene()
+    for i in range(3):
+        fresh.objects[0].instances[i] = moved[i]
+    dev_full = fresh.device()
+
+    # arrays the refit must NOT touch are reused by object identity
+    assert dev_refit.pltris is dev0.pltris
+    assert dev_refit.wtris9 is dev0.wtris9
+    assert dev_refit.tris9 is dev0.tris9
+    # static metadata unchanged -> cached jits stay valid
+    assert dev_refit.proots == dev0.proots
+    assert dev_refit.wroots == dev0.wroots
+    assert dev_refit.wstack_depth == dev0.wstack_depth
+
+    np.testing.assert_array_equal(
+        np.asarray(dev_refit.inst_inv), np.asarray(dev_full.inst_inv)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dev_refit.pnodes), np.asarray(dev_full.pnodes)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dev_refit.wnodes), np.asarray(dev_full.wnodes)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dev_refit.snodes12), np.asarray(dev_full.snodes12)
+    )
+
+    o, d = _rays(2048)
+    tmax = jnp.full((o.shape[0],), RAY_TMAX, jnp.float32)
+    hr = intersect_scene(dev_refit, o, d, tmax)
+    hf = intersect_scene(dev_full, o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(hr.prim), np.asarray(hf.prim))
+    np.testing.assert_array_equal(np.asarray(hr.inst), np.asarray(hf.inst))
+    np.testing.assert_array_equal(np.asarray(hr.t), np.asarray(hf.t))
