@@ -82,6 +82,10 @@ def main(argv=None):
                    help="npz path: resume from it if present, save to it at exit")
     p.add_argument("--stats-json", action="store_true",
                    help="print one JSON stats line per frame")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="start the live HTTP viewer (progressive frame + "
+                        "stats + WASD fly camera) and render until "
+                        "interrupted; --frames still bounds the loop if set")
     args = p.parse_args(argv)
 
     from cpugpupathtracing_tpu.config import DiffusePdfMode
@@ -124,6 +128,18 @@ def main(argv=None):
 
         if os.path.exists(args.checkpoint):
             r.load_checkpoint(args.checkpoint)
+
+    if args.serve is not None:
+        from cpugpupathtracing_tpu.viewer import LiveViewer
+
+        viewer = LiveViewer(r, port=args.serve)
+        viewer.start()
+        viewer.serve_frames(args.frames if args.frames > 0 else None)
+        r.save_png(args.out)
+        print(f"wrote {args.out} ({r.num_accumulated} accumulated samples/pixel)",
+              file=sys.stderr)
+        viewer.close()
+        return
 
     for i in range(args.frames):
         r.render_frame()

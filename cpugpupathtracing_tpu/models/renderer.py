@@ -117,8 +117,11 @@ def render_frame_kernel(
     frame_energy = jnp.zeros((n, 3), jnp.float32)
     traced = jnp.zeros((), jnp.int32)
     # lane identity for ray reordering (a device argument, not an
-    # embedded iota -- see the lane parameter's rationale above)
-    lane_idx = lane.astype(jnp.int32)
+    # embedded iota -- see the lane parameter's rationale above).
+    # CPUGPU_NO_SORT=1 disables wavefront sorting (profiling A/B only).
+    import os as _os
+
+    lane_idx = None if _os.environ.get("CPUGPU_NO_SORT") else lane.astype(jnp.int32)
 
     for s in range(spp):
         stream = (sample_base + s).astype(jnp.uint32)

@@ -24,23 +24,30 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path: str, rgba: np.ndarray) -> None:
-    """Write an (H, W, 3|4) uint8 array as a PNG file."""
+def png_bytes(rgba: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array as in-memory PNG bytes (the
+    DX12-presenter stand-in's encoder; also feeds the live HTTP viewer,
+    which uses a low compress level for latency)."""
     rgba = np.asarray(rgba)
     if rgba.dtype != np.uint8:
-        raise ValueError(f"write_png expects uint8, got {rgba.dtype}")
+        raise ValueError(f"png encode expects uint8, got {rgba.dtype}")
     if rgba.ndim != 3 or rgba.shape[2] not in (3, 4):
-        raise ValueError(f"write_png expects (H, W, 3|4), got {rgba.shape}")
+        raise ValueError(f"png encode expects (H, W, 3|4), got {rgba.shape}")
     h, w, c = rgba.shape
     color_type = 6 if c == 4 else 2
     # Filter byte 0 (None) per scanline.
     raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
     png = b"\x89PNG\r\n\x1a\n"
     png += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
-    png += _png_chunk(b"IDAT", zlib.compress(raw, 6))
+    png += _png_chunk(b"IDAT", zlib.compress(raw, compress_level))
     png += _png_chunk(b"IEND", b"")
+    return png
+
+
+def write_png(path: str, rgba: np.ndarray) -> None:
+    """Write an (H, W, 3|4) uint8 array as a PNG file."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(png_bytes(rgba))
 
 
 def read_png(path: str) -> np.ndarray:

@@ -86,11 +86,30 @@ def skeleton():
     li = s.add_sphere("light", (10.0, 10.0, 10.0), 5.0, light)
     s.mark_light(li)
     cam = CameraConfig(pos=(0.0, 0.0, 8.0), aspect=16 / 9)
-    run_variant(s, cam, RenderSettings(), 1920, 1080, "tiny-scene skeleton (full settings)")
-    run_variant(
-        s, cam, RenderSettings(max_ray_depth=0),
-        1920, 1080, "tiny-scene skeleton depth 0",
-    )
+    which = os.environ.get("SKEL_VARIANTS", "base")
+    if which == "base":
+        run_variant(s, cam, RenderSettings(), 1920, 1080, "tiny-scene skeleton (full settings)")
+        run_variant(
+            s, cam, RenderSettings(max_ray_depth=0),
+            1920, 1080, "tiny-scene skeleton depth 0",
+        )
+    elif which == "split":
+        run_variant(
+            s, cam, RenderSettings(next_event_estimation=False),
+            1920, 1080, "skel depth5 NEE off",
+        )
+        os.environ["CPUGPU_NO_SORT"] = "1"
+        run_variant(s, cam, RenderSettings(), 1920, 1080, "skel depth5 SORT off")
+        run_variant(
+            s, cam, RenderSettings(next_event_estimation=False),
+            1920, 1080, "skel depth5 NEE off SORT off",
+        )
+        run_variant(
+            s, cam,
+            RenderSettings(next_event_estimation=False, russian_roulette=False,
+                           cosine_weighted_diffuse=False),
+            1920, 1080, "skel depth5 NEE/RR/cos off SORT off",
+        )
 
 
 if __name__ == "__main__" and os.environ.get("SKEL") == "1":
