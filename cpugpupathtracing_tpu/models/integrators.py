@@ -221,9 +221,9 @@ def sort_wavefront(dev: DeviceScene, c: dict, slots) -> dict:
     word = out.pop("_word")
     out["final_depth"] = word & 0xFF
     out["bvh_depth0"] = (word >> 8) & 0x3FFFFF
-    out["active"] = (word >> 30) & 1 != 0
+    out["active"] = (word >> 30) & 1
     if spec is not None:
-        out["is_specular"] = word < 0  # bit 31
+        out["is_specular"] = jax.lax.shift_right_logical(word, 31)  # bit 31
     return out
 
 
@@ -392,8 +392,10 @@ def trace_advanced(
     carry = dict(
         throughput=jnp.ones((n, 3), f32),
         energy=jnp.zeros((n, 3), f32),
-        active=jnp.ones((n,), bool),
-        is_specular=jnp.zeros((n,), bool),
+        # flags carried as i32, not bool: packed-pred carries force
+        # per-depth layout-conversion copies on TPU
+        active=jnp.ones((n,), jnp.int32),
+        is_specular=jnp.zeros((n,), jnp.int32),
         ray_o=origin,
         ray_d=direction,
         state=state,
@@ -406,8 +408,8 @@ def trace_advanced(
 
     def body(c, depth):
         state = c["state"]
-        active, throughput, energy = c["active"], c["throughput"], c["energy"]
-        is_specular, final_depth = c["is_specular"], c["final_depth"]
+        active, throughput, energy = c["active"] != 0, c["throughput"], c["energy"]
+        is_specular, final_depth = c["is_specular"] != 0, c["final_depth"]
         ray_o, ray_d = c["ray_o"], c["ray_d"]
 
         traced = c["traced"] + jnp.sum(active, dtype=jnp.int32)
@@ -538,8 +540,8 @@ def trace_advanced(
         nc = dict(
             throughput=throughput,
             energy=energy,
-            active=active,
-            is_specular=is_specular,
+            active=active.astype(jnp.int32),
+            is_specular=is_specular.astype(jnp.int32),
             ray_o=ray_o,
             ray_d=ray_d,
             state=state,
@@ -555,7 +557,7 @@ def trace_advanced(
     carry, _ = jax.lax.scan(
         body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
     )
-    energy, active = carry["energy"], carry["active"]
+    energy, active = carry["energy"], carry["active"] != 0
     final_depth = jnp.where(
         active, settings.max_ray_depth + 1, carry["final_depth"]
     )
@@ -607,7 +609,7 @@ def trace_brute(
     carry = dict(
         throughput=jnp.ones((n, 3), f32),
         energy=jnp.zeros((n, 3), f32),
-        active=jnp.ones((n,), bool),
+        active=jnp.ones((n,), jnp.int32),
         ray_o=origin,
         ray_d=direction,
         state=state,
@@ -620,7 +622,7 @@ def trace_brute(
 
     def body(c, depth):
         state = c["state"]
-        active, throughput, energy = c["active"], c["throughput"], c["energy"]
+        active, throughput, energy = c["active"] != 0, c["throughput"], c["energy"]
         final_depth = c["final_depth"]
         ray_o, ray_d = c["ray_o"], c["ray_d"]
 
@@ -697,7 +699,7 @@ def trace_brute(
         nc = dict(
             throughput=throughput,
             energy=energy,
-            active=active,
+            active=active.astype(jnp.int32),
             ray_o=ray_o,
             ray_d=ray_d,
             state=state,
@@ -714,7 +716,7 @@ def trace_brute(
         body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
     )
     final_depth = jnp.where(
-        carry["active"], settings.max_ray_depth + 1, carry["final_depth"]
+        carry["active"] != 0, settings.max_ray_depth + 1, carry["final_depth"]
     )
     energy, state, bvh_depth0 = carry["energy"], carry["state"], carry["bvh_depth0"]
     if do_sort:

@@ -889,33 +889,45 @@ def intersect_scene(
         obj = jnp.where(mesh_hit, dev.tri_obj[jnp.maximum(tri, 0)], obj)
         prim = jnp.where(mesh_hit, tri, prim)
 
-    if dev.sph_center.shape[0] > 0:
-        valid, ts = intersect.intersect_sphere(
-            origin[:, None, :], direction[:, None, :],
-            dev.sph_center[None, :, :], dev.sph_radius_sq[None, :],
-        )  # (N, S)
-        ts = jnp.where(valid & (ts < t[:, None]), ts, jnp.inf)
-        j = jnp.argmin(ts, axis=1)
-        best = jnp.take_along_axis(ts, j[:, None], axis=1)[:, 0]
+    # Analytic primitives as a STATIC per-object loop of pure 1-D ops.
+    # The former batched (N, S) form materialized (N, 1)-shaped
+    # intermediates in the pathological T(1,128) layout plus an
+    # argmin/take_along_axis pair -- measured at ~28 ms/depth in the
+    # frame xplane profile.  Ties keep the lowest index, exactly like
+    # argmin, so results are bitwise identical.
+    num_sph = dev.sph_center.shape[0]
+    if num_sph > 0:
+        best = jnp.full((n,), jnp.inf, jnp.float32)
+        bj = jnp.zeros((n,), jnp.int32)
+        for si in range(num_sph):
+            valid_s, ts = intersect.intersect_sphere(
+                origin, direction, dev.sph_center[si], dev.sph_radius_sq[si]
+            )
+            closer_s = valid_s & (ts < t) & (ts < best)
+            best = jnp.where(closer_s, ts, best)
+            bj = jnp.where(closer_s, si, bj)
         closer = jnp.isfinite(best)
         t = jnp.where(closer, best, t)
-        obj = jnp.where(closer, select_rows(dev.sph_obj, j), obj)
+        obj = jnp.where(closer, select_rows(dev.sph_obj, bj), obj)
         kind = jnp.where(closer, PRIM_SPHERE, kind)
-        prim = jnp.where(closer, j.astype(jnp.int32), prim)
+        prim = jnp.where(closer, bj, prim)
 
-    if dev.pln_point.shape[0] > 0:
-        valid, ts = intersect.intersect_plane(
-            origin[:, None, :], direction[:, None, :],
-            dev.pln_point[None, :, :], dev.pln_normal[None, :, :],
-        )
-        ts = jnp.where(valid & (ts < t[:, None]), ts, jnp.inf)
-        j = jnp.argmin(ts, axis=1)
-        best = jnp.take_along_axis(ts, j[:, None], axis=1)[:, 0]
+    num_pln = dev.pln_point.shape[0]
+    if num_pln > 0:
+        best = jnp.full((n,), jnp.inf, jnp.float32)
+        bj = jnp.zeros((n,), jnp.int32)
+        for pi in range(num_pln):
+            valid_p, ts = intersect.intersect_plane(
+                origin, direction, dev.pln_point[pi], dev.pln_normal[pi]
+            )
+            closer_p = valid_p & (ts < t) & (ts < best)
+            best = jnp.where(closer_p, ts, best)
+            bj = jnp.where(closer_p, pi, bj)
         closer = jnp.isfinite(best)
         t = jnp.where(closer, best, t)
-        obj = jnp.where(closer, select_rows(dev.pln_obj, j), obj)
+        obj = jnp.where(closer, select_rows(dev.pln_obj, bj), obj)
         kind = jnp.where(closer, PRIM_PLANE, kind)
-        prim = jnp.where(closer, j.astype(jnp.int32), prim)
+        prim = jnp.where(closer, bj, prim)
 
     return Hit(
         t=t, obj=obj, kind=kind, prim=prim, bvh_depth=depth, inst=inst,

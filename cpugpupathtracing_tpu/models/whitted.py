@@ -78,7 +78,7 @@ def trace_whitted(
     carry = dict(
         throughput=jnp.ones((n, 3), f32),
         energy=jnp.zeros((n, 3), f32),
-        active=jnp.ones((n,), bool),
+        active=jnp.ones((n,), jnp.int32),
         ray_o=origin,
         ray_d=direction,
         state=state,
@@ -94,7 +94,7 @@ def trace_whitted(
     # sphere lights, which both default scenes use.
     def body(c, depth):
         state = c["state"]
-        active, throughput, energy = c["active"], c["throughput"], c["energy"]
+        active, throughput, energy = c["active"] != 0, c["throughput"], c["energy"]
         final_depth = c["final_depth"]
         ray_o, ray_d = c["ray_o"], c["ray_d"]
 
@@ -205,7 +205,7 @@ def trace_whitted(
         nc = dict(
             throughput=throughput,
             energy=energy,
-            active=active,
+            active=active.astype(jnp.int32),
             ray_o=ray_o,
             ray_d=ray_d,
             state=state,
@@ -223,7 +223,7 @@ def trace_whitted(
     )
     energy = carry["energy"]
     final_depth = jnp.where(
-        carry["active"], settings.max_ray_depth + 1, carry["final_depth"]
+        carry["active"] != 0, settings.max_ray_depth + 1, carry["final_depth"]
     )
     state, bvh_depth0 = carry["state"], carry["bvh_depth0"]
     if do_sort:

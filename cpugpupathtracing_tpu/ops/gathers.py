@@ -34,8 +34,25 @@ def select_rows(table, idx):
         raise ValueError("select_rows on an empty table")
     if k > SMALL_TABLE_MAX:
         return table[jnp.clip(idx, 0, k - 1)]
-    expand = (slice(None),) + (None,) * (table.ndim - 1)
-    out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    if table.ndim == 1:
+        out = jnp.broadcast_to(table[0], idx.shape)
+        for row in range(1, k):
+            out = jnp.where(idx == row, table[row], out)
+        return out
+    if table.ndim != 2:
+        expand = (slice(None),) + (None,) * (table.ndim - 1)
+        out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+        for row in range(1, k):
+            out = jnp.where((idx == row)[expand], table[row], out)
+        return out
+    # 2-column tables select per COLUMN with 1-D predicates: an
+    # (N, 1) broadcast predicate materializes in the pathological
+    # T(1,128) layout on TPU (measured in the frame xplane profile); the
+    # final stack fuses into elementwise consumers
+    ncol = table.shape[1]
+    cols = [jnp.broadcast_to(table[0, j], idx.shape) for j in range(ncol)]
     for row in range(1, k):
-        out = jnp.where((idx == row)[expand], table[row], out)
-    return out
+        pred = idx == row
+        for j in range(ncol):
+            cols[j] = jnp.where(pred, table[row, j], cols[j])
+    return jnp.stack(cols, axis=-1)

@@ -71,7 +71,13 @@ BIG = 1e30
 def _traverse_kernel(
     *refs,
     roots: tuple, any_hit: bool, count_depth: bool, instanced: bool,
+    count_iters: bool,
 ):
+    if count_iters:
+        # the iters output ref sits after the 8 regular outputs, before
+        # the scratch refs; inputs = nodes, ltris [, inst x2] + 8 ray ops
+        refs = list(refs)
+        iters_out = refs.pop((12 if instanced else 10) + 8)
     if instanced:
         (
             nodes_ref, ltris_ref, inst_inv_ref, inst_root_ref,
@@ -351,6 +357,14 @@ def _traverse_kernel(
     def cond(carry):
         return carry[-1] > 0
 
+    if count_iters:
+        inner = body
+
+        def body(carry):
+            it = carry[-2]
+            res = inner(carry[:-2] + (carry[-1],))
+            return res[:-1] + (it + 1, res[-1])
+
     init = [
         t0,
         jnp.full(shape, -1, jnp.int32),
@@ -362,6 +376,8 @@ def _traverse_kernel(
     ]
     if instanced:
         init.append(jnp.full(shape, -1, jnp.int32))
+    if count_iters:
+        init.append(jnp.int32(0))
     init.append(jnp.int32(1))
     out = jax.lax.while_loop(cond, body, tuple(init))
     t, hit, obj, nx, ny, nz, depth = out[:7]
@@ -376,16 +392,19 @@ def _traverse_kernel(
         iid_out[:] = out[7].reshape(-1)
     else:
         iid_out[:] = jnp.full((TILE,), -1, jnp.int32)
+    if count_iters:
+        iters_out[0] = out[-2]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("roots", "interpret", "any_hit", "count_depth"),
+    static_argnames=("roots", "interpret", "any_hit", "count_depth", "count_iters"),
 )
 def traverse_packet_slim(
     origin, direction, t_init, nodes, ltris, roots,
     *, active=None, interpret: bool = False, any_hit: bool = False,
     count_depth: bool = True, inst_inv=None, inst_root=None,
+    count_iters: bool = False,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
@@ -438,29 +457,36 @@ def traverse_packet_slim(
         pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
     ] * 8
 
-    t, hit, obj, nx, ny, nz, depth, iid = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
+    ] * 8
+    out_shape = [
+        jax.ShapeDtypeStruct((n,), jnp.float32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct((n,), jnp.float32),
+        jax.ShapeDtypeStruct((n,), jnp.float32),
+        jax.ShapeDtypeStruct((n,), jnp.float32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+    ]
+    if count_iters:
+        out_specs.append(pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((num_tiles,), jnp.int32))
+
+    res = pl.pallas_call(
         functools.partial(
             _traverse_kernel,
             roots=roots,
             any_hit=any_hit,
             count_depth=count_depth,
             instanced=instanced,
+            count_iters=count_iters,
         ),
         grid=(num_tiles,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
-        ] * 8,
-        out_shape=[
-            jax.ShapeDtypeStruct((n,), jnp.float32),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
-            jax.ShapeDtypeStruct((n,), jnp.float32),
-            jax.ShapeDtypeStruct((n,), jnp.float32),
-            jax.ShapeDtypeStruct((n,), jnp.float32),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -472,5 +498,9 @@ def traverse_packet_slim(
         direction[:, 0], direction[:, 1], direction[:, 2],
         t_init, act,
     )
+    t, hit, obj, nx, ny, nz, depth, iid = res[:8]
     normal = jnp.stack([nx[:n0], ny[:n0], nz[:n0]], axis=1)
-    return t[:n0], hit[:n0], obj[:n0], normal, depth[:n0], iid[:n0]
+    base = (t[:n0], hit[:n0], obj[:n0], normal, depth[:n0], iid[:n0])
+    if count_iters:
+        return base + (res[8],)
+    return base
