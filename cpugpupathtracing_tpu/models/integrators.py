@@ -184,7 +184,12 @@ def sort_wavefront(dev: DeviceScene, c: dict, slots) -> dict:
     payload only to keep the sort's operand shapes uniform.
     """
     act_i = c["active"].astype(jnp.int32)
-    key = reorder_key(dev, c["ray_o"], c["ray_d"], act_i)
+    key = reorder_key(
+        dev,
+        jnp.stack([c["ray_ox"], c["ray_oy"], c["ray_oz"]], axis=1),
+        jnp.stack([c["ray_dx"], c["ray_dy"], c["ray_dz"]], axis=1),
+        act_i,
+    )
 
     folded = dict(c)
     word = folded.pop("final_depth") | (folded.pop("bvh_depth0") << 8)
@@ -396,8 +401,10 @@ def trace_advanced(
         # per-depth layout-conversion copies on TPU
         active=jnp.ones((n,), jnp.int32),
         is_specular=jnp.zeros((n,), jnp.int32),
-        ray_o=origin,
-        ray_d=direction,
+        # rays carried COMPONENTWISE: 1-D T(1024)-tiled arrays cross the
+        # scan / sort / pallas boundaries without relayout copies
+        ray_ox=origin[:, 0], ray_oy=origin[:, 1], ray_oz=origin[:, 2],
+        ray_dx=direction[:, 0], ray_dy=direction[:, 1], ray_dz=direction[:, 2],
         state=state,
         final_depth=jnp.zeros((n,), jnp.int32),
         bvh_depth0=jnp.zeros((n,), jnp.int32),
@@ -410,11 +417,16 @@ def trace_advanced(
         state = c["state"]
         active, throughput, energy = c["active"] != 0, c["throughput"], c["energy"]
         is_specular, final_depth = c["is_specular"] != 0, c["final_depth"]
-        ray_o, ray_d = c["ray_o"], c["ray_d"]
+        ro_c = (c["ray_ox"], c["ray_oy"], c["ray_oz"])
+        rd_c = (c["ray_dx"], c["ray_dy"], c["ray_dz"])
+        # stacked views for the shading math: fuse into elementwise
+        # consumers, never materialized at a boundary
+        ray_o = jnp.stack(ro_c, axis=1)
+        ray_d = jnp.stack(rd_c, axis=1)
 
         traced = c["traced"] + jnp.sum(active, dtype=jnp.int32)
         hit = intersect_scene(
-            dev, ray_o, ray_d, jnp.full((n,), RAY_TMAX, f32), active=active
+            dev, ro_c, rd_c, jnp.full((n,), RAY_TMAX, f32), active=active
         )
         bvh_depth0 = jnp.where(depth == 0, hit.bvh_depth, c["bvh_depth0"])
 
@@ -456,8 +468,12 @@ def trace_advanced(
             traced = traced + jnp.sum(shadow_needed, dtype=jnp.int32)
             sh = intersect_scene(
                 dev,
-                pos + ls.to_light * RAY_NUDGE,
-                ls.to_light,
+                (
+                    pos[:, 0] + ls.to_light[:, 0] * RAY_NUDGE,
+                    pos[:, 1] + ls.to_light[:, 1] * RAY_NUDGE,
+                    pos[:, 2] + ls.to_light[:, 2] * RAY_NUDGE,
+                ),
+                (ls.to_light[:, 0], ls.to_light[:, 1], ls.to_light[:, 2]),
                 ls.distance - 2.0 * RAY_NUDGE,
                 any_hit=True,
                 active=shadow_needed,
@@ -529,9 +545,7 @@ def trace_advanced(
         throughput = throughput * tp_mult
 
         bounced = sel_spec | diel_bounce | sel_diff
-        new_o = pos + new_dir * RAY_NUDGE
-        ray_o = jnp.where(bounced[:, None], new_o, ray_o)
-        ray_d = jnp.where(bounced[:, None], new_dir, ray_d)
+        # componentwise ray update keeps the carry 1-D end-to-end
         # TIR lanes (sel_diel & tir) keep the old ray and stay active,
         # re-tracing the same segment -- the reference's exact fallthrough.
         is_specular = jnp.where(sel_spec | diel_bounce, True, is_specular)
@@ -542,8 +556,12 @@ def trace_advanced(
             energy=energy,
             active=active.astype(jnp.int32),
             is_specular=is_specular.astype(jnp.int32),
-            ray_o=ray_o,
-            ray_d=ray_d,
+            ray_ox=jnp.where(bounced, pos[:, 0] + new_dir[:, 0] * RAY_NUDGE, ro_c[0]),
+            ray_oy=jnp.where(bounced, pos[:, 1] + new_dir[:, 1] * RAY_NUDGE, ro_c[1]),
+            ray_oz=jnp.where(bounced, pos[:, 2] + new_dir[:, 2] * RAY_NUDGE, ro_c[2]),
+            ray_dx=jnp.where(bounced, new_dir[:, 0], rd_c[0]),
+            ray_dy=jnp.where(bounced, new_dir[:, 1], rd_c[1]),
+            ray_dz=jnp.where(bounced, new_dir[:, 2], rd_c[2]),
             state=state,
             final_depth=final_depth,
             bvh_depth0=bvh_depth0,
@@ -610,8 +628,8 @@ def trace_brute(
         throughput=jnp.ones((n, 3), f32),
         energy=jnp.zeros((n, 3), f32),
         active=jnp.ones((n,), jnp.int32),
-        ray_o=origin,
-        ray_d=direction,
+        ray_ox=origin[:, 0], ray_oy=origin[:, 1], ray_oz=origin[:, 2],
+        ray_dx=direction[:, 0], ray_dy=direction[:, 1], ray_dz=direction[:, 2],
         state=state,
         final_depth=jnp.zeros((n,), jnp.int32),
         bvh_depth0=jnp.zeros((n,), jnp.int32),
@@ -624,11 +642,14 @@ def trace_brute(
         state = c["state"]
         active, throughput, energy = c["active"] != 0, c["throughput"], c["energy"]
         final_depth = c["final_depth"]
-        ray_o, ray_d = c["ray_o"], c["ray_d"]
+        ro_c = (c["ray_ox"], c["ray_oy"], c["ray_oz"])
+        rd_c = (c["ray_dx"], c["ray_dy"], c["ray_dz"])
+        ray_o = jnp.stack(ro_c, axis=1)
+        ray_d = jnp.stack(rd_c, axis=1)
 
         traced = c["traced"] + jnp.sum(active, dtype=jnp.int32)
         hit = intersect_scene(
-            dev, ray_o, ray_d, jnp.full((n,), RAY_TMAX, f32), active=active
+            dev, ro_c, rd_c, jnp.full((n,), RAY_TMAX, f32), active=active
         )
         bvh_depth0 = jnp.where(depth == 0, hit.bvh_depth, c["bvh_depth0"])
 
@@ -692,16 +713,17 @@ def trace_brute(
 
         active = active & ~diel_dead
         bounced = sel_spec | diel_refract | diel_reflect | sel_diff
-        new_o = pos + new_dir * RAY_NUDGE
-        ray_o = jnp.where(bounced[:, None], new_o, ray_o)
-        ray_d = jnp.where(bounced[:, None], new_dir, ray_d)
 
         nc = dict(
             throughput=throughput,
             energy=energy,
             active=active.astype(jnp.int32),
-            ray_o=ray_o,
-            ray_d=ray_d,
+            ray_ox=jnp.where(bounced, pos[:, 0] + new_dir[:, 0] * RAY_NUDGE, ro_c[0]),
+            ray_oy=jnp.where(bounced, pos[:, 1] + new_dir[:, 1] * RAY_NUDGE, ro_c[1]),
+            ray_oz=jnp.where(bounced, pos[:, 2] + new_dir[:, 2] * RAY_NUDGE, ro_c[2]),
+            ray_dx=jnp.where(bounced, new_dir[:, 0], rd_c[0]),
+            ray_dy=jnp.where(bounced, new_dir[:, 1], rd_c[1]),
+            ray_dz=jnp.where(bounced, new_dir[:, 2], rd_c[2]),
             state=state,
             final_depth=final_depth,
             bvh_depth0=bvh_depth0,

@@ -808,7 +808,19 @@ def intersect_scene(
     Source/Main.cpp:299-316): one fused BVH traversal over all mesh
     objects + vectorized analytic sphere/plane tests.  `active` masks
     dead wavefront lanes out of the traversal; their Hit rows are
-    unspecified and must be masked by the caller."""
+    unspecified and must be masked by the caller.
+
+    `origin`/`direction` accept (N, 3) arrays or 3-tuples of (N,)
+    components; the tuple form feeds the packet kernel without layout
+    conversion (the integrator carries keep rays componentwise)."""
+    soa = isinstance(origin, tuple)
+    if soa:
+        o_c, d_c = origin, direction
+        origin = jnp.stack(origin, axis=1)
+        direction = jnp.stack(direction, axis=1)
+    else:
+        o_c = (origin[:, 0], origin[:, 1], origin[:, 2])
+        d_c = (direction[:, 0], direction[:, 1], direction[:, 2])
     n = origin.shape[0]
     t = t_init
     obj = jnp.full((n,), -1, jnp.int32)
@@ -821,13 +833,14 @@ def intersect_scene(
     if packet_path_active(dev):
         from cpugpupathtracing_tpu.ops import traverse_packet_slim as packetlib
 
-        t, tri, pobj, mesh_normal, depth, kiid = packetlib.traverse_packet_slim(
-            origin, direction, t_init, dev.pnodes, dev.pltris,
+        t, tri, pobj, nrm_c, depth, kiid = packetlib.traverse_packet_slim(
+            o_c, d_c, t_init, dev.pnodes, dev.pltris,
             dev.proots, active=active, any_hit=any_hit,
             interpret=jax.default_backend() != "tpu",
             inst_inv=dev.inst_inv if dev.num_instances else None,
             inst_root=dev.inst_blas_root_packet if dev.num_instances else None,
         )
+        mesh_normal = jnp.stack(nrm_c, axis=1)
         mesh_hit = tri >= 0
         obj = jnp.where(mesh_hit, pobj, obj)
         prim = jnp.where(mesh_hit, tri, prim)

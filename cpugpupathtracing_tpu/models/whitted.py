@@ -79,8 +79,8 @@ def trace_whitted(
         throughput=jnp.ones((n, 3), f32),
         energy=jnp.zeros((n, 3), f32),
         active=jnp.ones((n,), jnp.int32),
-        ray_o=origin,
-        ray_d=direction,
+        ray_ox=origin[:, 0], ray_oy=origin[:, 1], ray_oz=origin[:, 2],
+        ray_dx=direction[:, 0], ray_dy=direction[:, 1], ray_dz=direction[:, 2],
         state=state,
         final_depth=jnp.zeros((n,), jnp.int32),
         bvh_depth0=jnp.zeros((n,), jnp.int32),
@@ -96,11 +96,14 @@ def trace_whitted(
         state = c["state"]
         active, throughput, energy = c["active"] != 0, c["throughput"], c["energy"]
         final_depth = c["final_depth"]
-        ray_o, ray_d = c["ray_o"], c["ray_d"]
+        ro_c = (c["ray_ox"], c["ray_oy"], c["ray_oz"])
+        rd_c = (c["ray_dx"], c["ray_dy"], c["ray_dz"])
+        ray_o = jnp.stack(ro_c, axis=1)
+        ray_d = jnp.stack(rd_c, axis=1)
 
         traced = c["traced"] + jnp.sum(active, dtype=jnp.int32)
         hit = intersect_scene(
-            dev, ray_o, ray_d, jnp.full((n,), RAY_TMAX, f32), active=active
+            dev, ro_c, rd_c, jnp.full((n,), RAY_TMAX, f32), active=active
         )
         bvh_depth0 = jnp.where(depth == 0, hit.bvh_depth, c["bvh_depth0"])
 
@@ -141,8 +144,12 @@ def trace_whitted(
             shadow_tmax = dist - dev.light_sph_radius[li] - 2.0 * RAY_NUDGE
             sh = intersect_scene(
                 dev,
-                pos + to_l * RAY_NUDGE,
-                to_l,
+                (
+                    pos[:, 0] + to_l[:, 0] * RAY_NUDGE,
+                    pos[:, 1] + to_l[:, 1] * RAY_NUDGE,
+                    pos[:, 2] + to_l[:, 2] * RAY_NUDGE,
+                ),
+                (to_l[:, 0], to_l[:, 1], to_l[:, 2]),
                 shadow_tmax,
                 any_hit=True,
                 active=want,
@@ -199,15 +206,17 @@ def trace_whitted(
         final_depth = jnp.where(die, depth, final_depth)
         active = active & ~die
         bounced = cont_spec | diel_refract | diel_reflect | tir_reflect
-        ray_o = jnp.where(bounced[:, None], pos + new_dir * RAY_NUDGE, ray_o)
-        ray_d = jnp.where(bounced[:, None], new_dir, ray_d)
 
         nc = dict(
             throughput=throughput,
             energy=energy,
             active=active.astype(jnp.int32),
-            ray_o=ray_o,
-            ray_d=ray_d,
+            ray_ox=jnp.where(bounced, pos[:, 0] + new_dir[:, 0] * RAY_NUDGE, ro_c[0]),
+            ray_oy=jnp.where(bounced, pos[:, 1] + new_dir[:, 1] * RAY_NUDGE, ro_c[1]),
+            ray_oz=jnp.where(bounced, pos[:, 2] + new_dir[:, 2] * RAY_NUDGE, ro_c[2]),
+            ray_dx=jnp.where(bounced, new_dir[:, 0], rd_c[0]),
+            ray_dy=jnp.where(bounced, new_dir[:, 1], rd_c[1]),
+            ray_dz=jnp.where(bounced, new_dir[:, 2], rd_c[2]),
             state=state,
             final_depth=final_depth,
             bvh_depth0=bvh_depth0,

@@ -60,7 +60,8 @@ def test_slim_matches_brute_force(sphere_slim, rng_np):
     # binary tree's per-triangle v0.normal for every hit
     hm = np.asarray(hit) >= 0
     expect_n = b.tri_normal[np.asarray(hit)[hm]]
-    np.testing.assert_array_equal(np.asarray(normal)[hm], expect_n)
+    normal3 = np.stack([np.asarray(c) for c in normal], axis=1)
+    np.testing.assert_array_equal(normal3[hm], expect_n)
 
 
 def test_slim_padding_and_active(sphere_slim, rng_np):

@@ -67,7 +67,8 @@ def main():
     act = jnp.ones((n,), jnp.int32)
 
     res = census(dev, o, d, act, "primary (blocked order)")
-    t, tri, obj, normal, depth, _ = res[:6]
+    t, tri, obj, nrm_c, depth, _ = res[:6]
+    normal = jnp.stack(nrm_c, axis=1)
 
     # synthesize a depth-1 diffuse bounce population from the real hits
     state = rnglib.seed_lanes(pix, jnp.uint32(0), salt=7)
