@@ -101,305 +101,327 @@ def _traverse_kernel(
         ) = refs
 
     for g in range(GROUPS):
-        shape = (ROWS, LANES)
         gs = slice(g * TILE, (g + 1) * TILE)
-        ox0 = ox_ref[gs].reshape(shape)
-        oy0 = oy_ref[gs].reshape(shape)
-        oz0 = oz_ref[gs].reshape(shape)
-        dx0 = dx_ref[gs].reshape(shape)
-        dy0 = dy_ref[gs].reshape(shape)
-        dz0 = dz_ref[gs].reshape(shape)
-        act0 = act_ref[gs].reshape(shape) != 0
-
-        def inv_dir(d):
-            return jnp.where(d == 0.0, BIG, 1.0 / d)
-
-        ix0 = inv_dir(dx0)
-        iy0 = inv_dir(dy0)
-        iz0 = inv_dir(dz0)
-        t0 = t0_ref[gs].reshape(shape)
-
-        for j in range(ROWS):
-            entry_ref[j] = roots[0]
-            sptr_ref[j] = len(roots) - 1
-            for i, r in enumerate(roots[1:]):
-                stack_ref[j, i] = r
-            if instanced:
-                iid_ref[j] = -1
-        if instanced:
-            # per-row mutable ray registers (world or current-instance object
-            # space); component c's row j lives at rays_ref[c * ROWS + j]
-            for c, v in enumerate((ox0, oy0, oz0, dx0, dy0, dz0, ix0, iy0, iz0)):
-                rays_ref[c * ROWS : (c + 1) * ROWS, :] = v
-
-        def body(carry):
-            if instanced:
-                t, hit, obj, nx, ny, nz, depth, hiid, _ = carry
-                ox = rays_ref[0 * ROWS : 1 * ROWS, :]
-                oy = rays_ref[1 * ROWS : 2 * ROWS, :]
-                oz = rays_ref[2 * ROWS : 3 * ROWS, :]
-                dx = rays_ref[3 * ROWS : 4 * ROWS, :]
-                dy = rays_ref[4 * ROWS : 5 * ROWS, :]
-                dz = rays_ref[5 * ROWS : 6 * ROWS, :]
-                ix = rays_ref[6 * ROWS : 7 * ROWS, :]
-                iy = rays_ref[7 * ROWS : 8 * ROWS, :]
-                iz = rays_ref[8 * ROWS : 9 * ROWS, :]
-            else:
-                t, hit, obj, nx, ny, nz, depth, _ = carry
-                hiid = None
-                ox, oy, oz = ox0, oy0, oz0
-                dx, dy, dz = dx0, dy0, dz0
-                ix, iy, iz = ix0, iy0, iz0
-            m = act0
-            if any_hit:
-                m = m & (hit < 0)
-
-            # ---- per-row entry decode + row loads (scalar control) ----
-            nrows, lrows, leaf_s, int_s = [], [], [], []
-            for j in range(ROWS):
-                e = entry_ref[j]
-                live = e != DONE
-                leaf = live & (e < 0)
-                if instanced:
-                    interior = live & (e >= 0) & (e < RESTORE)
-                else:
-                    interior = live & (e >= 0)
-                node = jnp.where(interior, e, 0)
-                lrow = jnp.where(leaf, -e - 1, 0)
-                nrows.append(nodes_ref[pl.ds(node, 1), :])
-                lrows.append(ltris_ref[pl.ds(lrow, 1), :])
-                leaf_s.append(leaf)
-                int_s.append(interior)
-            nmat = jnp.concatenate(nrows, axis=0)          # (8, 64)
-            lmat = jnp.concatenate(lrows, axis=0)          # (8, 128)
-            imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
-            leaf_v = jnp.concatenate(
-                [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
-                axis=0,
-            ) != 0                                          # (8, 1)
-            int_v = jnp.concatenate(
-                [jnp.full((1, 1), int_s[j], jnp.int32) for j in range(ROWS)],
-                axis=0,
-            ) != 0                                          # (8, 1): gates slab
-            # work to live interior rows (finished / instance-marker rows
-            # would otherwise retest row 0's children and inflate bvh_depth)
-            if instanced:
-                iid_v = jnp.concatenate(
-                    [jnp.full((1, 1), iid_ref[j], jnp.int32) for j in range(ROWS)],
-                    axis=0,
-                )                                           # (8, 1)
-
-            # ---- interior: 8 child slab tests on (8,1)-broadcast bounds ----
-            child_dmin = []
-            lane_desc = None
-            for k in range(WIDTH):
-                b = nmat[:, 6 * k : 6 * k + 6]
-                tx1 = (b[:, 0:1] - ox) * ix
-                ty1 = (b[:, 1:2] - oy) * iy
-                tz1 = (b[:, 2:3] - oz) * iz
-                tx2 = (b[:, 3:4] - ox) * ix
-                ty2 = (b[:, 4:5] - oy) * iy
-                tz2 = (b[:, 5:6] - oz) * iz
-                tmin = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
-                    jnp.minimum(tz1, tz2),
-                )
-                tmax = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
-                    jnp.maximum(tz1, tz2),
-                )
-                valid_v = imat[:, 48 + k : 49 + k] != SLIM_EMPTY   # (8, 1)
-                bm = (
-                    (tmax >= tmin) & (tmin < t) & (tmax > 0.0)
-                    & m & int_v & valid_v
-                )
-                child_dmin.append(
-                    jnp.min(jnp.where(bm, tmin, jnp.inf), axis=1, keepdims=True)
-                )
-                if count_depth:
-                    lane_desc = bm if lane_desc is None else (lane_desc | bm)
-            if count_depth:
-                depth = depth + lane_desc.astype(jnp.int32)
-
-            # ---- leaf: 8 x 16-col records from one (8, 128) matrix ----
-            limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
-            for c in range(LEAF_TRIS):
-                tm = lmat[:, 16 * c : 16 * c + 12]
-                v0x, v0y, v0z = tm[:, 0:1], tm[:, 1:2], tm[:, 2:3]
-                e1x, e1y, e1z = tm[:, 3:4], tm[:, 4:5], tm[:, 5:6]
-                e2x, e2y, e2z = tm[:, 6:7], tm[:, 7:8], tm[:, 8:9]
-                hx = dy * e2z - dz * e2y
-                hy = dz * e2x - dx * e2z
-                hz = dx * e2y - dy * e2x
-                a = e1x * hx + e1y * hy + e1z * hz
-                det_ok = jnp.abs(a) >= TRI_DET_EPS
-                f = 1.0 / jnp.where(det_ok, a, 1.0)
-                sx = ox - v0x
-                sy = oy - v0y
-                sz = oz - v0z
-                u = f * (sx * hx + sy * hy + sz * hz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                vv = f * (dx * qx + dy * qy + dz * qz)
-                tt = f * (e2x * qx + e2y * qy + e2z * qz)
-                valid = (
-                    det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
-                    & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
-                    & m & leaf_v
-                )
-                t = jnp.where(valid, tt, t)
-                hit = jnp.where(valid, limat[:, 16 * c + 13 : 16 * c + 14], hit)
-                obj = jnp.where(valid, limat[:, 16 * c + 12 : 16 * c + 13], obj)
-                nx = jnp.where(valid, tm[:, 9:10], nx)
-                ny = jnp.where(valid, tm[:, 10:11], ny)
-                nz = jnp.where(valid, tm[:, 11:12], nz)
-                if instanced:
-                    hiid = jnp.where(valid, iid_v, hiid)
-
-            # ---- per-row control (scalar): push children, pop next ----
-            alive = jnp.int32(0)
-            for j in range(ROWS):
-                e = entry_ref[j]
-                live = e != DONE
-                interior = int_s[j]
-                sp = sptr_ref[j]
-
-                ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
-                es_ = [imat[j, 48 + k] for k in range(WIDTH)]
-                if any_hit:
-                    order = range(WIDTH)
-                    best_k = None
-                else:
-                    # nearest child pushed last (pops first); full sorting
-                    # costs ~3x the scalar ops for little extra pruning
-                    best_d = ds_[0]
-                    best_k = jnp.int32(0)
-                    for k in range(1, WIDTH):
-                        sw = ds_[k] < best_d
-                        best_d = jnp.where(sw, ds_[k], best_d)
-                        best_k = jnp.where(sw, jnp.int32(k), best_k)
-                    order = range(WIDTH)
-                for k in order:
-                    push = jnp.isfinite(ds_[k]) & interior
-                    if best_k is not None:
-                        push = push & (best_k != k)
-                    slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
-                    prev = stack_ref[j, slot]
-                    stack_ref[j, slot] = jnp.where(push, es_[k], prev)
-                    sp = sp + jnp.where(push, 1, 0)
-                if best_k is not None:
-                    push = jnp.isfinite(best_d) & interior
-                    ent_b = es_[0]
-                    for k in range(1, WIDTH):
-                        ent_b = jnp.where(best_k == k, es_[k], ent_b)
-                    slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
-                    prev = stack_ref[j, slot]
-                    stack_ref[j, slot] = jnp.where(push, ent_b, prev)
-                    sp = sp + jnp.where(push, 1, 0)
-
-                if instanced:
-                    is_inst = live & (e > SLIM_EMPTY)
-                    is_rest = live & (e == RESTORE)
-                    iid_e = e - SLIM_EMPTY - 1
-                    iid_c = jnp.clip(iid_e, 0, num_inst - 1)
-                    # entering: push the RESTORE marker under the BLAS walk
-                    slot = jnp.where(is_inst, jnp.minimum(sp, STACK - 1), STACK - 1)
-                    prev = stack_ref[j, slot]
-                    stack_ref[j, slot] = jnp.where(is_inst, RESTORE, prev)
-                    sp = sp + jnp.where(is_inst, 1, 0)
-
-                    @pl.when(is_inst)
-                    def _enter(j=j, iid_c=iid_c):
-                        mm = [inst_inv_ref[iid_c, k] for k in range(12)]
-                        o_x = mm[0] * ox0[j] + mm[1] * oy0[j] + mm[2] * oz0[j] + mm[3]
-                        o_y = mm[4] * ox0[j] + mm[5] * oy0[j] + mm[6] * oz0[j] + mm[7]
-                        o_z = mm[8] * ox0[j] + mm[9] * oy0[j] + mm[10] * oz0[j] + mm[11]
-                        d_x = mm[0] * dx0[j] + mm[1] * dy0[j] + mm[2] * dz0[j]
-                        d_y = mm[4] * dx0[j] + mm[5] * dy0[j] + mm[6] * dz0[j]
-                        d_z = mm[8] * dx0[j] + mm[9] * dy0[j] + mm[10] * dz0[j]
-                        rays_ref[0 * ROWS + j, :] = o_x
-                        rays_ref[1 * ROWS + j, :] = o_y
-                        rays_ref[2 * ROWS + j, :] = o_z
-                        rays_ref[3 * ROWS + j, :] = d_x
-                        rays_ref[4 * ROWS + j, :] = d_y
-                        rays_ref[5 * ROWS + j, :] = d_z
-                        rays_ref[6 * ROWS + j, :] = inv_dir(d_x)
-                        rays_ref[7 * ROWS + j, :] = inv_dir(d_y)
-                        rays_ref[8 * ROWS + j, :] = inv_dir(d_z)
-
-                    @pl.when(is_rest)
-                    def _leave(j=j):
-                        rays_ref[0 * ROWS + j, :] = ox0[j]
-                        rays_ref[1 * ROWS + j, :] = oy0[j]
-                        rays_ref[2 * ROWS + j, :] = oz0[j]
-                        rays_ref[3 * ROWS + j, :] = dx0[j]
-                        rays_ref[4 * ROWS + j, :] = dy0[j]
-                        rays_ref[5 * ROWS + j, :] = dz0[j]
-                        rays_ref[6 * ROWS + j, :] = ix0[j]
-                        rays_ref[7 * ROWS + j, :] = iy0[j]
-                        rays_ref[8 * ROWS + j, :] = iz0[j]
-
-                    iid_ref[j] = jnp.where(
-                        is_inst, iid_e, jnp.where(is_rest, -1, iid_ref[j])
-                    )
-
-                # both entry kinds finish in one iteration: pop or done
-                can = live & (sp > 0)
-                if instanced:
-                    can = can & ~is_inst  # entering descends, not pops
-                top = stack_ref[j, jnp.maximum(sp - 1, 0)]
-                nxt = jnp.where(can, top, DONE)
-                if instanced:
-                    blas_e = inst_root_ref[iid_c]
-                    nxt = jnp.where(is_inst, blas_e, nxt)
-                sptr_ref[j] = jnp.where(can, sp - 1, sp)
-                entry_ref[j] = nxt
-                alive = alive + jnp.where(nxt != DONE, 1, 0)
-            if instanced:
-                return t, hit, obj, nx, ny, nz, depth, hiid, alive
-            return t, hit, obj, nx, ny, nz, depth, alive
-
-        def cond(carry):
-            return carry[-1] > 0
-
+        # sorted wavefronts leave most late-depth sub-tiles with ZERO
+        # active lanes; skip their whole prologue/traversal/epilogue
+        # (the Hit contract leaves inactive rows unspecified)
+        any_act = jnp.sum(act_ref[gs]) > 0
         if count_iters:
-            inner = body
+            iters_out[pl.program_id(0) * GROUPS + g] = 0
+
+        @pl.when(jnp.logical_not(any_act))
+        def _dead(gs=gs):
+            # exact miss payloads (not garbage VMEM): t = t_init,
+            # hit/obj/iid = -1 -- keeps debug_nans clean downstream
+            t_out[gs] = t0_ref[gs]
+            hit_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+            obj_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+            nx_out[gs] = jnp.zeros((TILE,), jnp.float32)
+            ny_out[gs] = jnp.zeros((TILE,), jnp.float32)
+            nz_out[gs] = jnp.zeros((TILE,), jnp.float32)
+            depth_out[gs] = jnp.zeros((TILE,), jnp.int32)
+            iid_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+
+        @pl.when(any_act)
+        def _group(g=g, gs=gs):
+            shape = (ROWS, LANES)
+            ox0 = ox_ref[gs].reshape(shape)
+            oy0 = oy_ref[gs].reshape(shape)
+            oz0 = oz_ref[gs].reshape(shape)
+            dx0 = dx_ref[gs].reshape(shape)
+            dy0 = dy_ref[gs].reshape(shape)
+            dz0 = dz_ref[gs].reshape(shape)
+            act0 = act_ref[gs].reshape(shape) != 0
+
+            def inv_dir(d):
+                return jnp.where(d == 0.0, BIG, 1.0 / d)
+
+            ix0 = inv_dir(dx0)
+            iy0 = inv_dir(dy0)
+            iz0 = inv_dir(dz0)
+            t0 = t0_ref[gs].reshape(shape)
+
+            for j in range(ROWS):
+                entry_ref[j] = roots[0]
+                sptr_ref[j] = len(roots) - 1
+                for i, r in enumerate(roots[1:]):
+                    stack_ref[j, i] = r
+                if instanced:
+                    iid_ref[j] = -1
+            if instanced:
+                # per-row mutable ray registers (world or current-instance object
+                # space); component c's row j lives at rays_ref[c * ROWS + j]
+                for c, v in enumerate((ox0, oy0, oz0, dx0, dy0, dz0, ix0, iy0, iz0)):
+                    rays_ref[c * ROWS : (c + 1) * ROWS, :] = v
 
             def body(carry):
-                it = carry[-2]
-                res = inner(carry[:-2] + (carry[-1],))
-                return res[:-1] + (it + 1, res[-1])
+                if instanced:
+                    t, hit, obj, nx, ny, nz, depth, hiid, _ = carry
+                    ox = rays_ref[0 * ROWS : 1 * ROWS, :]
+                    oy = rays_ref[1 * ROWS : 2 * ROWS, :]
+                    oz = rays_ref[2 * ROWS : 3 * ROWS, :]
+                    dx = rays_ref[3 * ROWS : 4 * ROWS, :]
+                    dy = rays_ref[4 * ROWS : 5 * ROWS, :]
+                    dz = rays_ref[5 * ROWS : 6 * ROWS, :]
+                    ix = rays_ref[6 * ROWS : 7 * ROWS, :]
+                    iy = rays_ref[7 * ROWS : 8 * ROWS, :]
+                    iz = rays_ref[8 * ROWS : 9 * ROWS, :]
+                else:
+                    t, hit, obj, nx, ny, nz, depth, _ = carry
+                    hiid = None
+                    ox, oy, oz = ox0, oy0, oz0
+                    dx, dy, dz = dx0, dy0, dz0
+                    ix, iy, iz = ix0, iy0, iz0
+                m = act0
+                if any_hit:
+                    m = m & (hit < 0)
 
-        init = [
-            t0,
-            jnp.full(shape, -1, jnp.int32),
-            jnp.full(shape, -1, jnp.int32),
-            jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.int32),
-        ]
-        if instanced:
-            init.append(jnp.full(shape, -1, jnp.int32))
-        if count_iters:
-            init.append(jnp.int32(0))
-        init.append(jnp.int32(1))
-        out = jax.lax.while_loop(cond, body, tuple(init))
-        t, hit, obj, nx, ny, nz, depth = out[:7]
-        t_out[gs] = t.reshape(-1)
-        hit_out[gs] = hit.reshape(-1)
-        obj_out[gs] = obj.reshape(-1)
-        nx_out[gs] = nx.reshape(-1)
-        ny_out[gs] = ny.reshape(-1)
-        nz_out[gs] = nz.reshape(-1)
-        depth_out[gs] = depth.reshape(-1)
-        if instanced:
-            iid_out[gs] = out[7].reshape(-1)
-        else:
-            iid_out[gs] = jnp.full((TILE,), -1, jnp.int32)
-        if count_iters:
-            iters_out[pl.program_id(0) * GROUPS + g] = out[-2]
+                # ---- per-row entry decode + row loads (scalar control) ----
+                nrows, lrows, leaf_s, int_s = [], [], [], []
+                for j in range(ROWS):
+                    e = entry_ref[j]
+                    live = e != DONE
+                    leaf = live & (e < 0)
+                    if instanced:
+                        interior = live & (e >= 0) & (e < RESTORE)
+                    else:
+                        interior = live & (e >= 0)
+                    node = jnp.where(interior, e, 0)
+                    lrow = jnp.where(leaf, -e - 1, 0)
+                    nrows.append(nodes_ref[pl.ds(node, 1), :])
+                    lrows.append(ltris_ref[pl.ds(lrow, 1), :])
+                    leaf_s.append(leaf)
+                    int_s.append(interior)
+                nmat = jnp.concatenate(nrows, axis=0)          # (8, 64)
+                lmat = jnp.concatenate(lrows, axis=0)          # (8, 128)
+                imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
+                leaf_v = jnp.concatenate(
+                    [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
+                    axis=0,
+                ) != 0                                          # (8, 1)
+                int_v = jnp.concatenate(
+                    [jnp.full((1, 1), int_s[j], jnp.int32) for j in range(ROWS)],
+                    axis=0,
+                ) != 0                                          # (8, 1): gates slab
+                # work to live interior rows (finished / instance-marker rows
+                # would otherwise retest row 0's children and inflate bvh_depth)
+                if instanced:
+                    iid_v = jnp.concatenate(
+                        [jnp.full((1, 1), iid_ref[j], jnp.int32) for j in range(ROWS)],
+                        axis=0,
+                    )                                           # (8, 1)
+
+                # ---- interior: 8 child slab tests on (8,1)-broadcast bounds ----
+                child_dmin = []
+                lane_desc = None
+                for k in range(WIDTH):
+                    b = nmat[:, 6 * k : 6 * k + 6]
+                    tx1 = (b[:, 0:1] - ox) * ix
+                    ty1 = (b[:, 1:2] - oy) * iy
+                    tz1 = (b[:, 2:3] - oz) * iz
+                    tx2 = (b[:, 3:4] - ox) * ix
+                    ty2 = (b[:, 4:5] - oy) * iy
+                    tz2 = (b[:, 5:6] - oz) * iz
+                    tmin = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+                        jnp.minimum(tz1, tz2),
+                    )
+                    tmax = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+                        jnp.maximum(tz1, tz2),
+                    )
+                    valid_v = imat[:, 48 + k : 49 + k] != SLIM_EMPTY   # (8, 1)
+                    bm = (
+                        (tmax >= tmin) & (tmin < t) & (tmax > 0.0)
+                        & m & int_v & valid_v
+                    )
+                    child_dmin.append(
+                        jnp.min(jnp.where(bm, tmin, jnp.inf), axis=1, keepdims=True)
+                    )
+                    if count_depth:
+                        lane_desc = bm if lane_desc is None else (lane_desc | bm)
+                if count_depth:
+                    depth = depth + lane_desc.astype(jnp.int32)
+
+                # ---- leaf: 8 x 16-col records from one (8, 128) matrix ----
+                limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
+                for c in range(LEAF_TRIS):
+                    tm = lmat[:, 16 * c : 16 * c + 12]
+                    v0x, v0y, v0z = tm[:, 0:1], tm[:, 1:2], tm[:, 2:3]
+                    e1x, e1y, e1z = tm[:, 3:4], tm[:, 4:5], tm[:, 5:6]
+                    e2x, e2y, e2z = tm[:, 6:7], tm[:, 7:8], tm[:, 8:9]
+                    hx = dy * e2z - dz * e2y
+                    hy = dz * e2x - dx * e2z
+                    hz = dx * e2y - dy * e2x
+                    a = e1x * hx + e1y * hy + e1z * hz
+                    det_ok = jnp.abs(a) >= TRI_DET_EPS
+                    f = 1.0 / jnp.where(det_ok, a, 1.0)
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    u = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    vv = f * (dx * qx + dy * qy + dz * qz)
+                    tt = f * (e2x * qx + e2y * qy + e2z * qz)
+                    valid = (
+                        det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
+                        & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
+                        & m & leaf_v
+                    )
+                    t = jnp.where(valid, tt, t)
+                    hit = jnp.where(valid, limat[:, 16 * c + 13 : 16 * c + 14], hit)
+                    obj = jnp.where(valid, limat[:, 16 * c + 12 : 16 * c + 13], obj)
+                    nx = jnp.where(valid, tm[:, 9:10], nx)
+                    ny = jnp.where(valid, tm[:, 10:11], ny)
+                    nz = jnp.where(valid, tm[:, 11:12], nz)
+                    if instanced:
+                        hiid = jnp.where(valid, iid_v, hiid)
+
+                # ---- per-row control (scalar): push children, pop next ----
+                alive = jnp.int32(0)
+                for j in range(ROWS):
+                    e = entry_ref[j]
+                    live = e != DONE
+                    interior = int_s[j]
+                    sp = sptr_ref[j]
+
+                    ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
+                    es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+                    if any_hit:
+                        order = range(WIDTH)
+                        best_k = None
+                    else:
+                        # nearest child pushed last (pops first); full sorting
+                        # costs ~3x the scalar ops for little extra pruning
+                        best_d = ds_[0]
+                        best_k = jnp.int32(0)
+                        for k in range(1, WIDTH):
+                            sw = ds_[k] < best_d
+                            best_d = jnp.where(sw, ds_[k], best_d)
+                            best_k = jnp.where(sw, jnp.int32(k), best_k)
+                        order = range(WIDTH)
+                    for k in order:
+                        push = jnp.isfinite(ds_[k]) & interior
+                        if best_k is not None:
+                            push = push & (best_k != k)
+                        slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
+                        prev = stack_ref[j, slot]
+                        stack_ref[j, slot] = jnp.where(push, es_[k], prev)
+                        sp = sp + jnp.where(push, 1, 0)
+                    if best_k is not None:
+                        push = jnp.isfinite(best_d) & interior
+                        ent_b = es_[0]
+                        for k in range(1, WIDTH):
+                            ent_b = jnp.where(best_k == k, es_[k], ent_b)
+                        slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
+                        prev = stack_ref[j, slot]
+                        stack_ref[j, slot] = jnp.where(push, ent_b, prev)
+                        sp = sp + jnp.where(push, 1, 0)
+
+                    if instanced:
+                        is_inst = live & (e > SLIM_EMPTY)
+                        is_rest = live & (e == RESTORE)
+                        iid_e = e - SLIM_EMPTY - 1
+                        iid_c = jnp.clip(iid_e, 0, num_inst - 1)
+                        # entering: push the RESTORE marker under the BLAS walk
+                        slot = jnp.where(is_inst, jnp.minimum(sp, STACK - 1), STACK - 1)
+                        prev = stack_ref[j, slot]
+                        stack_ref[j, slot] = jnp.where(is_inst, RESTORE, prev)
+                        sp = sp + jnp.where(is_inst, 1, 0)
+
+                        @pl.when(is_inst)
+                        def _enter(j=j, iid_c=iid_c):
+                            mm = [inst_inv_ref[iid_c, k] for k in range(12)]
+                            o_x = mm[0] * ox0[j] + mm[1] * oy0[j] + mm[2] * oz0[j] + mm[3]
+                            o_y = mm[4] * ox0[j] + mm[5] * oy0[j] + mm[6] * oz0[j] + mm[7]
+                            o_z = mm[8] * ox0[j] + mm[9] * oy0[j] + mm[10] * oz0[j] + mm[11]
+                            d_x = mm[0] * dx0[j] + mm[1] * dy0[j] + mm[2] * dz0[j]
+                            d_y = mm[4] * dx0[j] + mm[5] * dy0[j] + mm[6] * dz0[j]
+                            d_z = mm[8] * dx0[j] + mm[9] * dy0[j] + mm[10] * dz0[j]
+                            rays_ref[0 * ROWS + j, :] = o_x
+                            rays_ref[1 * ROWS + j, :] = o_y
+                            rays_ref[2 * ROWS + j, :] = o_z
+                            rays_ref[3 * ROWS + j, :] = d_x
+                            rays_ref[4 * ROWS + j, :] = d_y
+                            rays_ref[5 * ROWS + j, :] = d_z
+                            rays_ref[6 * ROWS + j, :] = inv_dir(d_x)
+                            rays_ref[7 * ROWS + j, :] = inv_dir(d_y)
+                            rays_ref[8 * ROWS + j, :] = inv_dir(d_z)
+
+                        @pl.when(is_rest)
+                        def _leave(j=j):
+                            rays_ref[0 * ROWS + j, :] = ox0[j]
+                            rays_ref[1 * ROWS + j, :] = oy0[j]
+                            rays_ref[2 * ROWS + j, :] = oz0[j]
+                            rays_ref[3 * ROWS + j, :] = dx0[j]
+                            rays_ref[4 * ROWS + j, :] = dy0[j]
+                            rays_ref[5 * ROWS + j, :] = dz0[j]
+                            rays_ref[6 * ROWS + j, :] = ix0[j]
+                            rays_ref[7 * ROWS + j, :] = iy0[j]
+                            rays_ref[8 * ROWS + j, :] = iz0[j]
+
+                        iid_ref[j] = jnp.where(
+                            is_inst, iid_e, jnp.where(is_rest, -1, iid_ref[j])
+                        )
+
+                    # both entry kinds finish in one iteration: pop or done
+                    can = live & (sp > 0)
+                    if instanced:
+                        can = can & ~is_inst  # entering descends, not pops
+                    top = stack_ref[j, jnp.maximum(sp - 1, 0)]
+                    nxt = jnp.where(can, top, DONE)
+                    if instanced:
+                        blas_e = inst_root_ref[iid_c]
+                        nxt = jnp.where(is_inst, blas_e, nxt)
+                    sptr_ref[j] = jnp.where(can, sp - 1, sp)
+                    entry_ref[j] = nxt
+                    alive = alive + jnp.where(nxt != DONE, 1, 0)
+                if instanced:
+                    return t, hit, obj, nx, ny, nz, depth, hiid, alive
+                return t, hit, obj, nx, ny, nz, depth, alive
+
+            def cond(carry):
+                return carry[-1] > 0
+
+            if count_iters:
+                inner = body
+
+                def body(carry):
+                    it = carry[-2]
+                    res = inner(carry[:-2] + (carry[-1],))
+                    return res[:-1] + (it + 1, res[-1])
+
+            init = [
+                t0,
+                jnp.full(shape, -1, jnp.int32),
+                jnp.full(shape, -1, jnp.int32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.int32),
+            ]
+            if instanced:
+                init.append(jnp.full(shape, -1, jnp.int32))
+            if count_iters:
+                init.append(jnp.int32(0))
+            init.append(jnp.int32(1))
+            out = jax.lax.while_loop(cond, body, tuple(init))
+            t, hit, obj, nx, ny, nz, depth = out[:7]
+            t_out[gs] = t.reshape(-1)
+            hit_out[gs] = hit.reshape(-1)
+            obj_out[gs] = obj.reshape(-1)
+            nx_out[gs] = nx.reshape(-1)
+            ny_out[gs] = ny.reshape(-1)
+            nz_out[gs] = nz.reshape(-1)
+            depth_out[gs] = depth.reshape(-1)
+            if instanced:
+                iid_out[gs] = out[7].reshape(-1)
+            else:
+                iid_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+            if count_iters:
+                iters_out[pl.program_id(0) * GROUPS + g] = out[-2]
 
 
 @functools.partial(
