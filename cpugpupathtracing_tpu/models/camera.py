@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as _np
 
 from cpugpupathtracing_tpu.config import CameraConfig
 from cpugpupathtracing_tpu.utils import rng as rnglib
@@ -117,15 +118,24 @@ def unblock_image(arr, width: int, height: int, bh: int, bw: int):
     return a.reshape((height * width,) + lead)
 
 
-def pixel_rays(cam: CameraArrays, width: int, height: int, *, jitter=False, rng_state=None):
+def pixel_rays(
+    cam: CameraArrays, width: int, height: int, *, lane=None, jitter=False,
+    rng_state=None,
+):
     """Rays for every pixel, row-major (y, x) flattened to (H*W, 3).
 
     Matches the reference's per-pixel u = x/width, v = y/height mapping
     (Source/Main.cpp:713-716): no half-pixel centering, no jitter.
+    Pass `lane` (a (H*W,) u32 device array of 0..H*W-1) when calling
+    under jit for multi-device dispatch: a traced-time mgrid/iota becomes
+    a lifted executable constant that multi-chip dispatch drops (the
+    same plumbing as lane_rays).  Without it, a host-side numpy arange
+    is embedded (safe, but a baked constant).
     """
-    ys, xs = jnp.mgrid[0:height, 0:width]
-    xs = xs.astype(jnp.float32).reshape(-1)
-    ys = ys.astype(jnp.float32).reshape(-1)
+    if lane is None:
+        lane = jnp.asarray(_np.arange(width * height, dtype=_np.uint32))
+    xs = (lane % jnp.uint32(width)).astype(jnp.float32)
+    ys = (lane // jnp.uint32(width)).astype(jnp.float32)
     if jitter:
         if rng_state is None:
             raise ValueError("jitter=True requires rng_state")

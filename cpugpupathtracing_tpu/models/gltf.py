@@ -72,10 +72,14 @@ def _read_accessor(doc: dict, buffers: list[bytes], accessor_idx: int) -> np.nda
     if stride == item:
         arr = np.frombuffer(data, dtype, count * n_comp, start).reshape(count, n_comp)
     else:
-        rows = [
-            np.frombuffer(data, dtype, n_comp, start + i * stride) for i in range(count)
-        ]
-        arr = np.stack(rows)
+        # interleaved bufferView: O(1) strided view over the raw bytes
+        # (a per-row Python loop here cost seconds on 100k-vert meshes)
+        nbytes = (count - 1) * stride + item if count else 0
+        flat = np.frombuffer(data, np.uint8, nbytes, start)
+        strided = np.lib.stride_tricks.as_strided(
+            flat, shape=(count, item), strides=(stride, 1), writeable=False
+        )
+        arr = np.ascontiguousarray(strided).view(dtype).reshape(count, n_comp)
     return arr.squeeze(-1) if n_comp == 1 else arr
 
 

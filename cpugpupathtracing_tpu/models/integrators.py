@@ -192,7 +192,9 @@ def sort_wavefront(dev: DeviceScene, c: dict, slots) -> dict:
     )
 
     folded = dict(c)
-    word = folded.pop("final_depth") | (folded.pop("bvh_depth0") << 8)
+    # mask bvh_depth0 to its 22-bit field: a >= 2^22 descent count must
+    # degrade the debug AOV only, never leak into the active/spec bits
+    word = folded.pop("final_depth") | ((folded.pop("bvh_depth0") & 0x3FFFFF) << 8)
     word = word | (act_i << 30)
     folded.pop("active")
     spec = folded.pop("is_specular", None)

@@ -119,9 +119,13 @@ def render_frame_kernel(
     # lane identity for ray reordering (a device argument, not an
     # embedded iota -- see the lane parameter's rationale above).
     # CPUGPU_NO_SORT=1 disables wavefront sorting (profiling A/B only).
+    # NOTE: read at TRACE time -- the flag must be set before the first
+    # compile of this frame shape; flipping it later hits the jit cache.
     import os as _os
 
-    lane_idx = None if _os.environ.get("CPUGPU_NO_SORT") else lane.astype(jnp.int32)
+    lane_idx = (
+        None if _os.environ.get("CPUGPU_NO_SORT") == "1" else lane.astype(jnp.int32)
+    )
 
     for s in range(spp):
         stream = (sample_base + s).astype(jnp.uint32)
@@ -348,6 +352,18 @@ class Renderer:
         """UI-triggered rebuild (Source/BVH.cpp:182-185); snapshot swap
         means no race with in-flight frames."""
         self.scene.rebuild_bvh(obj_index, build_option)
+
+    def set_sphere(self, obj_index: int, center, radius: float) -> None:
+        """Live sphere edit resets the accumulator, exactly like the
+        reference scene-tree widgets (Source/Primitives.cpp:385-398 set
+        data.reset_accumulator on change)."""
+        self.scene.set_sphere(obj_index, center, radius)
+        self.reset()
+
+    def set_plane(self, obj_index: int, point, normal) -> None:
+        """Live plane edit + accumulator reset (Source/Primitives.cpp:400-415)."""
+        self.scene.set_plane(obj_index, point, normal)
+        self.reset()
 
     def set_paused(self, paused: bool) -> None:
         """Pause checkbox resets on toggle (Main.cpp:851-854)."""

@@ -34,7 +34,7 @@ from cpugpupathtracing_tpu.models import materials as matlib
 from cpugpupathtracing_tpu.models.mesh import Mesh
 from cpugpupathtracing_tpu.ops import intersect, traverse
 from cpugpupathtracing_tpu.ops.gathers import select_rows
-from cpugpupathtracing_tpu.utils.log import except_error
+from cpugpupathtracing_tpu.utils.log import except_error, log_warn
 from cpugpupathtracing_tpu.utils.vecmath import normalize
 
 PRIM_MESH, PRIM_SPHERE, PRIM_PLANE = 0, 1, 2
@@ -353,6 +353,25 @@ class Scene:
         self.materials[index] = material
         self._device = None
 
+    def set_sphere(self, obj_index: int, center, radius: float) -> None:
+        """Live sphere editor (the scene-tree drag widgets,
+        Source/Primitives.cpp:385-398): new center/radius take effect in
+        the next device snapshot; the caller (Renderer.set_sphere)
+        resets the accumulator like every ImGui edit."""
+        obj = self.objects[obj_index]
+        if obj.kind != PRIM_SPHERE:
+            except_error("Scene", "set_sphere on non-sphere object {}", obj.name)
+        obj.sphere = (tuple(center), float(radius))
+        self._device = None
+
+    def set_plane(self, obj_index: int, point, normal) -> None:
+        """Live plane editor (Source/Primitives.cpp:400-415)."""
+        obj = self.objects[obj_index]
+        if obj.kind != PRIM_PLANE:
+            except_error("Scene", "set_plane on non-plane object {}", obj.name)
+        obj.plane = (tuple(point), tuple(normal))
+        self._device = None
+
     def rebuild_bvh(self, obj_index: int, build_option: BuildOption) -> None:
         """BVH::Rebuild from the UI (Source/BVH.cpp:47-59,182-185); swaps
         a freshly built tree into the next device snapshot."""
@@ -443,7 +462,7 @@ class Scene:
         wnodes, wtris, wleaf = [], [], []
         roots, wroots = [], []
         node_off = tri_off = wnode_off = wtri_off = 0
-        wdepth = 0
+        wdepth = pdepth = 0
         mesh_tri_range: dict[int, tuple[int, int, float]] = {}
         sph = {k: [] for k in ("center", "radius", "obj")}
         pln = {k: [] for k in ("point", "normal", "obj")}
@@ -546,6 +565,7 @@ class Scene:
                     wnode_off += w.num_nodes
                     wtri_off += len(w.tris9)
                     wdepth = max(wdepth, w.max_depth)
+                    pdepth = max(pdepth, pw.max_depth)
 
                 node_off += b.num_nodes
                 tri_off += b.num_triangles
@@ -709,6 +729,27 @@ class Scene:
             else 48
         )
 
+        # the packet kernel's per-row stack is a FIXED compile-time size;
+        # a deeper tree would silently overwrite the top slot and pop
+        # garbage, so validate here and fall back to the wide path
+        # (ADVICE r2: 7 pushes/level across TLAS + BLAS + RESTORE marker)
+        traversal = self.traversal
+        if use_wide and traversal == "packet":
+            from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
+                STACK as PACKET_STACK,
+            )
+
+            need = 7 * (tlas_depth + pdepth + 1) + 1 + max(len(proots), 1)
+            if need > PACKET_STACK:
+                log_warn(
+                    "Scene",
+                    "packet-kernel stack bound exceeded (need {} > {}); "
+                    "falling back to wide traversal",
+                    need,
+                    PACKET_STACK,
+                )
+                traversal = "wide"
+
         return DeviceScene(
             nodes8=cat(nodes, 8),
             tri_perm=cat(perms, 1, i32),
@@ -761,7 +802,7 @@ class Scene:
             use_wide=use_wide,
             wstack_depth=wstack,
             num_instances=num_instances,
-            traversal=self.traversal if use_wide else "binary",
+            traversal=traversal if use_wide else "binary",
             sroot=sroot,
             proots=tuple(proots),
         )

@@ -34,6 +34,9 @@ def select_rows(table, idx):
         raise ValueError("select_rows on an empty table")
     if k > SMALL_TABLE_MAX:
         return table[jnp.clip(idx, 0, k - 1)]
+    # clamp so both regimes agree (the select chains below would
+    # otherwise leave any out-of-range idx at row 0)
+    idx = jnp.clip(idx, 0, k - 1)
     if table.ndim == 1:
         out = jnp.broadcast_to(table[0], idx.shape)
         for row in range(1, k):

@@ -1,0 +1,379 @@
+"""Packet-kernel experiment lab: a parametrized (non-instanced,
+closest-hit) copy of ops/traverse_packet_slim.py with static ablation /
+optimization flags, used to find where the measured ~1.4 us/iteration
+goes (the round-2 census put the pure vector work at ~0.5 us).
+
+Variants (opts dict, all static):
+  leaf="full" | "skip"      -- ablate the 8-triangle leaf phase (timing
+                               only: results are wrong with "skip")
+  slab="full" | "skip"      -- ablate the 8-child slab phase (pushes all
+                               children of every interior: wrong + slow
+                               traversal, isolates slab vector cost)
+  ctrl="extract" | "packed" -- per-row control reads: 16 vector->scalar
+                               extracts per row (current kernel) vs ONE
+                               packed word per row (mask|best_k) built in
+                               the vector domain
+  entries="vector" | "smem" -- child entry words from the loaded node
+                               row (vector extract) vs an SMEM mirror of
+                               nodes[:, 48:56] (scalar loads)
+  unroll=1 | 2 | 4          -- stack entries processed per while-loop
+                               iteration (bit-identical traversal order)
+
+Results get folded back into the real kernel; this file is a harness,
+not a product path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
+
+TILE = 1024
+GROUPS = 4
+ROWS = 8
+LANES = 128
+WIDTH = 8
+LEAF_TRIS = 8
+STACK = 64
+TRI_DET_EPS = 0.001
+DONE = 0x7FFFFFFF
+BIG = 1e30
+
+
+def _lab_kernel(*refs, roots, opts):
+    refs = list(refs)
+    smem_entries = opts.get("entries", "vector") == "smem"
+    if smem_entries:
+        (nodes_ref, ltris_ref, ents_ref) = refs[:3]
+        refs = refs[3:]
+    else:
+        (nodes_ref, ltris_ref) = refs[:2]
+        ents_ref = None
+        refs = refs[2:]
+    (
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref, act_ref,
+        t_out, hit_out, obj_out, depth_out, iters_out,
+        entry_ref, sptr_ref, stack_ref,
+    ) = refs
+    unroll = opts.get("unroll", 1)
+    leaf_on = opts.get("leaf", "full") == "full"
+    slab_on = opts.get("slab", "full") == "full"
+    packed_ctrl = opts.get("ctrl", "extract") == "packed"
+
+    for g in range(GROUPS):
+        gs = slice(g * TILE, (g + 1) * TILE)
+        any_act = jnp.sum(act_ref[gs]) > 0
+        iters_out[pl.program_id(0) * GROUPS + g] = 0
+
+        @pl.when(jnp.logical_not(any_act))
+        def _dead(gs=gs):
+            t_out[gs] = t0_ref[gs]
+            hit_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+            obj_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+            depth_out[gs] = jnp.zeros((TILE,), jnp.int32)
+
+        @pl.when(any_act)
+        def _group(g=g, gs=gs):
+            shape = (ROWS, LANES)
+            ox = ox_ref[gs].reshape(shape)
+            oy = oy_ref[gs].reshape(shape)
+            oz = oz_ref[gs].reshape(shape)
+            dx = dx_ref[gs].reshape(shape)
+            dy = dy_ref[gs].reshape(shape)
+            dz = dz_ref[gs].reshape(shape)
+            act0 = act_ref[gs].reshape(shape) != 0
+
+            def inv_dir(d):
+                return jnp.where(d == 0.0, BIG, 1.0 / d)
+
+            ix = inv_dir(dx)
+            iy = inv_dir(dy)
+            iz = inv_dir(dz)
+            t0 = t0_ref[gs].reshape(shape)
+
+            for j in range(ROWS):
+                entry_ref[j] = roots[0]
+                sptr_ref[j] = len(roots) - 1
+                for i, r in enumerate(roots[1:]):
+                    stack_ref[j, i] = r
+
+            def entry_step(t, hit, obj, depth):
+                """One stack entry per row: decode, slab, leaf, control."""
+                m = act0
+
+                # ---- per-row entry decode + row loads ----
+                nrows, lrows = [], []
+                entries = []
+                for j in range(ROWS):
+                    e = entry_ref[j]
+                    entries.append(e)
+                    leaf = (e != DONE) & (e < 0)
+                    interior = (e != DONE) & (e >= 0)
+                    node = jnp.where(interior, e, 0)
+                    lrow = jnp.where(leaf, -e - 1, 0)
+                    nrows.append(nodes_ref[pl.ds(node, 1), :])
+                    lrows.append(ltris_ref[pl.ds(lrow, 1), :])
+                nmat = jnp.concatenate(nrows, axis=0)
+                lmat = jnp.concatenate(lrows, axis=0)
+                imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
+                # ONE scalar->vector staging of the entries: leaf/interior
+                # flags derive in the vector domain
+                evec = jnp.concatenate(
+                    [jnp.full((1, 1), entries[j], jnp.int32) for j in range(ROWS)],
+                    axis=0,
+                )                                            # (8, 1)
+                live_v = evec != DONE
+                leaf_v = live_v & (evec < 0)
+                int_v = live_v & (evec >= 0)
+
+                # ---- interior: 8 child slab tests ----
+                child_dmin = []
+                lane_desc = None
+                if slab_on:
+                    for k in range(WIDTH):
+                        b = nmat[:, 6 * k : 6 * k + 6]
+                        tx1 = (b[:, 0:1] - ox) * ix
+                        ty1 = (b[:, 1:2] - oy) * iy
+                        tz1 = (b[:, 2:3] - oz) * iz
+                        tx2 = (b[:, 3:4] - ox) * ix
+                        ty2 = (b[:, 4:5] - oy) * iy
+                        tz2 = (b[:, 5:6] - oz) * iz
+                        tmin = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+                            jnp.minimum(tz1, tz2),
+                        )
+                        tmax = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+                            jnp.maximum(tz1, tz2),
+                        )
+                        valid_v = imat[:, 48 + k : 49 + k] != SLIM_EMPTY
+                        bm = (
+                            (tmax >= tmin) & (tmin < t) & (tmax > 0.0)
+                            & m & int_v & valid_v
+                        )
+                        child_dmin.append(
+                            jnp.min(jnp.where(bm, tmin, jnp.inf), axis=1, keepdims=True)
+                        )
+                        lane_desc = bm if lane_desc is None else (lane_desc | bm)
+                    depth = depth + lane_desc.astype(jnp.int32)
+                else:
+                    for k in range(WIDTH):
+                        valid_v = imat[:, 48 + k : 49 + k] != SLIM_EMPTY
+                        child_dmin.append(
+                            jnp.where(int_v & valid_v, 0.0, jnp.inf)
+                        )
+
+                # ---- leaf: 8 x 16-col records ----
+                limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
+                if leaf_on:
+                    for c in range(LEAF_TRIS):
+                        tm = lmat[:, 16 * c : 16 * c + 12]
+                        v0x, v0y, v0z = tm[:, 0:1], tm[:, 1:2], tm[:, 2:3]
+                        e1x, e1y, e1z = tm[:, 3:4], tm[:, 4:5], tm[:, 5:6]
+                        e2x, e2y, e2z = tm[:, 6:7], tm[:, 7:8], tm[:, 8:9]
+                        hx = dy * e2z - dz * e2y
+                        hy = dz * e2x - dx * e2z
+                        hz = dx * e2y - dy * e2x
+                        a = e1x * hx + e1y * hy + e1z * hz
+                        det_ok = jnp.abs(a) >= TRI_DET_EPS
+                        f = 1.0 / jnp.where(det_ok, a, 1.0)
+                        sx = ox - v0x
+                        sy = oy - v0y
+                        sz = oz - v0z
+                        u = f * (sx * hx + sy * hy + sz * hz)
+                        qx = sy * e1z - sz * e1y
+                        qy = sz * e1x - sx * e1z
+                        qz = sx * e1y - sy * e1x
+                        vv = f * (dx * qx + dy * qy + dz * qz)
+                        tt = f * (e2x * qx + e2y * qy + e2z * qz)
+                        valid = (
+                            det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
+                            & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
+                            & m & leaf_v
+                        )
+                        t = jnp.where(valid, tt, t)
+                        hit = jnp.where(
+                            valid, limat[:, 16 * c + 13 : 16 * c + 14], hit
+                        )
+                        obj = jnp.where(
+                            valid, limat[:, 16 * c + 12 : 16 * c + 13], obj
+                        )
+
+                # ---- control ----
+                if packed_ctrl:
+                    # pass mask + best_k packed in the vector domain; ONE
+                    # vector->scalar extract per row
+                    D = jnp.concatenate(child_dmin, axis=1)   # (8, 8)
+                    fin = jnp.isfinite(D)
+                    mask_bits = jnp.zeros((ROWS, 1), jnp.int32)
+                    for k in range(WIDTH):
+                        mask_bits = mask_bits | (
+                            fin[:, k : k + 1].astype(jnp.int32) << k
+                        )
+                    bd = D[:, 0:1]
+                    bk = jnp.zeros((ROWS, 1), jnp.int32)
+                    for k in range(1, WIDTH):
+                        sw = D[:, k : k + 1] < bd
+                        bd = jnp.where(sw, D[:, k : k + 1], bd)
+                        bk = jnp.where(sw, jnp.int32(k), bk)
+                    packed = mask_bits | (bk << 8)
+
+                alive = jnp.int32(0)
+                for j in range(ROWS):
+                    e = entries[j]
+                    live = e != DONE
+                    interior = live & (e >= 0)
+                    sp = sptr_ref[j]
+
+                    if smem_entries:
+                        node_j = jnp.where(interior, e, 0)
+                        es_ = [ents_ref[node_j, k] for k in range(WIDTH)]
+                    else:
+                        es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+
+                    if packed_ctrl:
+                        w = packed[j, 0]
+                        best_k = jax.lax.shift_right_logical(w, 8)
+                        has = [
+                            (jax.lax.shift_right_logical(w, k) & 1) != 0
+                            for k in range(WIDTH)
+                        ]
+                        any_child = (w & 0xFF) != 0
+                    else:
+                        ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
+                        best_d = ds_[0]
+                        best_k = jnp.int32(0)
+                        for k in range(1, WIDTH):
+                            sw = ds_[k] < best_d
+                            best_d = jnp.where(sw, ds_[k], best_d)
+                            best_k = jnp.where(sw, jnp.int32(k), best_k)
+                        has = [jnp.isfinite(ds_[k]) for k in range(WIDTH)]
+                        any_child = jnp.isfinite(best_d)
+
+                    for k in range(WIDTH):
+                        push = has[k] & interior & (best_k != k)
+                        slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
+                        prev = stack_ref[j, slot]
+                        stack_ref[j, slot] = jnp.where(push, es_[k], prev)
+                        sp = sp + jnp.where(push, 1, 0)
+                    push = any_child & interior
+                    ent_b = es_[0]
+                    for k in range(1, WIDTH):
+                        ent_b = jnp.where(best_k == k, es_[k], ent_b)
+                    slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
+                    prev = stack_ref[j, slot]
+                    stack_ref[j, slot] = jnp.where(push, ent_b, prev)
+                    sp = sp + jnp.where(push, 1, 0)
+
+                    can = live & (sp > 0)
+                    top = stack_ref[j, jnp.maximum(sp - 1, 0)]
+                    nxt = jnp.where(can, top, DONE)
+                    sptr_ref[j] = jnp.where(can, sp - 1, sp)
+                    entry_ref[j] = nxt
+                    alive = alive + jnp.where(nxt != DONE, 1, 0)
+                return t, hit, obj, depth, alive
+
+            def body(carry):
+                t, hit, obj, depth, it, _ = carry
+                alive = None
+                for _ in range(unroll):
+                    t, hit, obj, depth, alive = entry_step(t, hit, obj, depth)
+                return t, hit, obj, depth, it + 1, alive
+
+            def cond(carry):
+                return carry[-1] > 0
+
+            init = (
+                t0,
+                jnp.full(shape, -1, jnp.int32),
+                jnp.full(shape, -1, jnp.int32),
+                jnp.zeros(shape, jnp.int32),
+                jnp.int32(0),
+                jnp.int32(1),
+            )
+            out = jax.lax.while_loop(cond, body, init)
+            t, hit, obj, depth = out[:4]
+            t_out[gs] = t.reshape(-1)
+            hit_out[gs] = hit.reshape(-1)
+            obj_out[gs] = obj.reshape(-1)
+            depth_out[gs] = depth.reshape(-1)
+            iters_out[pl.program_id(0) * GROUPS + g] = out[4]
+
+
+@functools.partial(jax.jit, static_argnames=("roots", "opts_t"))
+def traverse_lab(origin, direction, t_init, nodes, ltris, roots, *, active,
+                 opts_t=()):
+    opts = dict(opts_t)
+    ox_c, oy_c, oz_c = origin
+    dx_c, dy_c, dz_c = direction
+    n0 = ox_c.shape[0]
+    roots = tuple(int(r) for r in roots)
+    step = GROUPS * TILE
+    n = -(-n0 // step) * step
+    num_steps = n // step
+    num_tiles = n // TILE
+    act = active.astype(jnp.int32)
+    if n != n0:
+        pad = n - n0
+        pad1 = jnp.ones((pad,), jnp.float32)
+        ox_c = jnp.concatenate([ox_c, pad1])
+        oy_c = jnp.concatenate([oy_c, pad1])
+        oz_c = jnp.concatenate([oz_c, pad1])
+        dx_c = jnp.concatenate([dx_c, pad1])
+        dy_c = jnp.concatenate([dy_c, pad1])
+        dz_c = jnp.concatenate([dz_c, pad1])
+        t_init = jnp.concatenate([t_init, jnp.zeros((pad,), t_init.dtype)])
+        act = jnp.concatenate([act, jnp.zeros((pad,), jnp.int32)])
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    inputs = [nodes, ltris]
+    if opts.get("entries", "vector") == "smem":
+        import numpy as np
+
+        ents = np.asarray(nodes[:, 48:56]).view(np.int32).copy()
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(ents))
+    in_specs += [
+        pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
+    ] * 8
+    out_specs = [
+        pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
+    ] * 4 + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    out_shape = [
+        jax.ShapeDtypeStruct((n,), jnp.float32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct((num_tiles,), jnp.int32),
+    ]
+    res = pl.pallas_call(
+        functools.partial(_lab_kernel, roots=roots, opts=opts),
+        grid=(num_steps,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((ROWS,), jnp.int32),
+            pltpu.SMEM((ROWS,), jnp.int32),
+            pltpu.SMEM((ROWS, STACK), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        *inputs,
+        ox_c, oy_c, oz_c,
+        dx_c, dy_c, dz_c,
+        t_init, act,
+    )
+    t, hit, obj, depth, iters = res
+    return t[:n0], hit[:n0], obj[:n0], depth[:n0], iters
