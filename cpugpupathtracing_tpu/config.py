@@ -74,6 +74,14 @@ class RenderSettings:
     render_mode: RenderMode = RenderMode.ADVANCED
     debug_render_mode: DebugRenderMode = DebugRenderMode.NONE
     diffuse_pdf_mode: DiffusePdfMode = DiffusePdfMode.REFERENCE
+    # populate TraceResult.ray_depth / bvh_depth outside the debug render
+    # modes (costs one extra sort payload per depth and the kernel's
+    # depth accumulation on the packet fast path; debug modes force it)
+    track_aovs: bool = False
+
+    @property
+    def aovs_active(self) -> bool:
+        return self.track_aovs or self.debug_render_mode != DebugRenderMode.NONE
 
     def replace(self, **kwargs) -> "RenderSettings":
         return dataclasses.replace(self, **kwargs)

@@ -158,7 +158,7 @@ def trace_chunked(
     )
 
 
-def sort_wavefront(dev: DeviceScene, c: dict, slots) -> dict:
+def sort_wavefront(dev: DeviceScene, c: dict, slots, aovs: bool = True) -> dict:
     """Permute every per-lane carry column by the ray-coherence key
     (scene.reorder_key) of the carry's next ray.
 
@@ -192,15 +192,27 @@ def sort_wavefront(dev: DeviceScene, c: dict, slots) -> dict:
     )
 
     folded = dict(c)
-    # mask bvh_depth0 to its 22-bit field: a >= 2^22 descent count must
-    # degrade the debug AOV only, never leak into the active/spec bits
-    word = folded.pop("final_depth") | ((folded.pop("bvh_depth0") & 0x3FFFFF) << 8)
-    word = word | (act_i << 30)
     folded.pop("active")
     spec = folded.pop("is_specular", None)
-    if spec is not None:
-        word = word | (spec.astype(jnp.int32) << 31)
-    folded["_word"] = word
+    if aovs:
+        # mask bvh_depth0 to its 22-bit field: a >= 2^22 descent count
+        # must degrade the debug AOV only, never leak into the
+        # active/spec bits
+        word = folded.pop("final_depth") | (
+            (folded.pop("bvh_depth0") & 0x3FFFFF) << 8
+        )
+        word = word | (act_i << 30)
+        if spec is not None:
+            word = word | (spec.astype(jnp.int32) << 31)
+        folded["_word"] = word
+    else:
+        # AOV-free fast path: active (already the key's top field) and
+        # is_specular ride IN the sort key -- one payload fewer.  spec at
+        # the LSB only reshuffles equal-key lanes within a morton cell,
+        # which is bitwise invisible (shading and RNG are per-lane).
+        key = (key << 1) | (
+            spec.astype(jnp.int32) if spec is not None else 0
+        )
 
     cols, meta = [], {}
     for k in sorted(folded):
@@ -213,7 +225,8 @@ def sort_wavefront(dev: DeviceScene, c: dict, slots) -> dict:
         else:
             meta[k] = (len(cols), 0)
             cols.append(v)
-    cols = jax.lax.sort((key, *cols), num_keys=1)[1:]
+    sorted_all = jax.lax.sort((key, *cols), num_keys=1)
+    key_s, cols = sorted_all[0], sorted_all[1:]
 
     out = {}
     for k, v in folded.items():
@@ -225,12 +238,19 @@ def sort_wavefront(dev: DeviceScene, c: dict, slots) -> dict:
             out[k] = jnp.stack(cols[start : start + width], axis=1)
         else:
             out[k] = cols[start]
-    word = out.pop("_word")
-    out["final_depth"] = word & 0xFF
-    out["bvh_depth0"] = (word >> 8) & 0x3FFFFF
-    out["active"] = (word >> 30) & 1
-    if spec is not None:
-        out["is_specular"] = jax.lax.shift_right_logical(word, 31)  # bit 31
+    if aovs:
+        word = out.pop("_word")
+        out["final_depth"] = word & 0xFF
+        out["bvh_depth0"] = (word >> 8) & 0x3FFFFF
+        out["active"] = (word >> 30) & 1
+        if spec is not None:
+            out["is_specular"] = jax.lax.shift_right_logical(word, 31)  # bit 31
+    else:
+        # reconstruct the folded flags from the sorted key: reorder_key
+        # puts (1 - active) at bit 18, shifted to 19 by the spec fold
+        out["active"] = 1 - ((key_s >> 19) & 1)
+        if spec is not None:
+            out["is_specular"] = key_s & 1
     return out
 
 
@@ -390,6 +410,7 @@ def trace_advanced(
     if debug_bvh:
         return _debug_bvh_result(dev, origin, direction, state, n)
     nee = settings.next_event_estimation and dev.num_lights > 0
+    aovs = settings.aovs_active
     do_sort = (
         idx is not None
         and settings.max_ray_depth + 1 <= 0xFF  # fits sort_wavefront's fold
@@ -408,17 +429,19 @@ def trace_advanced(
         ray_ox=origin[:, 0], ray_oy=origin[:, 1], ray_oz=origin[:, 2],
         ray_dx=direction[:, 0], ray_dy=direction[:, 1], ray_dz=direction[:, 2],
         state=state,
-        final_depth=jnp.zeros((n,), jnp.int32),
-        bvh_depth0=jnp.zeros((n,), jnp.int32),
         traced=jnp.zeros((), jnp.int32),
     )
+    if aovs:
+        carry["final_depth"] = jnp.zeros((n,), jnp.int32)
+        carry["bvh_depth0"] = jnp.zeros((n,), jnp.int32)
     if do_sort:
         carry["lane"] = idx.astype(jnp.int32)
 
     def body(c, depth):
         state = c["state"]
         active, throughput, energy = c["active"] != 0, c["throughput"], c["energy"]
-        is_specular, final_depth = c["is_specular"] != 0, c["final_depth"]
+        is_specular = c["is_specular"] != 0
+        final_depth = c["final_depth"] if aovs else None
         ro_c = (c["ray_ox"], c["ray_oy"], c["ray_oz"])
         rd_c = (c["ray_dx"], c["ray_dy"], c["ray_dz"])
         # stacked views for the shading math: fuse into elementwise
@@ -428,12 +451,15 @@ def trace_advanced(
 
         traced = c["traced"] + jnp.sum(active, dtype=jnp.int32)
         hit = intersect_scene(
-            dev, ro_c, rd_c, jnp.full((n,), RAY_TMAX, f32), active=active
+            dev, ro_c, rd_c, jnp.full((n,), RAY_TMAX, f32), active=active,
+            count_depth=aovs,
         )
-        bvh_depth0 = jnp.where(depth == 0, hit.bvh_depth, c["bvh_depth0"])
+        if aovs:
+            bvh_depth0 = jnp.where(depth == 0, hit.bvh_depth, c["bvh_depth0"])
 
         miss = active & (hit.obj < 0)
-        final_depth = jnp.where(miss, depth, final_depth)
+        if aovs:
+            final_depth = jnp.where(miss, depth, final_depth)
         active = active & ~miss
 
         pos, normal, mat_idx = hit_surface(dev, hit, ray_o, ray_d)
@@ -451,7 +477,8 @@ def trace_advanced(
             throughput * mat["emissive"] * mat["intensity"][:, None],
             0.0,
         )
-        final_depth = jnp.where(hit_light, depth, final_depth)
+        if aovs:
+            final_depth = jnp.where(hit_light, depth, final_depth)
         active = active & ~hit_light
 
         brdf_diffuse = mat["albedo"] * INV_PI
@@ -479,6 +506,7 @@ def trace_advanced(
                 ls.distance - 2.0 * RAY_NUDGE,
                 any_hit=True,
                 active=shadow_needed,
+                count_depth=False,  # occlusion only: no AOV consumer
             )
             occluded = sh.obj >= 0
             solid_angle = (nldotl * ls.area) / jnp.maximum(
@@ -501,7 +529,8 @@ def trace_advanced(
             survival = sampling.survival_probability_rr(mat["albedo"])
             state, r_rr = rnglib.next_f32(state)
             die = active & (survival < r_rr)
-            final_depth = jnp.where(die, depth, final_depth)
+            if aovs:
+                final_depth = jnp.where(die, depth, final_depth)
             active = active & ~die
             throughput = jnp.where(
                 active[:, None], throughput / survival[:, None], throughput
@@ -565,32 +594,36 @@ def trace_advanced(
             ray_dy=jnp.where(bounced, new_dir[:, 1], rd_c[1]),
             ray_dz=jnp.where(bounced, new_dir[:, 2], rd_c[2]),
             state=state,
-            final_depth=final_depth,
-            bvh_depth0=bvh_depth0,
             traced=traced,
         )
+        if aovs:
+            nc["final_depth"] = final_depth
+            nc["bvh_depth0"] = bvh_depth0
         if do_sort:
             nc["lane"] = c["lane"]
-            nc = sort_wavefront(dev, nc, idx.astype(jnp.int32))
+            nc = sort_wavefront(dev, nc, idx.astype(jnp.int32), aovs=aovs)
         return nc, None
 
     carry, _ = jax.lax.scan(
         body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
     )
     energy, active = carry["energy"], carry["active"] != 0
-    final_depth = jnp.where(
-        active, settings.max_ray_depth + 1, carry["final_depth"]
-    )
-    state, bvh_depth0 = carry["state"], carry["bvh_depth0"]
-    if do_sort:
-        e0, e1, e2, final_depth, bvh_depth0, state = restore_lane_order(
-            carry["lane"],
-            idx.astype(jnp.int32),
-            (
-                energy[:, 0], energy[:, 1], energy[:, 2],
-                final_depth, bvh_depth0, state,
-            ),
+    state = carry["state"]
+    if aovs:
+        final_depth = jnp.where(
+            active, settings.max_ray_depth + 1, carry["final_depth"]
         )
+        bvh_depth0 = carry["bvh_depth0"]
+    else:
+        final_depth = bvh_depth0 = jnp.zeros((n,), jnp.int32)
+    if do_sort:
+        cols = [energy[:, 0], energy[:, 1], energy[:, 2], state]
+        if aovs:
+            cols += [final_depth, bvh_depth0]
+        cols = restore_lane_order(carry["lane"], idx.astype(jnp.int32), cols)
+        e0, e1, e2, state = cols[:4]
+        if aovs:
+            final_depth, bvh_depth0 = cols[4], cols[5]
         energy = jnp.stack([e0, e1, e2], axis=1)
     if settings.debug_render_mode == DebugRenderMode.RAY_DEPTH:
         # energy OVERWRITE (Main.cpp:575-576)
@@ -602,6 +635,114 @@ def trace_advanced(
     return state, TraceResult(
         energy, carry["traced"], final_depth, bvh_depth0
     )
+
+
+def trace_advanced_mega(
+    dev: DeviceScene,
+    settings: RenderSettings,
+    origin,
+    direction,
+    state,
+    idx=None,
+) -> tuple[jnp.ndarray, TraceResult]:
+    """TracePathAdvanced via the fused per-depth megakernels
+    (ops/megakernel.py): per depth, ONE closest-hit+shading launch and
+    ONE shadow+resolve launch replace the whole XLA shading body, and
+    both launches skip all-dead 1024-lane sub-tiles, so depth cost
+    scales with surviving lanes.  Semantics identical to trace_advanced
+    (same RNG draws, predicates, and epsilons, asserted bitwise in
+    interpret mode by tests/test_megakernel.py); gate via
+    scene.megakernel_active.  AOVs are not tracked (returned as zeros).
+    """
+    from cpugpupathtracing_tpu.ops import megakernel as mk
+
+    n = origin.shape[0]
+    f32 = jnp.float32
+    nee = settings.next_event_estimation and dev.num_lights > 0
+    interpret = jax.default_backend() != "tpu"
+    do_sort = idx is not None
+    num_sph = int(dev.sph_center.shape[0])
+    num_pln = int(dev.pln_point.shape[0])
+    static = dict(
+        roots=dev.proots,
+        num_mats=int(dev.mk_mats.shape[0]),
+        num_lights=dev.num_lights,
+        num_sph=num_sph,
+        num_pln=num_pln,
+        num_objs=int(dev.mk_objmat.shape[0]),
+        nee=nee,
+        rr=settings.russian_roulette,
+        cosine=settings.cosine_weighted_diffuse,
+        ref_pdf=settings.diffuse_pdf_mode == DiffusePdfMode.REFERENCE,
+        interpret=interpret,
+    )
+
+    carry = dict(
+        throughput=jnp.ones((n, 3), f32),
+        energy=jnp.zeros((n, 3), f32),
+        active=jnp.ones((n,), jnp.int32),
+        is_specular=jnp.zeros((n,), jnp.int32),
+        ray_ox=origin[:, 0], ray_oy=origin[:, 1], ray_oz=origin[:, 2],
+        ray_dx=direction[:, 0], ray_dy=direction[:, 1], ray_dz=direction[:, 2],
+        state=state,
+        traced=jnp.zeros((), jnp.int32),
+    )
+    if do_sort:
+        carry["lane"] = idx.astype(jnp.int32)
+
+    def body(c, depth):
+        flags = c["active"] | (c["is_specular"] << 1)
+        traced = c["traced"] + jnp.sum(c["active"], dtype=jnp.int32)
+        rays, state2, tp, en, flags2, so, sd, stmax, contrib = mk.shade_extend(
+            dev.pnodes, dev.pltris, dev.mk_mats, dev.mk_lights,
+            dev.mk_sph, dev.mk_pln, dev.mk_sph_mat, dev.mk_pln_mat,
+            dev.mk_objmat,
+            depth[None],
+            (c["ray_ox"], c["ray_oy"], c["ray_oz"],
+             c["ray_dx"], c["ray_dy"], c["ray_dz"]),
+            c["state"],
+            (c["throughput"][:, 0], c["throughput"][:, 1], c["throughput"][:, 2]),
+            (c["energy"][:, 0], c["energy"][:, 1], c["energy"][:, 2]),
+            flags,
+            **static,
+        )
+        if nee:
+            sneed = (flags2 >> 2) & 1
+            traced = traced + jnp.sum(sneed, dtype=jnp.int32)
+            en = mk.shadow_resolve(
+                dev.pnodes, dev.pltris, dev.mk_sph, dev.mk_pln,
+                so, sd, stmax, flags2, en, contrib,
+                roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
+                interpret=interpret,
+            )
+        nc = dict(
+            throughput=jnp.stack(tp, axis=1),
+            energy=jnp.stack(en, axis=1),
+            active=flags2 & 1,
+            is_specular=(flags2 >> 1) & 1,
+            ray_ox=rays[0], ray_oy=rays[1], ray_oz=rays[2],
+            ray_dx=rays[3], ray_dy=rays[4], ray_dz=rays[5],
+            state=state2,
+            traced=traced,
+        )
+        if do_sort:
+            nc["lane"] = c["lane"]
+            nc = sort_wavefront(dev, nc, idx.astype(jnp.int32), aovs=False)
+        return nc, None
+
+    carry, _ = jax.lax.scan(
+        body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
+    )
+    energy, state = carry["energy"], carry["state"]
+    if do_sort:
+        cols = restore_lane_order(
+            carry["lane"], idx.astype(jnp.int32),
+            [energy[:, 0], energy[:, 1], energy[:, 2], state],
+        )
+        e0, e1, e2, state = cols
+        energy = jnp.stack([e0, e1, e2], axis=1)
+    zeros = jnp.zeros((n,), jnp.int32)
+    return state, TraceResult(energy, carry["traced"], zeros, zeros)
 
 
 def trace_brute(
@@ -620,6 +761,7 @@ def trace_brute(
     f32 = jnp.float32
     if settings.debug_render_mode == DebugRenderMode.BVH_DEPTH:
         return _debug_bvh_result(dev, origin, direction, state, n)
+    aovs = settings.aovs_active
     do_sort = (
         idx is not None
         and settings.max_ray_depth + 1 <= 0xFF  # fits sort_wavefront's fold
@@ -633,17 +775,18 @@ def trace_brute(
         ray_ox=origin[:, 0], ray_oy=origin[:, 1], ray_oz=origin[:, 2],
         ray_dx=direction[:, 0], ray_dy=direction[:, 1], ray_dz=direction[:, 2],
         state=state,
-        final_depth=jnp.zeros((n,), jnp.int32),
-        bvh_depth0=jnp.zeros((n,), jnp.int32),
         traced=jnp.zeros((), jnp.int32),
     )
+    if aovs:
+        carry["final_depth"] = jnp.zeros((n,), jnp.int32)
+        carry["bvh_depth0"] = jnp.zeros((n,), jnp.int32)
     if do_sort:
         carry["lane"] = idx.astype(jnp.int32)
 
     def body(c, depth):
         state = c["state"]
         active, throughput, energy = c["active"] != 0, c["throughput"], c["energy"]
-        final_depth = c["final_depth"]
+        final_depth = c["final_depth"] if aovs else None
         ro_c = (c["ray_ox"], c["ray_oy"], c["ray_oz"])
         rd_c = (c["ray_dx"], c["ray_dy"], c["ray_dz"])
         ray_o = jnp.stack(ro_c, axis=1)
@@ -651,12 +794,15 @@ def trace_brute(
 
         traced = c["traced"] + jnp.sum(active, dtype=jnp.int32)
         hit = intersect_scene(
-            dev, ro_c, rd_c, jnp.full((n,), RAY_TMAX, f32), active=active
+            dev, ro_c, rd_c, jnp.full((n,), RAY_TMAX, f32), active=active,
+            count_depth=aovs,
         )
-        bvh_depth0 = jnp.where(depth == 0, hit.bvh_depth, c["bvh_depth0"])
+        if aovs:
+            bvh_depth0 = jnp.where(depth == 0, hit.bvh_depth, c["bvh_depth0"])
 
         miss = active & (hit.obj < 0)
-        final_depth = jnp.where(miss, depth, final_depth)
+        if aovs:
+            final_depth = jnp.where(miss, depth, final_depth)
         active = active & ~miss
 
         pos, normal, mat_idx = hit_surface(dev, hit, ray_o, ray_d)
@@ -669,7 +815,8 @@ def trace_brute(
             throughput * mat["emissive"] * mat["intensity"][:, None],
             0.0,
         )
-        final_depth = jnp.where(hit_light, depth, final_depth)
+        if aovs:
+            final_depth = jnp.where(hit_light, depth, final_depth)
         active = active & ~hit_light
 
         state, r_lobe = rnglib.next_f32(state)
@@ -691,7 +838,8 @@ def trace_brute(
 
         # TIR kills the path here (k<0 leaves final_color black, Main.cpp:645)
         diel_dead = sel_diel & tir
-        final_depth = jnp.where(diel_dead, depth, final_depth)
+        if aovs:
+            final_depth = jnp.where(diel_dead, depth, final_depth)
         diel_refract = sel_diel & ~tir & choose_refract
         diel_reflect = sel_diel & ~tir & ~choose_refract
 
@@ -727,31 +875,35 @@ def trace_brute(
             ray_dy=jnp.where(bounced, new_dir[:, 1], rd_c[1]),
             ray_dz=jnp.where(bounced, new_dir[:, 2], rd_c[2]),
             state=state,
-            final_depth=final_depth,
-            bvh_depth0=bvh_depth0,
             traced=traced,
         )
+        if aovs:
+            nc["final_depth"] = final_depth
+            nc["bvh_depth0"] = bvh_depth0
         if do_sort:
             nc["lane"] = c["lane"]
-            nc = sort_wavefront(dev, nc, idx.astype(jnp.int32))
+            nc = sort_wavefront(dev, nc, idx.astype(jnp.int32), aovs=aovs)
         return nc, None
 
     carry, _ = jax.lax.scan(
         body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
     )
-    final_depth = jnp.where(
-        carry["active"] != 0, settings.max_ray_depth + 1, carry["final_depth"]
-    )
-    energy, state, bvh_depth0 = carry["energy"], carry["state"], carry["bvh_depth0"]
-    if do_sort:
-        e0, e1, e2, final_depth, bvh_depth0, state = restore_lane_order(
-            carry["lane"],
-            idx.astype(jnp.int32),
-            (
-                energy[:, 0], energy[:, 1], energy[:, 2],
-                final_depth, bvh_depth0, state,
-            ),
+    energy, state = carry["energy"], carry["state"]
+    if aovs:
+        final_depth = jnp.where(
+            carry["active"] != 0, settings.max_ray_depth + 1, carry["final_depth"]
         )
+        bvh_depth0 = carry["bvh_depth0"]
+    else:
+        final_depth = bvh_depth0 = jnp.zeros((n,), jnp.int32)
+    if do_sort:
+        cols = [energy[:, 0], energy[:, 1], energy[:, 2], state]
+        if aovs:
+            cols += [final_depth, bvh_depth0]
+        cols = restore_lane_order(carry["lane"], idx.astype(jnp.int32), cols)
+        e0, e1, e2, state = cols[:4]
+        if aovs:
+            final_depth, bvh_depth0 = cols[4], cols[5]
         energy = jnp.stack([e0, e1, e2], axis=1)
     return state, TraceResult(
         energy, carry["traced"], final_depth, bvh_depth0

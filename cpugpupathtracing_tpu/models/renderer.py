@@ -58,10 +58,18 @@ def trace_sample(dev, settings, origin, direction, state, idx):
     (parallel/sharding.py), so both run the identical integrator +
     packet + wavefront-sorting code.  COMPARISON splits the frame and is
     handled by the caller."""
+    from cpugpupathtracing_tpu.models.scene import megakernel_active
+
     if settings.render_mode == RenderMode.BRUTE_FORCE:
         fn = integrators.trace_brute
     elif settings.render_mode == RenderMode.ADVANCED:
-        fn = integrators.trace_advanced
+        if (
+            megakernel_active(dev, settings)
+            and settings.debug_render_mode == DebugRenderMode.NONE
+        ):
+            fn = integrators.trace_advanced_mega
+        else:
+            fn = integrators.trace_advanced
     elif settings.render_mode == RenderMode.WHITTED:
         from cpugpupathtracing_tpu.models.whitted import trace_whitted
 

@@ -69,6 +69,7 @@ def trace_whitted(
         from cpugpupathtracing_tpu.models.integrators import _debug_bvh_result
 
         return _debug_bvh_result(dev, origin, direction, state, n)
+    aovs = settings.aovs_active
     do_sort = (
         idx is not None
         and settings.max_ray_depth + 1 <= 0xFF  # fits sort_wavefront's fold
@@ -82,10 +83,11 @@ def trace_whitted(
         ray_ox=origin[:, 0], ray_oy=origin[:, 1], ray_oz=origin[:, 2],
         ray_dx=direction[:, 0], ray_dy=direction[:, 1], ray_dz=direction[:, 2],
         state=state,
-        final_depth=jnp.zeros((n,), jnp.int32),
-        bvh_depth0=jnp.zeros((n,), jnp.int32),
         traced=jnp.zeros((), jnp.int32),
     )
+    if aovs:
+        carry["final_depth"] = jnp.zeros((n,), jnp.int32)
+        carry["bvh_depth0"] = jnp.zeros((n,), jnp.int32)
     if do_sort:
         carry["lane"] = idx.astype(jnp.int32)
 
@@ -95,7 +97,7 @@ def trace_whitted(
     def body(c, depth):
         state = c["state"]
         active, throughput, energy = c["active"] != 0, c["throughput"], c["energy"]
-        final_depth = c["final_depth"]
+        final_depth = c["final_depth"] if aovs else None
         ro_c = (c["ray_ox"], c["ray_oy"], c["ray_oz"])
         rd_c = (c["ray_dx"], c["ray_dy"], c["ray_dz"])
         ray_o = jnp.stack(ro_c, axis=1)
@@ -103,12 +105,15 @@ def trace_whitted(
 
         traced = c["traced"] + jnp.sum(active, dtype=jnp.int32)
         hit = intersect_scene(
-            dev, ro_c, rd_c, jnp.full((n,), RAY_TMAX, f32), active=active
+            dev, ro_c, rd_c, jnp.full((n,), RAY_TMAX, f32), active=active,
+            count_depth=aovs,
         )
-        bvh_depth0 = jnp.where(depth == 0, hit.bvh_depth, c["bvh_depth0"])
+        if aovs:
+            bvh_depth0 = jnp.where(depth == 0, hit.bvh_depth, c["bvh_depth0"])
 
         miss = active & (hit.obj < 0)
-        final_depth = jnp.where(miss, depth, final_depth)
+        if aovs:
+            final_depth = jnp.where(miss, depth, final_depth)
         active = active & ~miss
 
         pos, normal, mat_idx = hit_surface(dev, hit, ray_o, ray_d)
@@ -120,7 +125,8 @@ def trace_whitted(
             throughput * mat["emissive"] * mat["intensity"][:, None],
             0.0,
         )
-        final_depth = jnp.where(hit_light, depth, final_depth)
+        if aovs:
+            final_depth = jnp.where(hit_light, depth, final_depth)
         active = active & ~hit_light
 
         diffuse_weight = jnp.maximum(0.0, 1.0 - mat["specular"] - mat["refractivity"])
@@ -153,6 +159,7 @@ def trace_whitted(
                 shadow_tmax,
                 any_hit=True,
                 active=want,
+                count_depth=False,  # occlusion only: no AOV consumer
             )
             vis = want & (sh.obj < 0)
             emission = lmat["emissive"][0] * lmat["intensity"][0]
@@ -203,7 +210,8 @@ def trace_whitted(
         )
         throughput = throughput * tp_mult
 
-        final_depth = jnp.where(die, depth, final_depth)
+        if aovs:
+            final_depth = jnp.where(die, depth, final_depth)
         active = active & ~die
         bounced = cont_spec | diel_refract | diel_reflect | tir_reflect
 
@@ -218,32 +226,35 @@ def trace_whitted(
             ray_dy=jnp.where(bounced, new_dir[:, 1], rd_c[1]),
             ray_dz=jnp.where(bounced, new_dir[:, 2], rd_c[2]),
             state=state,
-            final_depth=final_depth,
-            bvh_depth0=bvh_depth0,
             traced=traced,
         )
+        if aovs:
+            nc["final_depth"] = final_depth
+            nc["bvh_depth0"] = bvh_depth0
         if do_sort:
             nc["lane"] = c["lane"]
-            nc = sort_wavefront(dev, nc, idx.astype(jnp.int32))
+            nc = sort_wavefront(dev, nc, idx.astype(jnp.int32), aovs=aovs)
         return nc, None
 
     carry, _ = jax.lax.scan(
         body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
     )
-    energy = carry["energy"]
-    final_depth = jnp.where(
-        carry["active"] != 0, settings.max_ray_depth + 1, carry["final_depth"]
-    )
-    state, bvh_depth0 = carry["state"], carry["bvh_depth0"]
-    if do_sort:
-        e0, e1, e2, final_depth, bvh_depth0, state = restore_lane_order(
-            carry["lane"],
-            idx.astype(jnp.int32),
-            (
-                energy[:, 0], energy[:, 1], energy[:, 2],
-                final_depth, bvh_depth0, state,
-            ),
+    energy, state = carry["energy"], carry["state"]
+    if aovs:
+        final_depth = jnp.where(
+            carry["active"] != 0, settings.max_ray_depth + 1, carry["final_depth"]
         )
+        bvh_depth0 = carry["bvh_depth0"]
+    else:
+        final_depth = bvh_depth0 = jnp.zeros((n,), jnp.int32)
+    if do_sort:
+        cols = [energy[:, 0], energy[:, 1], energy[:, 2], state]
+        if aovs:
+            cols += [final_depth, bvh_depth0]
+        cols = restore_lane_order(carry["lane"], idx.astype(jnp.int32), cols)
+        e0, e1, e2, state = cols[:4]
+        if aovs:
+            final_depth, bvh_depth0 = cols[4], cols[5]
         energy = jnp.stack([e0, e1, e2], axis=1)
     if settings.debug_render_mode == DebugRenderMode.RAY_DEPTH:
         energy = lerp(

@@ -271,7 +271,9 @@ class TestCounters:
         o = jnp.zeros((n, 3))
         d = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (n, 1))  # all miss upward
         st = rnglib.seed_lanes(jnp.arange(n), 0)
-        _, res = integrators.trace_advanced(dev, RenderSettings(), o, d, st)
+        _, res = integrators.trace_advanced(
+            dev, RenderSettings(track_aovs=True), o, d, st
+        )
         assert int(res.traced_rays) == n
         assert np.asarray(res.ray_depth).max() == 0
 
@@ -292,7 +294,7 @@ class TestTraceChunked:
         n = 1009  # prime > max_chunk below
         dev = outdoor_scene().device()
         o, d = _down_rays(n)
-        settings = RenderSettings()
+        settings = RenderSettings(track_aovs=True)
         st = rnglib.seed_lanes(jnp.arange(n), 3)
         _, ref = integrators.trace_advanced(dev, settings, o, d, st)
         _, chk = integrators.trace_chunked(

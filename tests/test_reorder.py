@@ -43,15 +43,16 @@ def _mini_scene() -> Scene:
     return s
 
 
-def _trace(dev, idx):
+def _trace(dev, idx, track_aovs=True, fn=None):
     w, h = 64, 32
     n = w * h
     cam = camlib.to_arrays(CameraConfig(pos=(0.0, 0.0, 6.0), aspect=2.0))
     lane = jnp.arange(n, dtype=jnp.uint32)
     o, d, pix = camlib.blocked_lane_rays(cam, lane, w, h, 8, 128)
     state = rnglib.seed_lanes(pix, jnp.uint32(0), salt=0x1234)
-    settings = RenderSettings(max_ray_depth=3)
-    _, res = integrators.trace_advanced(dev, settings, o, d, state, idx=idx)
+    settings = RenderSettings(max_ray_depth=3, track_aovs=track_aovs)
+    fn = fn or integrators.trace_advanced
+    _, res = fn(dev, settings, o, d, state, idx=idx)
     return res
 
 
@@ -71,6 +72,26 @@ def test_reorder_bitwise_invisible(force_packet):
     # the AOV assert is a sanity bound, not bitwise equality (ADVICE r2)
     assert np.asarray(res_sorted.bvh_depth).min() >= 0
     assert int(res_plain.traced_rays) == int(res_sorted.traced_rays)
+
+
+def test_aov_free_sort_path_bitwise_identical(force_packet):
+    """The AOV-free carry (no final_depth/bvh_depth0 payloads, flags
+    folded into the sort key) must not change the image by a single bit:
+    shading, RNG streams, and hit results are untouched, only the sort's
+    payload set shrinks."""
+    dev = _mini_scene().device()
+    n = 64 * 32
+    idx = jnp.arange(n, dtype=jnp.int32)
+    for fn in (integrators.trace_advanced, integrators.trace_brute):
+        res_aov = _trace(dev, idx, track_aovs=True, fn=fn)
+        res_lean = _trace(dev, idx, track_aovs=False, fn=fn)
+        np.testing.assert_array_equal(
+            np.asarray(res_aov.energy), np.asarray(res_lean.energy)
+        )
+        assert int(res_aov.traced_rays) == int(res_lean.traced_rays)
+        # lean mode documents zero AOVs
+        assert np.asarray(res_lean.ray_depth).max() == 0
+        assert np.asarray(res_lean.bvh_depth).max() == 0
 
 
 def test_packet_path_matches_wide_path(force_packet):
