@@ -100,6 +100,15 @@ class DeviceScene:
     inst_blas_root_skip: jnp.ndarray = None  # (I,) i32 skip-node row of the BLAS root
     inst_blas_root_packet: jnp.ndarray = None  # (I,) i32 slim-node row of the BLAS root
     inst_obj: jnp.ndarray = None        # (I,) i32 owning object
+    # megakernel SMEM tables (ops/megakernel.py): scalar-loadable scene
+    # description for the fused per-depth kernels
+    mk_mats: jnp.ndarray = None      # (M, 14) f32 material columns
+    mk_lights: jnp.ndarray = None    # (L, 9) f32 sphere-light columns
+    mk_sph: jnp.ndarray = None       # (max(S,1), 6) f32
+    mk_pln: jnp.ndarray = None       # (max(P,1), 7) f32
+    mk_objmat: jnp.ndarray = None    # (O,) i32 object -> material
+    mk_sph_mat: jnp.ndarray = None   # (max(S,1),) i32 sphere material
+    mk_pln_mat: jnp.ndarray = None   # (max(P,1),) i32 plane material
     # static
     roots: tuple = dataclasses.field(metadata=dict(static=True), default=())
     wroots: tuple = dataclasses.field(metadata=dict(static=True), default=())
@@ -750,7 +759,59 @@ class Scene:
                 )
                 traversal = "wide"
 
+        # ---- megakernel SMEM tables (ops/megakernel.py layout) ----
+        M = len(self.materials)
+        mk_mats = np.zeros((max(M, 1), 14), f32)
+        for mi, m in enumerate(self.materials):
+            mk_mats[mi, 0:3] = m.albedo
+            mk_mats[mi, 3] = m.specular
+            mk_mats[mi, 4] = m.refractivity
+            mk_mats[mi, 5:8] = m.absorption
+            mk_mats[mi, 8] = m.ior
+            mk_mats[mi, 9:12] = m.emissive
+            mk_mats[mi, 12] = m.intensity
+            mk_mats[mi, 13] = 1.0 if m.is_light else 0.0
+        mk_lights = np.zeros((max(L, 1), 9), f32)
+        for li in range(L):
+            lm = self.materials[self.objects[self.light_indices[li]].mat_index]
+            mk_lights[li, 0:3] = l_center[li]
+            mk_lights[li, 3] = l_radius[li]
+            mk_lights[li, 4] = np.float32(2.0 * 3.14159265) * l_radius[li] ** 2
+            mk_lights[li, 5:8] = np.asarray(lm.emissive, f32) * f32(lm.intensity)
+        S_ = len(sph["center"])
+        mk_sph = np.zeros((max(S_, 1), 6), f32)
+        for si in range(S_):
+            mk_sph[si, 0:3] = sph["center"][si]
+            mk_sph[si, 3] = f32(sph["radius"][si]) * f32(sph["radius"][si])
+            mk_sph[si, 4] = self.objects[sph["obj"][si]].mat_index
+            mk_sph[si, 5] = 1.0 if sph["obj"][si] in self.light_indices else 0.0
+        P_ = len(pln["point"])
+        mk_pln = np.zeros((max(P_, 1), 7), f32)
+        for pi in range(P_):
+            mk_pln[pi, 0:3] = pln["point"][pi]
+            mk_pln[pi, 3:6] = pln["normal"][pi]
+            mk_pln[pi, 6] = self.objects[pln["obj"][pi]].mat_index
+
         return DeviceScene(
+            mk_mats=jnp.asarray(mk_mats),
+            mk_lights=jnp.asarray(mk_lights),
+            mk_sph=jnp.asarray(mk_sph),
+            mk_pln=jnp.asarray(mk_pln),
+            mk_objmat=jnp.asarray(
+                np.asarray([o.mat_index for o in self.objects], i32)
+            ),
+            # material ids as their own i32 SMEM tables: Mosaic cannot
+            # truncate an SMEM f32 scalar to int in-kernel
+            mk_sph_mat=jnp.asarray(
+                np.asarray(
+                    [self.objects[o].mat_index for o in sph["obj"]] or [0], i32
+                )
+            ),
+            mk_pln_mat=jnp.asarray(
+                np.asarray(
+                    [self.objects[o].mat_index for o in pln["obj"]] or [0], i32
+                )
+            ),
             nodes8=cat(nodes, 8),
             tri_perm=cat(perms, 1, i32),
             tris9=cat(tris, 9),
@@ -851,9 +912,27 @@ def packet_path_active(dev: DeviceScene) -> bool:
     )
 
 
+def megakernel_active(dev: DeviceScene, settings) -> bool:
+    """True when trace_sample should run the fused per-depth megakernels
+    (ops/megakernel.py) instead of the XLA integrator body.  The gate
+    mirrors the kernel's static assumptions: packet fast path, no TLAS
+    instances, sphere lights only, power-of-two light count (the
+    reference's modulo light pick lowers to an exact bit mask), and no
+    AOV tracking (debug render modes keep the reference-shaped path)."""
+    nl = dev.num_lights
+    return bool(
+        packet_path_active(dev)
+        and dev.num_instances == 0
+        and not dev.has_mesh_lights
+        and (nl == 0 or (nl & (nl - 1)) == 0)
+        and not settings.aovs_active
+        and os.environ.get("CPUGPU_NO_MEGAKERNEL") != "1"
+    )
+
+
 def intersect_scene(
     dev: DeviceScene, origin, direction, t_init, *, any_hit: bool = False,
-    active=None,
+    active=None, count_depth: bool = True,
 ) -> Hit:
     """Nearest hit across every object (IntersectScene,
     Source/Main.cpp:299-316): one fused BVH traversal over all mesh
@@ -887,6 +966,7 @@ def intersect_scene(
         t, tri, pobj, nrm_c, depth, kiid = packetlib.traverse_packet_slim(
             o_c, d_c, t_init, dev.pnodes, dev.pltris,
             dev.proots, active=active, any_hit=any_hit,
+            count_depth=count_depth,
             interpret=jax.default_backend() != "tpu",
             inst_inv=dev.inst_inv if dev.num_instances else None,
             inst_root=dev.inst_blas_root_packet if dev.num_instances else None,

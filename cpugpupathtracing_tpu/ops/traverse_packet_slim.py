@@ -19,9 +19,12 @@ the bottleneck on the TPU scalar unit, cut hard:
     gathers (measured ~0.5 GB/s on this chip) remain after traversal.
   * Child entries are PRE-ENCODED in the node row (interior row / leaf
     row / EMPTY sentinel / instance id), so per-child decode disappears.
-  * Ordering: closest-hit pushes the nearest child LAST (one scalar
-    argmin sweep, ~7 compares) instead of a 19-stage sorting network;
-    any-hit pushes in fixed order (occlusion needs no ordering).
+  * Ordering: children push in FIXED slot order for closest-hit and
+    any-hit alike.  The nearest-child-last argmin saved ~9% of
+    iterations on the benchmark bounce fan but its vector->scalar
+    extract + compare/select chain cost ~19% per iteration on the
+    scalar unit (round-3 lab measurements); t-pruning still bounds
+    every accept, so hits are exact either way.
   * Per-lane bvh_depth is REAL here (the packet_mr kernel returned
     zeros): a lane counts an expansion when it passes >= 1 child slab,
     which equals the per-lane descend count of ops/traverse_wide.py up to
@@ -211,36 +214,47 @@ def _traverse_kernel(
                         axis=0,
                     )                                           # (8, 1)
 
-                # ---- interior: 8 child slab tests on (8,1)-broadcast bounds ----
-                child_dmin = []
-                lane_desc = None
-                for k in range(WIDTH):
-                    b = nmat[:, 6 * k : 6 * k + 6]
-                    tx1 = (b[:, 0:1] - ox) * ix
-                    ty1 = (b[:, 1:2] - oy) * iy
-                    tz1 = (b[:, 2:3] - oz) * iz
-                    tx2 = (b[:, 3:4] - ox) * ix
-                    ty2 = (b[:, 4:5] - oy) * iy
-                    tz2 = (b[:, 5:6] - oz) * iz
-                    tmin = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
-                        jnp.minimum(tz1, tz2),
+                # ---- interior: 8 child slab tests on (8,1)-broadcast
+                # bounds, emitted OP-STAGE-MAJOR across the independent
+                # children: consecutive vector instructions then carry no
+                # data dependency, hiding the VPU chain latency that a
+                # child-major emission serializes (round-3 lab: slab
+                # phase 560 -> ~250 ns/iteration, -15% per entry) ----
+                R = range(WIDTH)
+                tx1 = [(nmat[:, 6 * k + 0 : 6 * k + 1] - ox) * ix for k in R]
+                ty1 = [(nmat[:, 6 * k + 1 : 6 * k + 2] - oy) * iy for k in R]
+                tz1 = [(nmat[:, 6 * k + 2 : 6 * k + 3] - oz) * iz for k in R]
+                tx2 = [(nmat[:, 6 * k + 3 : 6 * k + 4] - ox) * ix for k in R]
+                ty2 = [(nmat[:, 6 * k + 4 : 6 * k + 5] - oy) * iy for k in R]
+                tz2 = [(nmat[:, 6 * k + 5 : 6 * k + 6] - oz) * iz for k in R]
+                mnx = [jnp.minimum(tx1[k], tx2[k]) for k in R]
+                mny = [jnp.minimum(ty1[k], ty2[k]) for k in R]
+                mnz = [jnp.minimum(tz1[k], tz2[k]) for k in R]
+                mxx = [jnp.maximum(tx1[k], tx2[k]) for k in R]
+                mxy = [jnp.maximum(ty1[k], ty2[k]) for k in R]
+                mxz = [jnp.maximum(tz1[k], tz2[k]) for k in R]
+                tmin = [
+                    jnp.maximum(jnp.maximum(mnx[k], mny[k]), mnz[k]) for k in R
+                ]
+                tmax = [
+                    jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k]) for k in R
+                ]
+                valid = [imat[:, 48 + k : 49 + k] != SLIM_EMPTY for k in R]
+                bm = [
+                    (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
+                    & m & int_v & valid[k]
+                    for k in R
+                ]
+                child_dmin = [
+                    jnp.min(
+                        jnp.where(bm[k], tmin[k], jnp.inf), axis=1, keepdims=True
                     )
-                    tmax = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
-                        jnp.maximum(tz1, tz2),
-                    )
-                    valid_v = imat[:, 48 + k : 49 + k] != SLIM_EMPTY   # (8, 1)
-                    bm = (
-                        (tmax >= tmin) & (tmin < t) & (tmax > 0.0)
-                        & m & int_v & valid_v
-                    )
-                    child_dmin.append(
-                        jnp.min(jnp.where(bm, tmin, jnp.inf), axis=1, keepdims=True)
-                    )
-                    if count_depth:
-                        lane_desc = bm if lane_desc is None else (lane_desc | bm)
+                    for k in R
+                ]
                 if count_depth:
+                    lane_desc = bm[0]
+                    for k in range(1, WIDTH):
+                        lane_desc = lane_desc | bm[k]
                     depth = depth + lane_desc.astype(jnp.int32)
 
                 # ---- leaf: 8 x 16-col records from one (8, 128) matrix ----
@@ -289,35 +303,17 @@ def _traverse_kernel(
 
                     ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
                     es_ = [imat[j, 48 + k] for k in range(WIDTH)]
-                    if any_hit:
-                        order = range(WIDTH)
-                        best_k = None
-                    else:
-                        # nearest child pushed last (pops first); full sorting
-                        # costs ~3x the scalar ops for little extra pruning
-                        best_d = ds_[0]
-                        best_k = jnp.int32(0)
-                        for k in range(1, WIDTH):
-                            sw = ds_[k] < best_d
-                            best_d = jnp.where(sw, ds_[k], best_d)
-                            best_k = jnp.where(sw, jnp.int32(k), best_k)
-                        order = range(WIDTH)
-                    for k in order:
+                    # FIXED push order for closest-hit too: the nearest-
+                    # child argmin bought ~9% fewer iterations but its
+                    # extract/compare/select chain cost ~19% per
+                    # iteration (round-3 lab: bounce fan 1321 -> 1117
+                    # ns/iter, primaries 2485 -> 2111); hits stay exact
+                    # (t-pruning still bounds every accept)
+                    for k in range(WIDTH):
                         push = jnp.isfinite(ds_[k]) & interior
-                        if best_k is not None:
-                            push = push & (best_k != k)
                         slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
                         prev = stack_ref[j, slot]
                         stack_ref[j, slot] = jnp.where(push, es_[k], prev)
-                        sp = sp + jnp.where(push, 1, 0)
-                    if best_k is not None:
-                        push = jnp.isfinite(best_d) & interior
-                        ent_b = es_[0]
-                        for k in range(1, WIDTH):
-                            ent_b = jnp.where(best_k == k, es_[k], ent_b)
-                        slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
-                        prev = stack_ref[j, slot]
-                        stack_ref[j, slot] = jnp.where(push, ent_b, prev)
                         sp = sp + jnp.where(push, 1, 0)
 
                     if instanced:

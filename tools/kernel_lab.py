@@ -62,9 +62,11 @@ def _lab_kernel(*refs, roots, opts):
         entry_ref, sptr_ref, stack_ref,
     ) = refs
     unroll = opts.get("unroll", 1)
-    leaf_on = opts.get("leaf", "full") == "full"
-    slab_on = opts.get("slab", "full") == "full"
+    leaf_mode = {"full": "seq"}.get(opts.get("leaf", "full"), opts.get("leaf"))
+    slab_mode = {"full": "seq"}.get(opts.get("slab", "full"), opts.get("slab"))
     packed_ctrl = opts.get("ctrl", "extract") == "packed"
+    packed_mask = opts.get("ctrl", "extract") == "packedmask"
+    fixed_order = opts.get("order", "nearest") == "fixed"
 
     for g in range(GROUPS):
         gs = slice(g * TILE, (g + 1) * TILE)
@@ -135,7 +137,7 @@ def _lab_kernel(*refs, roots, opts):
                 # ---- interior: 8 child slab tests ----
                 child_dmin = []
                 lane_desc = None
-                if slab_on:
+                if slab_mode == "seq":
                     for k in range(WIDTH):
                         b = nmat[:, 6 * k : 6 * k + 6]
                         tx1 = (b[:, 0:1] - ox) * ix
@@ -162,6 +164,45 @@ def _lab_kernel(*refs, roots, opts):
                         )
                         lane_desc = bm if lane_desc is None else (lane_desc | bm)
                     depth = depth + lane_desc.astype(jnp.int32)
+                elif slab_mode == "ilv":
+                    # op-stage-major over the 8 (independent) children:
+                    # consecutive instructions have no data dependency, so
+                    # chain latency hides behind issue instead of stalling
+                    R = range(WIDTH)
+                    tx1 = [(nmat[:, 6 * k + 0 : 6 * k + 1] - ox) * ix for k in R]
+                    ty1 = [(nmat[:, 6 * k + 1 : 6 * k + 2] - oy) * iy for k in R]
+                    tz1 = [(nmat[:, 6 * k + 2 : 6 * k + 3] - oz) * iz for k in R]
+                    tx2 = [(nmat[:, 6 * k + 3 : 6 * k + 4] - ox) * ix for k in R]
+                    ty2 = [(nmat[:, 6 * k + 4 : 6 * k + 5] - oy) * iy for k in R]
+                    tz2 = [(nmat[:, 6 * k + 5 : 6 * k + 6] - oz) * iz for k in R]
+                    mnx = [jnp.minimum(tx1[k], tx2[k]) for k in R]
+                    mny = [jnp.minimum(ty1[k], ty2[k]) for k in R]
+                    mnz = [jnp.minimum(tz1[k], tz2[k]) for k in R]
+                    mxx = [jnp.maximum(tx1[k], tx2[k]) for k in R]
+                    mxy = [jnp.maximum(ty1[k], ty2[k]) for k in R]
+                    mxz = [jnp.maximum(tz1[k], tz2[k]) for k in R]
+                    tmin = [
+                        jnp.maximum(jnp.maximum(mnx[k], mny[k]), mnz[k]) for k in R
+                    ]
+                    tmax = [
+                        jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k]) for k in R
+                    ]
+                    valid = [imat[:, 48 + k : 49 + k] != SLIM_EMPTY for k in R]
+                    bm = [
+                        (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
+                        & m & int_v & valid[k]
+                        for k in R
+                    ]
+                    child_dmin = [
+                        jnp.min(
+                            jnp.where(bm[k], tmin[k], jnp.inf), axis=1, keepdims=True
+                        )
+                        for k in R
+                    ]
+                    lane_desc = bm[0]
+                    for k in range(1, WIDTH):
+                        lane_desc = lane_desc | bm[k]
+                    depth = depth + lane_desc.astype(jnp.int32)
                 else:
                     for k in range(WIDTH):
                         valid_v = imat[:, 48 + k : 49 + k] != SLIM_EMPTY
@@ -171,7 +212,53 @@ def _lab_kernel(*refs, roots, opts):
 
                 # ---- leaf: 8 x 16-col records ----
                 limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
-                if leaf_on:
+                if leaf_mode == "ilv":
+                    # op-stage-major over the 8 independent triangles
+                    R = range(LEAF_TRIS)
+                    tm = [lmat[:, 16 * c : 16 * c + 12] for c in R]
+                    hx = [dy * tm[c][:, 8:9] - dz * tm[c][:, 7:8] for c in R]
+                    hy = [dz * tm[c][:, 6:7] - dx * tm[c][:, 8:9] for c in R]
+                    hz = [dx * tm[c][:, 7:8] - dy * tm[c][:, 6:7] for c in R]
+                    a = [
+                        tm[c][:, 3:4] * hx[c] + tm[c][:, 4:5] * hy[c]
+                        + tm[c][:, 5:6] * hz[c]
+                        for c in R
+                    ]
+                    det_ok = [jnp.abs(a[c]) >= TRI_DET_EPS for c in R]
+                    f = [1.0 / jnp.where(det_ok[c], a[c], 1.0) for c in R]
+                    sx = [ox - tm[c][:, 0:1] for c in R]
+                    sy = [oy - tm[c][:, 1:2] for c in R]
+                    sz = [oz - tm[c][:, 2:3] for c in R]
+                    u = [
+                        f[c] * (sx[c] * hx[c] + sy[c] * hy[c] + sz[c] * hz[c])
+                        for c in R
+                    ]
+                    qx = [sy[c] * tm[c][:, 5:6] - sz[c] * tm[c][:, 4:5] for c in R]
+                    qy = [sz[c] * tm[c][:, 3:4] - sx[c] * tm[c][:, 5:6] for c in R]
+                    qz = [sx[c] * tm[c][:, 4:5] - sy[c] * tm[c][:, 3:4] for c in R]
+                    vv = [f[c] * (dx * qx[c] + dy * qy[c] + dz * qz[c]) for c in R]
+                    tt = [
+                        f[c]
+                        * (
+                            tm[c][:, 6:7] * qx[c] + tm[c][:, 7:8] * qy[c]
+                            + tm[c][:, 8:9] * qz[c]
+                        )
+                        for c in R
+                    ]
+                    for c in R:
+                        valid = (
+                            det_ok[c] & (u[c] >= 0.0) & (u[c] <= 1.0)
+                            & (vv[c] >= 0.0) & ((u[c] + vv[c]) <= 1.0)
+                            & (tt[c] > 0.0) & (tt[c] < t) & m & leaf_v
+                        )
+                        t = jnp.where(valid, tt[c], t)
+                        hit = jnp.where(
+                            valid, limat[:, 16 * c + 13 : 16 * c + 14], hit
+                        )
+                        obj = jnp.where(
+                            valid, limat[:, 16 * c + 12 : 16 * c + 13], obj
+                        )
+                elif leaf_mode == "seq":
                     for c in range(LEAF_TRIS):
                         tm = lmat[:, 16 * c : 16 * c + 12]
                         v0x, v0y, v0z = tm[:, 0:1], tm[:, 1:2], tm[:, 2:3]
@@ -206,6 +293,16 @@ def _lab_kernel(*refs, roots, opts):
                         )
 
                 # ---- control ----
+                if packed_mask:
+                    # 8-bit finite mask built in the vector domain, ONE
+                    # extract per row; no nearest-child ordering
+                    D = jnp.concatenate(child_dmin, axis=1)   # (8, 8)
+                    fin = jnp.isfinite(D)
+                    mask_bits = jnp.zeros((ROWS, 1), jnp.int32)
+                    for k in range(WIDTH):
+                        mask_bits = mask_bits | (
+                            fin[:, k : k + 1].astype(jnp.int32) << k
+                        )
                 if packed_ctrl:
                     # pass mask + best_k packed in the vector domain; ONE
                     # vector->scalar extract per row
@@ -237,39 +334,67 @@ def _lab_kernel(*refs, roots, opts):
                     else:
                         es_ = [imat[j, 48 + k] for k in range(WIDTH)]
 
-                    if packed_ctrl:
-                        w = packed[j, 0]
-                        best_k = jax.lax.shift_right_logical(w, 8)
-                        has = [
-                            (jax.lax.shift_right_logical(w, k) & 1) != 0
-                            for k in range(WIDTH)
-                        ]
-                        any_child = (w & 0xFF) != 0
-                    else:
+                    if packed_mask:
+                        # fixed push order, mask from one packed extract
+                        w = mask_bits[j, 0]
+                        for k in range(WIDTH):
+                            push = (
+                                ((jax.lax.shift_right_logical(w, k) & 1) != 0)
+                                & interior
+                            )
+                            slot = jnp.where(
+                                push, jnp.minimum(sp, STACK - 1), STACK - 1
+                            )
+                            prev = stack_ref[j, slot]
+                            stack_ref[j, slot] = jnp.where(push, es_[k], prev)
+                            sp = sp + jnp.where(push, 1, 0)
+                    elif fixed_order:
+                        # fixed push order from per-child extracts
                         ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
-                        best_d = ds_[0]
-                        best_k = jnp.int32(0)
-                        for k in range(1, WIDTH):
-                            sw = ds_[k] < best_d
-                            best_d = jnp.where(sw, ds_[k], best_d)
-                            best_k = jnp.where(sw, jnp.int32(k), best_k)
-                        has = [jnp.isfinite(ds_[k]) for k in range(WIDTH)]
-                        any_child = jnp.isfinite(best_d)
+                        for k in range(WIDTH):
+                            push = jnp.isfinite(ds_[k]) & interior
+                            slot = jnp.where(
+                                push, jnp.minimum(sp, STACK - 1), STACK - 1
+                            )
+                            prev = stack_ref[j, slot]
+                            stack_ref[j, slot] = jnp.where(push, es_[k], prev)
+                            sp = sp + jnp.where(push, 1, 0)
+                    else:
+                        if packed_ctrl:
+                            w = packed[j, 0]
+                            best_k = jax.lax.shift_right_logical(w, 8)
+                            has = [
+                                (jax.lax.shift_right_logical(w, k) & 1) != 0
+                                for k in range(WIDTH)
+                            ]
+                            any_child = (w & 0xFF) != 0
+                        else:
+                            ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
+                            best_d = ds_[0]
+                            best_k = jnp.int32(0)
+                            for k in range(1, WIDTH):
+                                sw = ds_[k] < best_d
+                                best_d = jnp.where(sw, ds_[k], best_d)
+                                best_k = jnp.where(sw, jnp.int32(k), best_k)
+                            has = [jnp.isfinite(ds_[k]) for k in range(WIDTH)]
+                            any_child = jnp.isfinite(best_d)
 
-                    for k in range(WIDTH):
-                        push = has[k] & interior & (best_k != k)
+                        for k in range(WIDTH):
+                            push = has[k] & interior & (best_k != k)
+                            slot = jnp.where(
+                                push, jnp.minimum(sp, STACK - 1), STACK - 1
+                            )
+                            prev = stack_ref[j, slot]
+                            stack_ref[j, slot] = jnp.where(push, es_[k], prev)
+                            sp = sp + jnp.where(push, 1, 0)
+                        push = any_child & interior
+                        ent_b = es_[0]
+                        for k in range(1, WIDTH):
+                            ent_b = jnp.where(best_k == k, es_[k], ent_b)
                         slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
                         prev = stack_ref[j, slot]
-                        stack_ref[j, slot] = jnp.where(push, es_[k], prev)
+                        stack_ref[j, slot] = jnp.where(push, ent_b, prev)
                         sp = sp + jnp.where(push, 1, 0)
-                    push = any_child & interior
-                    ent_b = es_[0]
-                    for k in range(1, WIDTH):
-                        ent_b = jnp.where(best_k == k, es_[k], ent_b)
-                    slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
-                    prev = stack_ref[j, slot]
-                    stack_ref[j, slot] = jnp.where(push, ent_b, prev)
-                    sp = sp + jnp.where(push, 1, 0)
 
                     can = live & (sp > 0)
                     top = stack_ref[j, jnp.maximum(sp - 1, 0)]
@@ -337,11 +462,13 @@ def traverse_lab(origin, direction, t_init, nodes, ltris, roots, *, active,
     ]
     inputs = [nodes, ltris]
     if opts.get("entries", "vector") == "smem":
-        import numpy as np
-
-        ents = np.asarray(nodes[:, 48:56]).view(np.int32).copy()
+        # entries mirror must be materialized OUTSIDE jit (host numpy);
+        # callers pass it via opts-adjacent global to keep the jit
+        # signature stable
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        inputs.append(jnp.asarray(ents))
+        inputs.append(
+            jax.lax.bitcast_convert_type(nodes[:, 48:56], jnp.int32)
+        )
     in_specs += [
         pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
     ] * 8
