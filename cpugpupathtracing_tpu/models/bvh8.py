@@ -148,6 +148,169 @@ def collapse(b: BVH, leaf_max: int = LEAF_MAX) -> BVH8:
     )
 
 
+def collapse_sah(b: BVH, leaf_max: int = 8) -> BVH8:
+    """SAH-cost dynamic-programming collapse (the wide-BVH construction
+    of Ylitie et al. 2017, adapted to this kernel's cost model).
+
+    The greedy `collapse` packs whatever the binary tree's leaves were;
+    with fat-leaf binary builds that costs bottom-level SAH quality, and
+    with natural SAH leaves it wastes slots (round-2 measured fill
+    4.1/8).  Here every binary subtree chooses, by expected-pops cost,
+    whether to (a) become ONE leaf row (merging several adjacent binary
+    leaves into a single 8-triangle record), (b) become an interior wide
+    node, or (c) distribute its two halves across the parent's slots.
+
+    Cost model, matched to ops/traverse_packet_slim.py: a sub-packet pops
+    one stack entry per iteration and the slab phase is a fixed 8-wide
+    test, so expected iterations ~ sum over emitted child entries of
+    SA(entry bounds) (the probability a random ray's slab pass pushes
+    that entry).  Minimizing that sum minimizes traversal iterations.
+
+    Input: a binary BVH with subtree-contiguous tri_indices (both the
+    numpy and native builders partition in place, so every subtree owns
+    a contiguous id range -- asserted below).  Returns a BVH8 whose leaf
+    children each cover <= leaf_max triangles; feed to `to_slim`.
+    """
+    n_nodes = b.num_nodes
+    lf = b.left_first.astype(np.int64)
+    pc = b.prim_count.astype(np.int64)
+    nmin, nmax = b.nodes_min, b.nodes_max
+    is_leaf = pc > 0
+
+    sa = np.maximum(_half_area_rows(nmin, nmax), 1e-12)
+
+    # postorder: children before parents (children indices > parent here,
+    # so a reverse index sweep is a valid postorder; asserted)
+    interior = ~is_leaf
+    if interior.any():
+        assert (lf[interior] > np.nonzero(interior)[0]).all(), (
+            "collapse_sah assumes child rows follow their parent"
+        )
+    # subtree triangle ranges (contiguous by partition-based builds)
+    t_first = np.where(is_leaf, lf, 0)
+    t_count = np.where(is_leaf, pc, 0)
+    for n in range(n_nodes - 1, -1, -1):
+        if not is_leaf[n]:
+            l, r = int(lf[n]), int(lf[n]) + 1
+            first = min(t_first[l], t_first[r])
+            count = t_count[l] + t_count[r]
+            assert (
+                max(t_first[l] + t_count[l], t_first[r] + t_count[r]) - first
+                == count
+            ), "tri_indices not subtree-contiguous"
+            t_first[n], t_count[n] = first, count
+
+    W1 = WIDTH  # slots per wide node
+    INF = np.float64(np.inf)
+    # C[n, i-1]: min cost of subtree n distributed into i slots
+    C = np.full((n_nodes, W1), INF)
+    # choice[n, i-1]: -1 self-as-leaf, -2 self-as-node, j>=1 split (l->j)
+    # -3: use fewer slots (fall back to C[n, i-2])
+    choice = np.full((n_nodes, W1), -9, np.int8)
+
+    for n in range(n_nodes - 1, -1, -1):
+        if is_leaf[n]:
+            # binary leaf: one slot, one leaf row
+            C[n, :] = sa[n]
+            choice[n, :] = -1
+            continue
+        l, r = int(lf[n]), int(lf[n]) + 1
+        # A(n, i): split the two halves across i slots
+        A = np.full(W1, INF)
+        Aj = np.zeros(W1, np.int8)
+        for i in range(2, W1 + 1):
+            best, bj = INF, 0
+            for j in range(1, i):
+                v = C[l, j - 1] + C[r, i - j - 1]
+                if v < best:
+                    best, bj = v, j
+            A[i - 1] = best
+            Aj[i - 1] = bj
+        # C(n, 1): leaf row (if it fits) vs interior wide node
+        c_leaf = sa[n] if t_count[n] <= leaf_max else INF
+        c_node = sa[n] + A[W1 - 1]
+        if c_leaf <= c_node:
+            C[n, 0], choice[n, 0] = c_leaf, -1
+        else:
+            C[n, 0], choice[n, 0] = c_node, -2
+        for i in range(2, W1 + 1):
+            if C[n, i - 2] <= A[i - 1]:
+                C[n, i - 1] = C[n, i - 2]
+                choice[n, i - 1] = -3
+            else:
+                C[n, i - 1] = A[i - 1]
+                choice[n, i - 1] = Aj[i - 1]
+
+    # ---- reconstruction ----
+    rows: list[np.ndarray] = []
+    leaf_order: list[np.ndarray] = []
+    leaf_cursor = 0
+    max_depth = 0
+
+    def decompose(n: int, i: int) -> list[int]:
+        while i > 1 and choice[n, i - 1] == -3:
+            i -= 1
+        if i == 1:
+            return [n]
+        j = int(choice[n, i - 1])
+        l, r = int(lf[n]), int(lf[n]) + 1
+        return decompose(l, j) + decompose(r, i - j)
+
+    rows.append(np.zeros(64, np.float32))
+    # root always emits a wide node (the kernel's entry is a node row)
+    root_slots = [0] if is_leaf[0] else decompose(0, W1)
+    stack = [(root_slots, 0, 0)]
+    while stack:
+        slots, row_idx, depth = stack.pop()
+        max_depth = max(max_depth, depth)
+        bmin = np.full((WIDTH, 3), 1e30, np.float32)
+        bmax = np.full((WIDTH, 3), -1e30, np.float32)
+        cidx = np.zeros(WIDTH, np.int32)
+        ccnt = np.full(WIDTH, -1, np.int32)
+        for k, s in enumerate(slots):
+            bmin[k] = nmin[s]
+            bmax[k] = nmax[s]
+            if choice[s, 0] == -1:  # leaf row over the whole subtree
+                first, cnt = int(t_first[s]), int(t_count[s])
+                seg = b.tri_indices[first : first + cnt]
+                cidx[k] = leaf_cursor
+                ccnt[k] = cnt
+                leaf_order.append(seg)
+                leaf_cursor += cnt
+            else:  # interior wide child
+                child_row = len(rows)
+                rows.append(np.zeros(64, np.float32))
+                cidx[k] = child_row
+                ccnt[k] = 0
+                stack.append((decompose(s, W1), child_row, depth + 1))
+        row = np.empty(64, np.float32)
+        row[0:48] = np.concatenate([bmin, bmax], axis=1).reshape(-1)
+        row[48:56] = cidx.view(np.float32)
+        row[56:64] = ccnt.view(np.float32)
+        rows[row_idx] = row
+
+    leaf_ids = (
+        np.concatenate(leaf_order).astype(np.int32)
+        if leaf_order
+        else np.zeros(0, np.int32)
+    )
+    tris9 = np.empty((len(leaf_ids), 9), np.float32)
+    tris9[:, 0:3] = b.tri_v0[leaf_ids]
+    tris9[:, 3:6] = b.tri_v1[leaf_ids] - b.tri_v0[leaf_ids]
+    tris9[:, 6:9] = b.tri_v2[leaf_ids] - b.tri_v0[leaf_ids]
+    return BVH8(
+        nodes=np.stack(rows),
+        tris9=tris9,
+        leaf_tri_id=leaf_ids,
+        max_depth=max_depth,
+    )
+
+
+def _half_area_rows(nmin: np.ndarray, nmax: np.ndarray) -> np.ndarray:
+    e = np.maximum(nmax - nmin, 0.0).astype(np.float64)
+    return e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 2] * e[:, 0]
+
+
 @dataclasses.dataclass
 class BVH8Slim:
     """Leaf-blocked tables for the slim packet kernel

@@ -151,3 +151,47 @@ def test_scene_skip_matches_binary_image(rng_np):
     for h in (hw, hb):
         np.testing.assert_allclose(np.asarray(hs.t), np.asarray(h.t), rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(hs.obj), np.asarray(h.obj))
+
+
+def test_collapse_sah_oracle_parity(rng_np):
+    """The SAH-cost DP collapse (bvh8.collapse_sah) must return tables
+    whose slim-kernel hits equal the brute-force oracle, with every leaf
+    child covering <= 8 triangles (the one-row slim contract) and
+    strictly denser fill than the greedy collapse."""
+    from cpugpupathtracing_tpu.models import bvh as bvhlib
+    from cpugpupathtracing_tpu.models.bvh import BuildOption
+    from cpugpupathtracing_tpu.ops import intersect
+    from cpugpupathtracing_tpu.ops import traverse_packet_slim as pk
+
+    m = mesh.icosphere(subdivisions=3)
+    b = bvhlib.build(
+        m.positions, m.normals, m.indices, BuildOption.SAH_SPLIT_INTERVALS,
+        max_leaf_size=4,
+    )
+    w = bvh8.collapse_sah(b, leaf_max=8)
+    cc = w.nodes[:, 56:64].view(np.int32)
+    assert int(cc[cc > 0].max()) <= 8
+    g = bvh8.collapse(b, leaf_max=4)
+    fill = lambda x: (x.nodes[:, 56:64].view(np.int32) != -1).sum() / x.num_nodes
+    assert fill(w) > fill(g)
+
+    sl = bvh8.to_slim(w, b.tri_normal)
+    n = 512
+    o = jnp.asarray(rng_np.normal(size=(n, 3)).astype(np.float32) * 3)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t0 = jnp.full((n,), 1e30, jnp.float32)
+    bt, bidx = intersect.brute_force_nearest_triangle(
+        o, d, jnp.asarray(b.tri_v0), jnp.asarray(b.tri_v1 - b.tri_v0),
+        jnp.asarray(b.tri_v2 - b.tri_v0), t0,
+    )
+    res = pk.traverse_packet_slim(
+        o, d, t0, jnp.asarray(sl.nodes), jnp.asarray(sl.ltris), (0,),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(res[1]), np.asarray(bidx))
+    np.testing.assert_allclose(
+        np.asarray(res[0])[np.asarray(bidx) >= 0],
+        np.asarray(bt)[np.asarray(bidx) >= 0], rtol=1e-5,
+    )
