@@ -73,16 +73,18 @@ def main():
         rays += r.stats.traced_rays
     wall = time.time() - t0
 
-    # compiled-kernel parity gate (tools/tpu_parity_gate.py): every
-    # recorded perf number re-proves hit correctness on the same binary
-    parity = None
-    if jax.default_backend() == "tpu" and args.config == 3:
+    # compiled-kernel parity gates (tools/tpu_parity_gate.py): every
+    # recorded perf number re-proves hit correctness on the same binary,
+    # for BOTH the plain and the instanced (TLAS) packet kernel
+    parity = parity_instanced = None
+    if jax.default_backend() == "tpu":
         import sys as _sys
 
         _sys.path.insert(0, "tools")
-        from tpu_parity_gate import check_parity
+        from tpu_parity_gate import check_parity, check_parity_instanced
 
         parity = check_parity()["ok"]
+        parity_instanced = check_parity_instanced()["ok"]
 
     mrays = rays / wall / 1e6
     frame_ms = wall / frames * 1000.0
@@ -100,6 +102,7 @@ def main():
             "scene_build_s": round(build_s, 1),
             "first_frame_s": round(compile_s, 1),
             "compiled_parity_ok": parity,
+            "compiled_parity_instanced_ok": parity_instanced,
             "device": str(jax.devices()[0]),
         },
     }

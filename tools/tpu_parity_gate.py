@@ -102,6 +102,96 @@ def check_parity(n_rays: int = 2048, chunk: int = 512, seed: int = 5) -> dict:
     }
 
 
+def check_parity_instanced(n_rays: int = 2048, chunk: int = 512, seed: int = 9) -> dict:
+    """Compiled parity for the INSTANCED packet kernel (TLAS entries,
+    SMEM transforms, RESTORE markers -- ops/traverse_packet_slim.py:323-379),
+    which interpret-mode tests cover off-chip only.  Oracle: per-instance
+    object-space brute force over the shared BLAS triangles, nearest
+    across instances.  Asserts exact (tri id, instance id) equality and
+    close world-space t.  Raises AssertionError on failure."""
+    from cpugpupathtracing_tpu.models import materials as matlib
+    from cpugpupathtracing_tpu.models import mesh as meshlib
+    from cpugpupathtracing_tpu.models.scene import Scene, intersect_scene
+    from cpugpupathtracing_tpu.ops import intersect
+    from cpugpupathtracing_tpu.utils.vecmath import RAY_TMAX
+
+    rng = np.random.default_rng(seed)
+    s = Scene()
+    white = s.add_material(matlib.Material.diffuse((0.8, 0.8, 0.8)))
+    mesh = meshlib.icosphere(subdivisions=3)  # 1280 tris
+    mats = []
+    for i in range(6):
+        ang = 2 * np.pi * i / 6
+        c, sn = np.cos(ang), np.sin(ang)
+        scale = 0.6 + 0.15 * i
+        m = np.array(
+            [
+                [c * scale, 0, sn * scale, 3.0 * c],
+                [0, scale, 0, 0.4 * i - 1.0],
+                [-sn * scale, 0, c * scale, 3.0 * sn],
+                [0, 0, 0, 1],
+            ],
+            np.float32,
+        )
+        mats.append(m)
+    s.add_instanced_mesh("spheres", mesh, white, np.stack(mats))
+    dev = s.device()
+
+    o_np = rng.normal(size=(n_rays, 3)).astype(np.float32) * 5
+    aim = rng.normal(size=(n_rays, 3)).astype(np.float32) * 2
+    d_np = aim - o_np
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = jnp.asarray(o_np)
+    d = jnp.asarray(d_np)
+    t0 = jnp.full((n_rays,), RAY_TMAX, jnp.float32)
+
+    hit = intersect_scene(dev, o, d, t0)
+    k_t = np.asarray(hit.t)
+    k_tri = np.asarray(hit.prim)
+    k_iid = np.asarray(hit.inst)
+
+    b = s.objects[0].bvh
+    v0 = jnp.asarray(b.tri_v0)
+    e1 = jnp.asarray(b.tri_v1 - b.tri_v0)
+    e2 = jnp.asarray(b.tri_v2 - b.tri_v0)
+    best_t = np.full(n_rays, np.float32(RAY_TMAX))
+    best_tri = np.full(n_rays, -1, np.int32)
+    best_iid = np.full(n_rays, -1, np.int32)
+    for iid, m in enumerate(mats):
+        inv = np.linalg.inv(m.astype(np.float64)).astype(np.float32)
+        oo = o_np @ inv[:3, :3].T + inv[:3, 3]
+        dd = d_np @ inv[:3, :3].T  # unnormalized: t stays the world param
+        for st in range(0, n_rays, chunk):
+            bt, bidx = intersect.brute_force_nearest_triangle(
+                jnp.asarray(oo[st : st + chunk]), jnp.asarray(dd[st : st + chunk]),
+                v0, e1, e2, jnp.asarray(best_t[st : st + chunk]),
+            )
+            bt = np.asarray(bt)
+            bidx = np.asarray(bidx)
+            better = bidx >= 0
+            sl = slice(st, st + chunk)
+            best_t[sl] = np.where(better, bt, best_t[sl])
+            best_tri[sl] = np.where(better, bidx, best_tri[sl])
+            best_iid[sl] = np.where(better, iid, best_iid[sl])
+
+    mism = int(((k_tri != best_tri) | (k_iid != best_iid)).sum())
+    hm = best_tri >= 0
+    rel = np.abs(k_t[hm] - best_t[hm]) / np.maximum(np.abs(best_t[hm]), 1e-20)
+    max_rel = float(rel.max()) if hm.any() else 0.0
+    assert mism == 0, f"{mism}/{n_rays} instanced hits differ from the oracle"
+    assert max_rel < 1e-5, f"instanced t deviates rel {max_rel:.2e}"
+    assert hm.sum() > n_rays // 10, "degenerate instanced gate: too few hits"
+    return {
+        "ok": True,
+        "checked": int(n_rays),
+        "hits": int(hm.sum()),
+        "backend": jax.default_backend(),
+        "max_t_rel": max_rel,
+    }
+
+
 if __name__ == "__main__":
     out = check_parity()
     print(f"TPU parity gate OK: {out}")
+    out2 = check_parity_instanced()
+    print(f"TPU instanced parity gate OK: {out2}")
