@@ -1,0 +1,121 @@
+"""Megakernel parity: the fused per-depth kernels (ops/megakernel.py)
+must reproduce models/integrators.trace_advanced.
+
+Interpret mode executes the same jnp primitives as the XLA integrator,
+so CONTROL FLOW must agree bit-exactly: identical per-lane RNG streams
+drive identical RR deaths, lobe selections, and shadow-ray counts --
+asserted via exact traced_rays equality.  Energy parity has one
+fundamental caveat: XLA's jnp.sum reduce order inside vecmath.dot is
+implementation-defined, so the kernel's explicit a*x + b*y + c*z sums
+can differ by 1 ulp -- invisible everywhere EXCEPT the NEE occlusion
+boundary, where a shadow ray tangent to its own light sphere (nldotl ~
+1e-3) can flip occluded on the ulp.  Each flip changes energy by that
+single near-tangent contribution (itself proportional to nldotl, hence
+small).  The NEE-off configurations therefore assert tight ULP-level
+agreement, and the NEE configurations additionally bound the count and
+size of boundary flips.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cpugpupathtracing_tpu.config import CameraConfig, RenderSettings
+from cpugpupathtracing_tpu.models import camera as camlib
+from cpugpupathtracing_tpu.models import integrators
+from cpugpupathtracing_tpu.models import materials as matlib
+from cpugpupathtracing_tpu.models import mesh as meshlib
+from cpugpupathtracing_tpu.models.scene import Scene, megakernel_active
+from cpugpupathtracing_tpu.utils import rng as rnglib
+
+
+@pytest.fixture()
+def force_packet(monkeypatch):
+    monkeypatch.setenv("CPUGPU_TPU_FORCE_PACKET", "1")
+
+
+def _scene(num_lights=2) -> Scene:
+    s = Scene()
+    white = s.add_material(matlib.Material.diffuse((0.8, 0.8, 0.8)))
+    glass = s.add_material(
+        matlib.Material.dielectric((0.9, 0.9, 0.9), 0.1, 0.8, (0.1, 0.2, 0.2), 1.5)
+    )
+    light = s.add_material(matlib.Material.light((1.0, 0.95, 0.8), 10.0))
+    mirror = s.add_material(matlib.Material.diffuse((0.9, 0.9, 0.9), specular=1.0))
+    s.add_mesh("ball", meshlib.icosphere(subdivisions=1), glass)
+    s.add_mesh("floor", meshlib.ground_quad(half_extent=50.0, y=-2.0), white)
+    s.add_sphere("mirrorball", (2.5, 0.0, 1.0), 0.8, mirror)
+    s.add_plane("backwall", (0.0, 0.0, -12.0), (0.0, 0.0, 1.0), white)
+    centers = [(6.0, 6.0, 6.0), (-6.0, 6.0, -4.0)]
+    for li in range(num_lights):
+        i = s.add_sphere(f"light{li}", centers[li], 2.0, light)
+        s.mark_light(i)
+    return s
+
+
+def _trace(dev, settings, fn, idx=None):
+    w, h = 64, 32
+    n = w * h
+    cam = camlib.to_arrays(CameraConfig(pos=(0.0, 0.0, 6.0), aspect=2.0))
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    o, d, pix = camlib.blocked_lane_rays(cam, lane, w, h, 8, 128)
+    state = rnglib.seed_lanes(pix, jnp.uint32(0), salt=0x7777)
+    return fn(dev, settings, o, d, state, idx=idx)
+
+
+def _check(ref, got, nee: bool):
+    # identical RNG streams -> identical control flow -> exact ray counts
+    assert int(ref.traced_rays) == int(got.traced_rays)
+    ea, em = np.asarray(ref.energy), np.asarray(got.energy)
+    if not nee:
+        np.testing.assert_allclose(ea, em, rtol=3e-5, atol=3e-6)
+        return
+    diff = np.abs(ea - em)
+    flips = (diff > 3e-6 + 3e-5 * np.abs(ea)).any(axis=1)
+    assert flips.mean() < 0.03, f"{flips.sum()} lanes beyond boundary flips"
+    assert diff.max() < 0.02, f"flip magnitude {diff.max():.4f} not tangent-sized"
+    assert np.abs(ea.mean() - em.mean()) < 1e-4
+
+
+@pytest.mark.parametrize(
+    "sort,settings",
+    [
+        (True, RenderSettings(max_ray_depth=3)),
+        (False, RenderSettings(max_ray_depth=2)),
+        (True, RenderSettings(max_ray_depth=2, cosine_weighted_diffuse=False)),
+        (True, RenderSettings(max_ray_depth=2, russian_roulette=False)),
+        (True, RenderSettings(max_ray_depth=2, next_event_estimation=False)),
+    ],
+    ids=["default-sort", "default-nosort", "uniform-diffuse", "no-rr", "no-nee"],
+)
+def test_megakernel_matches_integrator(force_packet, sort, settings):
+    dev = _scene().device()
+    assert megakernel_active(dev, settings)
+    idx = jnp.arange(64 * 32, dtype=jnp.int32) if sort else None
+    _, ref = _trace(dev, settings, integrators.trace_advanced, idx=idx)
+    _, got = _trace(dev, settings, integrators.trace_advanced_mega, idx=idx)
+    _check(ref, got, settings.next_event_estimation)
+
+
+def test_megakernel_single_light(force_packet):
+    settings = RenderSettings(max_ray_depth=2)
+    dev = _scene(num_lights=1).device()
+    assert megakernel_active(dev, settings)
+    _, ref = _trace(dev, settings, integrators.trace_advanced)
+    _, got = _trace(dev, settings, integrators.trace_advanced_mega)
+    _check(ref, got, True)
+
+
+def test_gate_rejects_unsupported(force_packet):
+    s = _scene(num_lights=2)
+    dev = s.device()
+    # three lights: not a power of two -> the modulo light pick is no
+    # longer a bit mask, gate must refuse
+    s2 = _scene(num_lights=2)
+    light = s2.add_material(matlib.Material.light((1.0, 1.0, 1.0), 5.0))
+    i = s2.add_sphere("light2", (0.0, 8.0, 0.0), 1.0, light)
+    s2.mark_light(i)
+    assert not megakernel_active(s2.device(), RenderSettings())
+    # AOV tracking keeps the reference-shaped path
+    assert not megakernel_active(dev, RenderSettings(track_aovs=True))
+    assert megakernel_active(dev, RenderSettings())
