@@ -690,7 +690,7 @@ def trace_advanced_mega(
     if do_sort:
         carry["lane"] = idx.astype(jnp.int32)
 
-    def body(c, depth):
+    def body(c, depth, sort_now):
         flags = c["active"] | (c["is_specular"] << 1)
         traced = c["traced"] + jnp.sum(c["active"], dtype=jnp.int32)
         rays, state2, tp, en, flags2, so, sd, stmax, contrib = mk.shade_extend(
@@ -727,12 +727,20 @@ def trace_advanced_mega(
         )
         if do_sort:
             nc["lane"] = c["lane"]
-            nc = sort_wavefront(dev, nc, idx.astype(jnp.int32), aovs=False)
-        return nc, None
+            if sort_now:
+                nc = sort_wavefront(dev, nc, idx.astype(jnp.int32), aovs=False)
+        return nc
 
-    carry, _ = jax.lax.scan(
-        body, carry, jnp.arange(settings.max_ray_depth + 1, dtype=jnp.int32)
-    )
+    # Python-unrolled depth loop (the two Pallas kernels dominate compile
+    # time and are shared across depths): unlike the scan in
+    # trace_advanced, this drops the pointless LAST sort (nothing
+    # consumes the final ordering) -- bitwise identical, one sort fewer.
+    for d in range(settings.max_ray_depth + 1):
+        carry = body(
+            carry,
+            jnp.int32(d),
+            sort_now=d < settings.max_ray_depth,
+        )
     energy, state = carry["energy"], carry["state"]
     if do_sort:
         cols = restore_lane_order(

@@ -504,3 +504,259 @@ def traverse_lab(origin, direction, t_init, nodes, ltris, roots, *, active,
     )
     t, hit, obj, depth, iters = res
     return t[:n0], hit[:n0], obj[:n0], depth[:n0], iters
+
+
+def _lab_dual_kernel(*refs, roots, opts):
+    """Dual-tile variant: TWO 1024-ray sub-tiles advance in ONE while
+    loop (independent per-tile stacks and registers), so their load ->
+    slab -> control chains interleave and hide each other's latency.
+    Iterations = max of the pair (the wavefront sort keeps neighbors'
+    liveness similar).  Always ilv slab/leaf + fixed push order."""
+    (
+        nodes_ref, ltris_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref, act_ref,
+        t_out, hit_out, obj_out, depth_out, iters_out,
+        entry_ref, sptr_ref, stack_ref,
+    ) = refs
+
+    def load_tile(g):
+        gs = slice(g * TILE, (g + 1) * TILE)
+        shape = (ROWS, LANES)
+        ox = ox_ref[gs].reshape(shape)
+        oy = oy_ref[gs].reshape(shape)
+        oz = oz_ref[gs].reshape(shape)
+        dx = dx_ref[gs].reshape(shape)
+        dy = dy_ref[gs].reshape(shape)
+        dz = dz_ref[gs].reshape(shape)
+        act = act_ref[gs].reshape(shape) != 0
+
+        def inv_dir(d):
+            return jnp.where(d == 0.0, BIG, 1.0 / d)
+
+        return dict(
+            ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+            ix=inv_dir(dx), iy=inv_dir(dy), iz=inv_dir(dz),
+            act=act, t0=t0_ref[gs].reshape(shape),
+        )
+
+    def entry_phase(T, base, t, hit, obj, depth):
+        """One stack entry per row for tile `T` with stacks at row
+        offset `base`; returns (t, hit, obj, depth, alive)."""
+        m = T["act"]
+        ox, oy, oz = T["ox"], T["oy"], T["oz"]
+        dx, dy, dz = T["dx"], T["dy"], T["dz"]
+        ix, iy, iz = T["ix"], T["iy"], T["iz"]
+
+        nrows, lrows = [], []
+        entries = []
+        for j in range(ROWS):
+            e = entry_ref[base + j]
+            entries.append(e)
+            leaf = (e != DONE) & (e < 0)
+            interior = (e != DONE) & (e >= 0)
+            node = jnp.where(interior, e, 0)
+            lrow = jnp.where(leaf, -e - 1, 0)
+            nrows.append(nodes_ref[pl.ds(node, 1), :])
+            lrows.append(ltris_ref[pl.ds(lrow, 1), :])
+        nmat = jnp.concatenate(nrows, axis=0)
+        lmat = jnp.concatenate(lrows, axis=0)
+        imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
+        evec = jnp.concatenate(
+            [jnp.full((1, 1), entries[j], jnp.int32) for j in range(ROWS)],
+            axis=0,
+        )
+        live_v = evec != DONE
+        leaf_v = live_v & (evec < 0)
+        int_v = live_v & (evec >= 0)
+
+        R = range(WIDTH)
+        tx1 = [(nmat[:, 6 * k + 0 : 6 * k + 1] - ox) * ix for k in R]
+        ty1 = [(nmat[:, 6 * k + 1 : 6 * k + 2] - oy) * iy for k in R]
+        tz1 = [(nmat[:, 6 * k + 2 : 6 * k + 3] - oz) * iz for k in R]
+        tx2 = [(nmat[:, 6 * k + 3 : 6 * k + 4] - ox) * ix for k in R]
+        ty2 = [(nmat[:, 6 * k + 4 : 6 * k + 5] - oy) * iy for k in R]
+        tz2 = [(nmat[:, 6 * k + 5 : 6 * k + 6] - oz) * iz for k in R]
+        mnx = [jnp.minimum(tx1[k], tx2[k]) for k in R]
+        mny = [jnp.minimum(ty1[k], ty2[k]) for k in R]
+        mnz = [jnp.minimum(tz1[k], tz2[k]) for k in R]
+        mxx = [jnp.maximum(tx1[k], tx2[k]) for k in R]
+        mxy = [jnp.maximum(ty1[k], ty2[k]) for k in R]
+        mxz = [jnp.maximum(tz1[k], tz2[k]) for k in R]
+        tmin = [jnp.maximum(jnp.maximum(mnx[k], mny[k]), mnz[k]) for k in R]
+        tmax = [jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k]) for k in R]
+        valid = [imat[:, 48 + k : 49 + k] != SLIM_EMPTY for k in R]
+        bm = [
+            (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
+            & m & int_v & valid[k]
+            for k in R
+        ]
+        child_dmin = [
+            jnp.min(jnp.where(bm[k], tmin[k], jnp.inf), axis=1, keepdims=True)
+            for k in R
+        ]
+
+        limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
+        C = range(LEAF_TRIS)
+        tm = [lmat[:, 16 * c : 16 * c + 12] for c in C]
+        hx = [dy * tm[c][:, 8:9] - dz * tm[c][:, 7:8] for c in C]
+        hy = [dz * tm[c][:, 6:7] - dx * tm[c][:, 8:9] for c in C]
+        hz = [dx * tm[c][:, 7:8] - dy * tm[c][:, 6:7] for c in C]
+        a = [
+            tm[c][:, 3:4] * hx[c] + tm[c][:, 4:5] * hy[c] + tm[c][:, 5:6] * hz[c]
+            for c in C
+        ]
+        det_ok = [jnp.abs(a[c]) >= TRI_DET_EPS for c in C]
+        f = [1.0 / jnp.where(det_ok[c], a[c], 1.0) for c in C]
+        sx = [ox - tm[c][:, 0:1] for c in C]
+        sy = [oy - tm[c][:, 1:2] for c in C]
+        sz = [oz - tm[c][:, 2:3] for c in C]
+        u = [f[c] * (sx[c] * hx[c] + sy[c] * hy[c] + sz[c] * hz[c]) for c in C]
+        qx = [sy[c] * tm[c][:, 5:6] - sz[c] * tm[c][:, 4:5] for c in C]
+        qy = [sz[c] * tm[c][:, 3:4] - sx[c] * tm[c][:, 5:6] for c in C]
+        qz = [sx[c] * tm[c][:, 4:5] - sy[c] * tm[c][:, 3:4] for c in C]
+        vv = [f[c] * (dx * qx[c] + dy * qy[c] + dz * qz[c]) for c in C]
+        tt = [
+            f[c] * (
+                tm[c][:, 6:7] * qx[c] + tm[c][:, 7:8] * qy[c]
+                + tm[c][:, 8:9] * qz[c]
+            )
+            for c in C
+        ]
+        for c in C:
+            ok = (
+                det_ok[c] & (u[c] >= 0.0) & (u[c] <= 1.0) & (vv[c] >= 0.0)
+                & ((u[c] + vv[c]) <= 1.0) & (tt[c] > 0.0) & (tt[c] < t)
+                & m & leaf_v
+            )
+            t = jnp.where(ok, tt[c], t)
+            hit = jnp.where(ok, limat[:, 16 * c + 13 : 16 * c + 14], hit)
+            obj = jnp.where(ok, limat[:, 16 * c + 12 : 16 * c + 13], obj)
+
+        alive = jnp.int32(0)
+        for j in range(ROWS):
+            e = entries[j]
+            live = e != DONE
+            interior = live & (e >= 0)
+            sp = sptr_ref[base + j]
+            ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
+            es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+            for k in range(WIDTH):
+                push = jnp.isfinite(ds_[k]) & interior
+                slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
+                prev = stack_ref[base + j, slot]
+                stack_ref[base + j, slot] = jnp.where(push, es_[k], prev)
+                sp = sp + jnp.where(push, 1, 0)
+            can = live & (sp > 0)
+            top = stack_ref[base + j, jnp.maximum(sp - 1, 0)]
+            nxt = jnp.where(can, top, DONE)
+            sptr_ref[base + j] = jnp.where(can, sp - 1, sp)
+            entry_ref[base + j] = nxt
+            alive = alive + jnp.where(nxt != DONE, 1, 0)
+        return t, hit, obj, depth, alive
+
+    shape = (ROWS, LANES)
+    for pair in range(GROUPS // 2):
+        ga, gb = 2 * pair, 2 * pair + 1
+        gsa = slice(ga * TILE, (ga + 1) * TILE)
+        gsb = slice(gb * TILE, (gb + 1) * TILE)
+        iters_out[pl.program_id(0) * (GROUPS // 2) + pair] = 0
+        any_act = jnp.sum(act_ref[gsa]) + jnp.sum(act_ref[gsb]) > 0
+
+        @pl.when(jnp.logical_not(any_act))
+        def _dead(gsa=gsa, gsb=gsb):
+            for gs in (gsa, gsb):
+                t_out[gs] = t0_ref[gs]
+                hit_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+                obj_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+                depth_out[gs] = jnp.zeros((TILE,), jnp.int32)
+
+        @pl.when(any_act)
+        def _live(ga=ga, gb=gb, gsa=gsa, gsb=gsb):
+            A = load_tile(ga)
+            B = load_tile(gb)
+            for half, _ in enumerate((A, B)):
+                for j in range(ROWS):
+                    entry_ref[half * ROWS + j] = roots[0]
+                    sptr_ref[half * ROWS + j] = len(roots) - 1
+                    for i, r in enumerate(roots[1:]):
+                        stack_ref[half * ROWS + j, i] = r
+
+            def body(carry):
+                ta, ha, oa, tb, hb, ob, it, _ = carry
+                za = jnp.zeros(shape, jnp.int32)
+                ta, ha, oa, _, alive_a = entry_phase(A, 0, ta, ha, oa, za)
+                tb, hb, ob, _, alive_b = entry_phase(B, ROWS, tb, hb, ob, za)
+                return ta, ha, oa, tb, hb, ob, it + 1, alive_a + alive_b
+
+            init = (
+                A["t0"], jnp.full(shape, -1, jnp.int32), jnp.full(shape, -1, jnp.int32),
+                B["t0"], jnp.full(shape, -1, jnp.int32), jnp.full(shape, -1, jnp.int32),
+                jnp.int32(0), jnp.int32(1),
+            )
+            out = jax.lax.while_loop(lambda c: c[-1] > 0, body, init)
+            ta, ha, oa, tb, hb, ob = out[:6]
+            t_out[gsa] = ta.reshape(-1)
+            hit_out[gsa] = ha.reshape(-1)
+            obj_out[gsa] = oa.reshape(-1)
+            depth_out[gsa] = jnp.zeros((TILE,), jnp.int32)
+            t_out[gsb] = tb.reshape(-1)
+            hit_out[gsb] = hb.reshape(-1)
+            obj_out[gsb] = ob.reshape(-1)
+            depth_out[gsb] = jnp.zeros((TILE,), jnp.int32)
+            iters_out[pl.program_id(0) * (GROUPS // 2) + pair] = out[-2]
+
+
+@functools.partial(jax.jit, static_argnames=("roots",))
+def traverse_lab_dual(origin, direction, t_init, nodes, ltris, roots, *, active):
+    ox_c, oy_c, oz_c = origin
+    dx_c, dy_c, dz_c = direction
+    n0 = ox_c.shape[0]
+    roots = tuple(int(r) for r in roots)
+    step = GROUPS * TILE
+    n = -(-n0 // step) * step
+    num_steps = n // step
+    num_pairs = n // (2 * TILE)
+    act = active.astype(jnp.int32)
+    if n != n0:
+        pad = n - n0
+        pad1 = jnp.ones((pad,), jnp.float32)
+        ox_c = jnp.concatenate([ox_c, pad1])
+        oy_c = jnp.concatenate([oy_c, pad1])
+        oz_c = jnp.concatenate([oz_c, pad1])
+        dx_c = jnp.concatenate([dx_c, pad1])
+        dy_c = jnp.concatenate([dy_c, pad1])
+        dz_c = jnp.concatenate([dz_c, pad1])
+        t_init = jnp.concatenate([t_init, jnp.zeros((pad,), t_init.dtype)])
+        act = jnp.concatenate([act, jnp.zeros((pad,), jnp.int32)])
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)] * 8
+    out_specs = [
+        pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
+    ] * 4 + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    out_shape = [
+        jax.ShapeDtypeStruct((n,), jnp.float32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct((num_pairs,), jnp.int32),
+    ]
+    res = pl.pallas_call(
+        functools.partial(_lab_dual_kernel, roots=roots, opts={}),
+        grid=(num_steps,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((2 * ROWS,), jnp.int32),
+            pltpu.SMEM((2 * ROWS,), jnp.int32),
+            pltpu.SMEM((2 * ROWS, STACK), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(nodes, ltris, ox_c, oy_c, oz_c, dx_c, dy_c, dz_c, t_init, act)
+    t, hit, obj, depth, iters = res
+    return t[:n0], hit[:n0], obj[:n0], depth[:n0], iters

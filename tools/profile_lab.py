@@ -117,6 +117,33 @@ def main():
     if which != "r2":
         tables.append(("dp", dp_nodes_j, dp_ltris_j, dp_roots))
 
+    if which == "dual":
+        from tools.kernel_lab import traverse_lab_dual
+
+        f = jax.jit(
+            lambda o_, d_, a_: traverse_lab_dual(
+                o_, d_, t0v, dev.pnodes, dev.pltris, dev.proots, active=a_
+            )
+        )
+        res = jax.block_until_ready(f(bo_c, bd_c, bact))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            res = jax.block_until_ready(f(bo_c, bd_c, bact))
+        dt = (time.perf_counter() - t0) / 4
+        iters = np.asarray(res[4])
+        vt, vtri = np.asarray(res[0]), np.asarray(res[1])
+        good = np.array_equal(vt[mref], ref[0][mref]) and np.array_equal(
+            vtri[mref], ref[1][mref]
+        )
+        print(
+            f"[greedy] dual-tile           {iters.sum():8d} pair-iters  "
+            f"{dt * 1000:7.2f} ms  "
+            f"{dt * 1e9 / max(2 * iters.sum(), 1):6.0f} ns/entry  "
+            f"{'hits OK' if good else 'HITS MISMATCH'}",
+            flush=True,
+        )
+        return
+
     for tname, tn, tl, tr in tables:
         for label, opts, check in variants:
             opts_t = tuple(sorted(opts.items()))
