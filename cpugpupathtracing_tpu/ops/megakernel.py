@@ -128,12 +128,14 @@ def _select_mat_col(mats_ref, mat_idx, col, num_mats):
 def _emit_traversal(
     nodes_ref, ltris_ref, entry_ref, sptr_ref, stack_ref,
     ox, oy, oz, dx, dy, dz, m_act, t_init, roots, *, any_hit,
+    count_iters=False,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
     m_act: (8,128) bool live-lane mask.  Returns (t, tri, obj, nx, ny,
-    nz) with tri/obj = -1 and normal 0 on miss.  For any_hit=True the
-    per-lane t stays t_init and tri >= 0 flags occlusion.
+    nz) with tri/obj = -1 and normal 0 on miss (plus the while-loop
+    iteration count when count_iters).  For any_hit=True the per-lane t
+    stays t_init and tri >= 0 flags occlusion.
     """
     shape = (ROWS, LANES)
 
@@ -264,16 +266,28 @@ def _emit_traversal(
     def cond(carry):
         return carry[-1] > 0
 
-    init = (
+    if count_iters:
+        inner = body
+
+        def body(carry):
+            it = carry[-2]
+            res = inner(carry[:-2] + (carry[-1],))
+            return res[:-1] + (it + 1, res[-1])
+
+    init = [
         t_init,
         jnp.full(shape, -1, jnp.int32),
         jnp.full(shape, -1, jnp.int32),
         jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.float32),
-        jnp.int32(1),
-    )
-    out = jax.lax.while_loop(cond, body, init)
+    ]
+    if count_iters:
+        init.append(jnp.int32(0))
+    init.append(jnp.int32(1))
+    out = jax.lax.while_loop(cond, body, tuple(init))
+    if count_iters:
+        return out[0], out[1], out[2], out[3], out[4], out[5], out[-2]
     return out[0], out[1], out[2], out[3], out[4], out[5]
 
 
@@ -336,18 +350,24 @@ def _shade_extend_kernel(
     nfl_ref,
     sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref, stm_ref,
     cx_ref, cy_ref, cz_ref,
-    # scratch
-    entry_ref, sptr_ref, stack_ref,
-    *, roots, num_mats, num_lights, num_sph, num_pln, num_objs,
-    nee, rr, cosine, ref_pdf,
+    # [iters_ref when count_iters], scratch
+    *tail,
+    roots, num_mats, num_lights, num_sph, num_pln, num_objs,
+    nee, rr, cosine, ref_pdf, count_iters=False,
 ):
     """One integrator depth minus the shadow resolve: traversal + the
     full TracePathAdvanced shading body (Source/Main.cpp:396-579)."""
+    if count_iters:
+        iters_ref, entry_ref, sptr_ref, stack_ref = tail
+    else:
+        entry_ref, sptr_ref, stack_ref = tail
     shape = (ROWS, LANES)
     for g in range(GROUPS):
         gs = slice(g * TILE, (g + 1) * TILE)
         act_i = fl_ref[gs] & 1
         any_act = jnp.sum(act_i) > 0
+        if count_iters:
+            iters_ref[pl.program_id(0) * GROUPS + g] = 0
 
         @pl.when(jnp.logical_not(any_act))
         def _dead(gs=gs):
@@ -404,11 +424,14 @@ def _shade_extend_kernel(
             depth0 = jnp.full(shape, depth_ref[0], jnp.int32) == 0
 
             t_init = jnp.full(shape, RAY_TMAX, jnp.float32)
-            t, tri, obj, mnx, mny, mnz = _emit_traversal(
+            trav = _emit_traversal(
                 nodes_ref, ltris_ref, entry_ref, sptr_ref, stack_ref,
                 ox, oy, oz, dx, dy, dz, active, t_init, roots,
-                any_hit=False,
+                any_hit=False, count_iters=count_iters,
             )
+            t, tri, obj, mnx, mny, mnz = trav[:6]
+            if count_iters:
+                iters_ref[pl.program_id(0) * GROUPS + g] = trav[6]
             kind = jnp.zeros(shape, jnp.int32)
             t, kind = _analytic_tests(
                 sph_ref, pln_ref, ox, oy, oz, dx, dy, dz, t, kind,
@@ -729,15 +752,21 @@ def _shadow_resolve_kernel(
     sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref, stm_ref,
     fl_ref, ex_ref, ey_ref, ez_ref, cx_ref, cy_ref, cz_ref,
     nex_ref, ney_ref, nez_ref,
-    entry_ref, sptr_ref, stack_ref,
-    *, roots, num_sph, num_pln,
+    *tail,
+    roots, num_sph, num_pln, count_iters=False,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
+    if count_iters:
+        iters_ref, entry_ref, sptr_ref, stack_ref = tail
+    else:
+        entry_ref, sptr_ref, stack_ref = tail
     shape = (ROWS, LANES)
     for g in range(GROUPS):
         gs = slice(g * TILE, (g + 1) * TILE)
         sneed_i = (fl_ref[gs] >> 2) & 1
         any_s = jnp.sum(sneed_i) > 0
+        if count_iters:
+            iters_ref[pl.program_id(0) * GROUPS + g] = 0
 
         @pl.when(jnp.logical_not(any_s))
         def _dead(gs=gs):
@@ -756,11 +785,14 @@ def _shadow_resolve_kernel(
             tmax = stm_ref[gs].reshape(shape)
             sneed = ((fl_ref[gs].reshape(shape) >> 2) & 1) != 0
 
-            t, tri, _obj, _nx, _ny, _nz = _emit_traversal(
+            trav = _emit_traversal(
                 nodes_ref, ltris_ref, entry_ref, sptr_ref, stack_ref,
                 ox, oy, oz, dx, dy, dz, sneed, tmax, roots,
-                any_hit=True,
+                any_hit=True, count_iters=count_iters,
             )
+            t, tri = trav[0], trav[1]
+            if count_iters:
+                iters_ref[pl.program_id(0) * GROUPS + g] = trav[6]
             occluded = tri >= 0
             for s in range(num_sph):
                 cxs, cys, czs = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]
@@ -813,21 +845,22 @@ def _pad_to(step, arrs, pad_vals):
     jax.jit,
     static_argnames=(
         "roots", "num_mats", "num_lights", "num_sph", "num_pln", "num_objs",
-        "nee", "rr", "cosine", "ref_pdf", "interpret",
+        "nee", "rr", "cosine", "ref_pdf", "interpret", "count_iters",
     ),
 )
 def shade_extend(
     nodes, ltris, mats, lights, sph, pln, sphmat, plnmat, objmat, depth,
     rays, state, throughput, energy, flags,
     *, roots, num_mats, num_lights, num_sph, num_pln, num_objs,
-    nee, rr, cosine, ref_pdf, interpret=False,
+    nee, rr, cosine, ref_pdf, interpret=False, count_iters=False,
 ):
     """One fused depth step (minus shadow resolve) over the wavefront.
 
     rays: 6-tuple of (N,) components; throughput/energy: 3-tuples;
     state (N,) u32; flags (N,) i32 bit0=active bit1=is_specular.
     Returns (rays', state', throughput', energy', flags' (bit2 =
-    shadow_needed), shadow_o (3), shadow_d (3), shadow_tmax, contrib (3)).
+    shadow_needed), shadow_o (3), shadow_d (3), shadow_tmax, contrib (3)
+    [, per-sub-tile traversal iteration counts when count_iters]).
     """
     step = GROUPS * TILE
     cols = list(rays) + [state] + list(throughput) + list(energy) + [flags]
@@ -851,6 +884,13 @@ def shade_extend(
         + [jax.ShapeDtypeStruct((n,), jnp.int32)]
         + [jax.ShapeDtypeStruct((n,), f32)] * 10
     )
+    if count_iters:
+        # whole array per step (rank-1 SMEM blocks can't be tile-blocked
+        # on compiled TPU); each step writes its GROUPS slots
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((num_steps * GROUPS,), jnp.int32)
+        )
     res = pl.pallas_call(
         functools.partial(
             _shade_extend_kernel,
@@ -858,6 +898,7 @@ def shade_extend(
             num_mats=num_mats, num_lights=num_lights,
             num_sph=num_sph, num_pln=num_pln, num_objs=num_objs,
             nee=nee, rr=rr, cosine=cosine, ref_pdf=ref_pdf,
+            count_iters=count_iters,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -875,24 +916,30 @@ def shade_extend(
     )(nodes, ltris, mats, lights, sph, pln, sphmat, plnmat, objmat, depth,
       *cols)
     n0 = rays[0].shape[0]
-    res = [r[:n0] for r in res]
-    return (
+    iters = res[24] if count_iters else None
+    res = [r[:n0] for r in res[:24]]
+    out = (
         tuple(res[0:3]) + tuple(res[3:6]), res[6],
         tuple(res[7:10]), tuple(res[10:13]), res[13],
         tuple(res[14:17]), tuple(res[17:20]), res[20], tuple(res[21:24]),
     )
+    if count_iters:
+        return out + (iters,)
+    return out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("roots", "num_sph", "num_pln", "interpret"),
+    static_argnames=("roots", "num_sph", "num_pln", "interpret",
+                     "count_iters"),
 )
 def shadow_resolve(
     nodes, ltris, sph, pln,
     shadow_o, shadow_d, shadow_tmax, flags, energy, contrib,
-    *, roots, num_sph, num_pln, interpret=False,
+    *, roots, num_sph, num_pln, interpret=False, count_iters=False,
 ):
-    """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)."""
+    """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)
+    (plus per-sub-tile iteration counts when count_iters)."""
     step = GROUPS * TILE
     cols = (
         list(shadow_o) + list(shadow_d) + [shadow_tmax, flags]
@@ -910,11 +957,17 @@ def shadow_resolve(
         pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
     ] * 3
     out_shape = [jax.ShapeDtypeStruct((n,), jnp.float32)] * 3
+    if count_iters:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((num_steps * GROUPS,), jnp.int32)
+        )
     res = pl.pallas_call(
         functools.partial(
             _shadow_resolve_kernel,
             roots=tuple(int(r) for r in roots),
             num_sph=num_sph, num_pln=num_pln,
+            count_iters=count_iters,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -931,4 +984,6 @@ def shadow_resolve(
         interpret=interpret,
     )(nodes, ltris, sph, pln, *cols)
     n0 = shadow_o[0].shape[0]
+    if count_iters:
+        return tuple(r[:n0] for r in res[:3]) + (res[3],)
     return tuple(r[:n0] for r in res)
