@@ -36,6 +36,7 @@ Faithfully reproduced reference behaviors (deliberate, see SURVEY.md):
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -44,6 +45,7 @@ import jax.numpy as jnp
 from cpugpupathtracing_tpu.config import DebugRenderMode, DiffusePdfMode, RenderSettings
 from cpugpupathtracing_tpu.models.scene import (
     DeviceScene,
+    active_bit,
     hit_surface,
     intersect_scene,
     packet_path_active,
@@ -158,7 +160,8 @@ def trace_chunked(
     )
 
 
-def sort_wavefront(dev: DeviceScene, c: dict, slots, aovs: bool = True) -> dict:
+def sort_wavefront(dev: DeviceScene, c: dict, slots, aovs: bool = True,
+                   mode: str = "morton5") -> dict:
     """Permute every per-lane carry column by the ray-coherence key
     (scene.reorder_key) of the carry's next ray.
 
@@ -182,14 +185,41 @@ def sort_wavefront(dev: DeviceScene, c: dict, slots, aovs: bool = True) -> dict:
     0..N-1 position iota passed as a DEVICE array (an embedded iota
     breaks multi-device dispatch, see camera.lane_rays); it rides as a
     payload only to keep the sort's operand shapes uniform.
+
+    `mode` picks the coherence key (measured head-to-head on the chip,
+    tools/fan_lab.py):
+      - "compact": key = 1 - active only.  lax.sort is STABLE, so live
+        lanes KEEP their incoming (camera-blocked) order -- measured
+        35% fewer bounce-fan iterations than any morton regroup,
+        because adjacent pixels' hit points are far closer than any
+        key's quantization cell.  The right mode whenever the incoming
+        order is already spatially coherent (the depth-0 boundary).
+      - "morton5"/"morton8": scene.reorder_key at 5/8 bits per axis.
+        Morton regrouping wins once the wavefront has genuinely
+        scattered (glass-interior fans: ~2x fewer iterations than
+        unsorted); 8 bits resolves positions inside a mesh.
     """
     act_i = c["active"].astype(jnp.int32)
-    key = reorder_key(
-        dev,
-        jnp.stack([c["ray_ox"], c["ray_oy"], c["ray_oz"]], axis=1),
-        jnp.stack([c["ray_dx"], c["ray_dy"], c["ray_dz"]], axis=1),
-        act_i,
-    )
+    if mode == "compact":
+        key = 1 - act_i
+    elif mode == "compact_oct":
+        # octant-major, stable pixel order within: separates the mixed
+        # Fresnel reflect/refract lobes adjacent pixels draw while
+        # keeping each lobe's pixel locality
+        octant = (
+            (c["ray_dx"] < 0).astype(jnp.int32)
+            | ((c["ray_dy"] < 0).astype(jnp.int32) << 1)
+            | ((c["ray_dz"] < 0).astype(jnp.int32) << 2)
+        )
+        key = ((1 - act_i) << 3) | octant
+    else:
+        key = reorder_key(
+            dev,
+            jnp.stack([c["ray_ox"], c["ray_oy"], c["ray_oz"]], axis=1),
+            jnp.stack([c["ray_dx"], c["ray_dy"], c["ray_dz"]], axis=1),
+            act_i,
+            bits=5 if mode == "morton5" else 8,
+        )
 
     folded = dict(c)
     folded.pop("active")
@@ -206,13 +236,15 @@ def sort_wavefront(dev: DeviceScene, c: dict, slots, aovs: bool = True) -> dict:
             word = word | (spec.astype(jnp.int32) << 31)
         folded["_word"] = word
     else:
-        # AOV-free fast path: active (already the key's top field) and
-        # is_specular ride IN the sort key -- one payload fewer.  spec at
-        # the LSB only reshuffles equal-key lanes within a morton cell,
-        # which is bitwise invisible (shading and RNG are per-lane).
-        key = (key << 1) | (
-            spec.astype(jnp.int32) if spec is not None else 0
-        )
+        # AOV-free fast path: active already rides the key's top field,
+        # and is_specular rides bit 30 of the lane payload -- one
+        # payload fewer than carrying either separately.  (Folding spec
+        # into the key's LSB -- the round-3 first cut -- was measured
+        # to cost 13% bounce-fan iterations in "compact" mode: it
+        # regroups by lobe type and breaks the pixel-order locality
+        # that mode exists to preserve, tools/fan_lab.py.)
+        if spec is not None:
+            folded["lane"] = folded["lane"] | (spec.astype(jnp.int32) << 30)
 
     cols, meta = [], {}
     for k in sorted(folded):
@@ -246,12 +278,58 @@ def sort_wavefront(dev: DeviceScene, c: dict, slots, aovs: bool = True) -> dict:
         if spec is not None:
             out["is_specular"] = jax.lax.shift_right_logical(word, 31)  # bit 31
     else:
-        # reconstruct the folded flags from the sorted key: reorder_key
-        # puts (1 - active) at bit 18, shifted to 19 by the spec fold
-        out["active"] = 1 - ((key_s >> 19) & 1)
+        # reconstruct the folded flags: (1 - active) sits at the key's
+        # mode-dependent top field, is_specular at bit 30 of lane
+        out["active"] = 1 - ((key_s >> active_bit(mode)) & 1)
         if spec is not None:
-            out["is_specular"] = key_s & 1
+            out["is_specular"] = out["lane"] >> 30
+            out["lane"] = out["lane"] & 0x3FFFFFFF
     return out
+
+
+def sorted_shadow_resolve(dev, mk, so, sd, stmax, flags, en, contrib,
+                          slots, *, static):
+    """Run the NEE shadow any-hit over a coherence-SORTED fan.
+
+    The depth-0 shadow fan is the frame's single hottest launch on the
+    benchmark scene (~210k packet iterations of a 767k-iteration frame,
+    tools/profile_mega_census.py): the wavefront enters depth 0 in
+    camera-blocked order, so adjacent lanes aim at *different* randomly
+    chosen lights (Main.cpp:441 rand % num_lights) and every 1024-lane
+    sub-tile's shared-stack union covers both light paths.  One extra
+    multi-payload sort by the occlusion ray's coherence key
+    (scene.reorder_key: sneed-first | direction octant | origin morton)
+    regroups the fan by light direction and packs shadow-less lanes
+    into sub-tiles the kernel skips.
+
+    Bitwise invisible: the kernel runs with ZERO energy input so its
+    output is the pure per-lane NEE delta (visible * contrib, the same
+    single f32 values as the unsorted kernel computes), which one
+    restore sort returns to lane order before the identical en + delta
+    add.  Cost: sort (key + 11 payloads) + restore (key + 3) ~ 16 ms at
+    1080p vs the ~100 ms fan-iteration saving measured on the chip."""
+    sneed = (flags >> 2) & 1
+    key = reorder_key(
+        dev,
+        jnp.stack(so, axis=1),
+        jnp.stack(sd, axis=1),
+        sneed,
+    )
+    sorted_all = jax.lax.sort(
+        (key, *so, *sd, stmax, *contrib, slots), num_keys=1
+    )
+    key_s = sorted_all[0]
+    so_s, sd_s = sorted_all[1:4], sorted_all[4:7]
+    stm_s, contrib_s, slots_s = sorted_all[7], sorted_all[8:11], sorted_all[11]
+    sneed_s = 1 - ((key_s >> 18) & 1)
+    zero = jnp.zeros_like(en[0])
+    delta = mk.shadow_resolve(
+        dev.pnodes, dev.pltris, dev.mk_sph, dev.mk_pln,
+        so_s, sd_s, stm_s, sneed_s << 2, (zero, zero, zero), contrib_s,
+        **static,
+    )
+    d0, d1, d2 = jax.lax.sort((slots_s, *delta), num_keys=1)[1:]
+    return (en[0] + d0, en[1] + d1, en[2] + d2)
 
 
 def restore_lane_order(lane, slots, cols):
@@ -690,7 +768,17 @@ def trace_advanced_mega(
     if do_sort:
         carry["lane"] = idx.astype(jnp.int32)
 
-    def body(c, depth, sort_now):
+    # Opt-in only: tools/fan_lab.py measured the depth-0 shadow fan's
+    # iteration count INSENSITIVE to every candidate sort key (~241k
+    # iterations sorted or not -- camera-blocked order already carries
+    # the locality), so the two extra sorts don't pay by default.
+    # Read once per trace (compile time): set before first compile.
+    shadow_sort_depths = (
+        {0} if do_sort and os.environ.get("CPUGPU_SHADOW_SORT") == "1"
+        else set()
+    )
+
+    def body(c, depth, d, sort_now):
         flags = c["active"] | (c["is_specular"] << 1)
         traced = c["traced"] + jnp.sum(c["active"], dtype=jnp.int32)
         rays, state2, tp, en, flags2, so, sd, stmax, contrib = mk.shade_extend(
@@ -709,12 +797,21 @@ def trace_advanced_mega(
         if nee:
             sneed = (flags2 >> 2) & 1
             traced = traced + jnp.sum(sneed, dtype=jnp.int32)
-            en = mk.shadow_resolve(
-                dev.pnodes, dev.pltris, dev.mk_sph, dev.mk_pln,
-                so, sd, stmax, flags2, en, contrib,
+            shadow_static = dict(
                 roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
                 interpret=interpret,
             )
+            if d in shadow_sort_depths:
+                en = sorted_shadow_resolve(
+                    dev, mk, so, sd, stmax, flags2, en, contrib,
+                    idx.astype(jnp.int32), static=shadow_static,
+                )
+            else:
+                en = mk.shadow_resolve(
+                    dev.pnodes, dev.pltris, dev.mk_sph, dev.mk_pln,
+                    so, sd, stmax, flags2, en, contrib,
+                    **shadow_static,
+                )
         nc = dict(
             throughput=jnp.stack(tp, axis=1),
             energy=jnp.stack(en, axis=1),
@@ -728,7 +825,14 @@ def trace_advanced_mega(
         if do_sort:
             nc["lane"] = c["lane"]
             if sort_now:
-                nc = sort_wavefront(dev, nc, idx.astype(jnp.int32), aovs=False)
+                # end-of-depth-0 feeds the (still pixel-coherent) bounce
+                # fan: compact only.  Later boundaries feed scattered
+                # glass-interior fans: morton regroup at 8 bits/axis.
+                # Measured schedule, tools/fan_lab.py + profile_mega_census.
+                nc = sort_wavefront(
+                    dev, nc, idx.astype(jnp.int32), aovs=False,
+                    mode="compact" if d == 0 else "morton8",
+                )
         return nc
 
     # Python-unrolled depth loop (the two Pallas kernels dominate compile
@@ -739,6 +843,7 @@ def trace_advanced_mega(
         carry = body(
             carry,
             jnp.int32(d),
+            d,
             sort_now=d < settings.max_ray_depth,
         )
     energy, state = carry["energy"], carry["state"]

@@ -869,23 +869,38 @@ class Scene:
         )
 
 
-def reorder_key(dev: DeviceScene, origin, direction, act):
+def reorder_key(dev: DeviceScene, origin, direction, act, bits: int = 5):
     """Ray-coherence sort key: active-first | direction octant | origin
-    morton (5 bits/axis over the scene AABB).  Sorting a wavefront by
-    this key at depth boundaries (integrators._sorted_scan_hooks)
+    morton (`bits` bits/axis over the scene AABB).  Sorting a wavefront
+    by this key at depth boundaries (integrators.sort_wavefront)
     clusters dead lanes into sub-packets that drain in one iteration
-    (compaction) and rebuilds sub-packet coherence for bounce/shadow
-    rays; hits are exact either way, so images are bitwise unchanged."""
+    (compaction) and regroups scattered survivors spatially; hits are
+    exact either way, so images are bitwise unchanged.
+
+    bits=5 (cells ~0.6 units on the reference world) was the round-2
+    default; bits=8 (cells ~0.08 units) resolves positions INSIDE a
+    mesh and cuts glass-interior fan iterations ~2x vs unsorted
+    (tools/fan_lab.py).  The active bit sits at 3*bits + 3; callers
+    that reconstruct flags from the sorted key use active_bit()."""
+    scale = float(1 << bits)
     q = jnp.clip(
-        ((origin - dev.world_lo) * dev.world_inv_extent * 32.0).astype(jnp.int32),
-        0, 31,
+        ((origin - dev.world_lo) * dev.world_inv_extent * scale).astype(jnp.int32),
+        0, (1 << bits) - 1,
     )
 
-    def spread(v):
-        v = (v | (v << 8)) & 0x0300F
-        v = (v | (v << 4)) & 0x030C3
-        v = (v | (v << 2)) & 0x09249
-        return v
+    if bits <= 5:
+        def spread(v):
+            v = (v | (v << 8)) & 0x0300F
+            v = (v | (v << 4)) & 0x030C3
+            v = (v | (v << 2)) & 0x09249
+            return v
+    else:
+        def spread(v):
+            v = (v | (v << 16)) & 0x030000FF
+            v = (v | (v << 8)) & 0x0300F00F
+            v = (v | (v << 4)) & 0x030C30C3
+            v = (v | (v << 2)) & 0x09249249
+            return v
 
     morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
     octant = (
@@ -893,7 +908,13 @@ def reorder_key(dev: DeviceScene, origin, direction, act):
         | ((direction[:, 1] < 0).astype(jnp.int32) << 1)
         | ((direction[:, 2] < 0).astype(jnp.int32) << 2)
     )
-    return ((1 - act) << 18) | (octant << 15) | morton
+    return ((1 - act) << (3 * bits + 3)) | (octant << (3 * bits)) | morton
+
+
+def active_bit(mode: str) -> int:
+    """Bit position of the inverted-active field in the sort key built
+    by sort_wavefront for the given mode (pre-spec-fold)."""
+    return {"compact": 0, "compact_oct": 3, "morton5": 18, "morton8": 27}[mode]
 
 
 def packet_path_active(dev: DeviceScene) -> bool:

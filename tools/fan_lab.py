@@ -75,11 +75,25 @@ def keys(dev, o, d, extra=None):
         return v
 
     mor6 = spread6(q6[:, 0]) | (spread6(q6[:, 1]) << 1) | (spread6(q6[:, 2]) << 2)
+    # 8-bit origin morton (24 bits): cells of ~0.08 units on the 20-unit
+    # reference world -- resolves positions INSIDE the ~2.5-unit dragon
+    def spread8(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    q8 = jnp.clip(((o - dev.world_lo) * dev.world_inv_extent * 256.0)
+                  .astype(jnp.int32), 0, 255)
+    mor8 = spread8(q8[:, 0]) | (spread8(q8[:, 1]) << 1) | (spread8(q8[:, 2]) << 2)
     out = {
         "current: oct|mor5": (octant << 15) | mor,
         "dirbins: oct|dmor6|mor5": (octant << 21) | (dmor << 15) | mor,
         "pos-major: mor5|oct": (mor << 3) | octant,
         "fine-pos: oct|mor6": (octant << 18) | mor6,
+        "fine-pos: oct|mor8": (octant << 24) | mor8,
+        "pos-major: mor8|oct": (mor8 << 3) | octant,
         "nosort": None,
     }
     if extra is not None:
@@ -87,6 +101,34 @@ def keys(dev, o, d, extra=None):
         out["light|oct|mor5"] = (li << 18) | (octant << 15) | mor
         out["light|mor5"] = (li << 15) | mor
     return out
+
+
+def quarter_bound(dev, o, d, act, tmax, any_hit, key):
+    """Iteration bound for a 4-stack packet kernel (4 independent
+    256-lane groups per 1024-lane sub-tile, stacks drained in lockstep):
+    run the current kernel with only quarter g of each sub-tile live,
+    then sum per-tile max over g -- the while-loop trip count such a
+    kernel would pay, vs the union the shared-stack kernel pays."""
+    if key is not None:
+        perm = jnp.argsort(key)
+        o, d, act, tmax = o[perm], d[perm], act[perm], tmax[perm]
+    n = o.shape[0]
+    pos = np.arange(n) % 1024
+    per_q = []
+    for g in range(4):
+        mq = jnp.asarray((pos // 256) == g, jnp.int32)
+        res = jax.jit(lambda o, d, a, t0: pk.traverse_packet_slim(
+            (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]),
+            t0, dev.pnodes, dev.pltris, dev.proots,
+            active=a, any_hit=any_hit, count_depth=False, count_iters=True,
+        ))(o, d, act * mq, tmax)
+        jax.block_until_ready(res)
+        per_q.append(np.asarray(res[-1]))
+    per_q = np.stack(per_q)  # (4, tiles)
+    mx, sm = per_q.max(axis=0), per_q.sum(axis=0)
+    print(f"  4-stack bound: sum-of-max {int(mx.sum()):9d} it, "
+          f"sum-of-sum {int(sm.sum()):9d} it (vs shared-stack union above)",
+          flush=True)
 
 
 def run_fan(dev, o, d, act, tmax, any_hit, label, key):
@@ -164,8 +206,50 @@ def main():
     bact = hitm.astype(jnp.int32)
 
     print("depth-1 bounce fan:", flush=True)
-    for lbl, key in keys(dev, bo, bd).items():
+    kdict = keys(dev, bo, bd)
+    # stable compaction: pack dead lanes WITHOUT reshuffling live ones
+    # (lax.sort is stable) -- keeps the camera-blocked pixel locality
+    # nosort wins with, plus the kernel's dead-tile skipping
+    kdict["stable-compact: act"] = 1 - bact
+    kdict["stable: act|spec"] = ((1 - bact) << 1) | is_dragon[:, 0].astype(jnp.int32)
+    for lbl, key in kdict.items():
         run_fan(dev, bo, bd, bact, t_init, False, lbl, key)
+    quarter_bound(dev, bo, bd, bact, t_init, False, None)
+
+    # ---- depth-2 glass-interior fan (the census's 259k-iteration tail:
+    # rays INSIDE the dragon after the entry refraction) ----
+    iact = (hitm & (obj == 0)).astype(jnp.int32)
+    io = px + refr * 1e-3
+    t2, tri2, obj2, (n2x, n2y, n2z), _, _ = jax.jit(
+        lambda o, d, a: pk.traverse_packet_slim(
+            (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]),
+            t_init, dev.pnodes, dev.pltris, dev.proots,
+            active=a, count_depth=False,
+        )
+    )(io, refr, iact)
+    jax.block_until_ready(t2)
+    px2 = io + refr * t2[:, None]
+    nrm2 = jnp.stack([n2x, n2y, n2z], axis=1)
+    # exit refraction eta=1.517 (inside->out); TIR lanes reflect
+    eta2 = 1.517
+    ddn2 = jnp.sum(refr * nrm2, axis=1, keepdims=True)
+    cosi2 = jnp.abs(jnp.clip(ddn2, -1.0, 1.0))
+    k2v = 1.0 - eta2 * eta2 * (1.0 - cosi2 * cosi2)
+    nref = jnp.where(ddn2 < 0, nrm2, -nrm2)
+    refl2 = refr - 2.0 * jnp.sum(refr * nref, axis=1, keepdims=True) * nref
+    refr2 = refr * eta2 + (eta2 * cosi2 - jnp.sqrt(jnp.maximum(k2v, 0.0))) * nref
+    d2 = jnp.where(k2v < 0, refl2, refr2)
+    d2 = d2 / jnp.maximum(jnp.linalg.norm(d2, axis=1, keepdims=True), 1e-9)
+    o2 = px2 + d2 * 1e-3
+    act2 = (iact.astype(bool) & (tri2 >= 0)).astype(jnp.int32)
+    ntir = int(np.asarray((k2v[:, 0] < 0) & act2.astype(bool)).sum())
+    print(f"depth-2 interior fan ({int(act2.sum())} rays, {ntir} TIR):",
+          flush=True)
+    k2dict = keys(dev, o2, d2)
+    k2dict["stable-compact: act"] = 1 - act2
+    for lbl, key in k2dict.items():
+        run_fan(dev, o2, d2, act2, t_init, False, lbl, key)
+    quarter_bound(dev, o2, d2, act2, t_init, False, 1 - act2)
 
     # ---- depth-0 NEE shadow fan (ground lanes only) ----
     li = jax.random.bernoulli(k2, 0.5, (n,)).astype(jnp.int32)
@@ -184,8 +268,11 @@ def main():
     stm = (dist[:, 0] - 2e-3)
     sact = (hitm & (obj == 1)).astype(jnp.int32)
     print(f"depth-0 shadow fan ({int(sact.sum())} rays):", flush=True)
-    for lbl, key in keys(dev, so, sd, extra=li).items():
+    sdict = keys(dev, so, sd, extra=li)
+    sdict["stable-compact: sneed"] = 1 - sact
+    for lbl, key in sdict.items():
         run_fan(dev, so, sd, sact, stm, True, lbl, key)
+    quarter_bound(dev, so, sd, sact, stm, True, None)
 
 
 if __name__ == "__main__":

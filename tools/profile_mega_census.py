@@ -140,7 +140,14 @@ def main():
             lane=c["lane"],
         )
         if d < settings.max_ray_depth:
-            nc = sort_wavefront(dev, nc, idx, aovs=False)
+            # mirror trace_advanced_mega's measured schedule; override
+            # per-depth with e.g. CENSUS_MODES=compact,compact,morton8,...
+            env = os.environ.get("CENSUS_MODES")
+            if env:
+                mode = env.split(",")[min(d, len(env.split(",")) - 1)]
+            else:
+                mode = "compact" if d == 0 else "morton8"
+            nc = sort_wavefront(dev, nc, idx, aovs=False, mode=mode)
         c = nc
 
     print(
