@@ -66,11 +66,15 @@ def main():
 
     rays = 0
     t0 = time.time()
-    for f in range(frames):
-        if hook:
+    if hook is None:
+        # no per-frame host work: pipeline the dispatches (counters
+        # accumulate on device, one sync at the end)
+        rays = r.render_pipelined(frames)
+    else:
+        for f in range(frames):
             hook(f + 1, r)
-        r.render_frame()
-        rays += r.stats.traced_rays
+            r.render_frame()
+            rays += r.stats.traced_rays
     wall = time.time() - t0
 
     # compiled-kernel parity gates (tools/tpu_parity_gate.py): every

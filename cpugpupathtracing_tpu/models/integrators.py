@@ -741,6 +741,7 @@ def trace_advanced_mega(
     do_sort = idx is not None
     num_sph = int(dev.sph_center.shape[0])
     num_pln = int(dev.pln_point.shape[0])
+    instanced = dev.num_instances > 0
     static = dict(
         roots=dev.proots,
         num_mats=int(dev.mk_mats.shape[0]),
@@ -754,6 +755,12 @@ def trace_advanced_mega(
         ref_pdf=settings.diffuse_pdf_mode == DiffusePdfMode.REFERENCE,
         interpret=interpret,
     )
+    if instanced:
+        static.update(
+            inst_inv=dev.inst_inv,
+            inst_nrm=dev.inst_nrm,
+            inst_root=dev.inst_blas_root_packet,
+        )
 
     carry = dict(
         throughput=jnp.ones((n, 3), f32),
@@ -801,6 +808,11 @@ def trace_advanced_mega(
                 roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
                 interpret=interpret,
             )
+            if instanced:
+                shadow_static.update(
+                    inst_inv=dev.inst_inv,
+                    inst_root=dev.inst_blas_root_packet,
+                )
             if d in shadow_sort_depths:
                 en = sorted_shadow_resolve(
                     dev, mk, so, sd, stmax, flags2, en, contrib,

@@ -261,6 +261,52 @@ class Renderer:
         for _ in range(frames):
             self.render_frame()
 
+    def render_pipelined(self, frames: int) -> int:
+        """Dispatch `frames` progressive frames WITHOUT per-frame host
+        syncs, then sync once.  Through the tunneled chip each dispatch
+        costs tens of ms of host latency that render_frame serializes
+        with device compute (int(traced) + block_until_ready per
+        frame); deferring the counter reads lets the host run ahead
+        and the device queue stay full.  Per-frame counters accumulate
+        ON DEVICE (a lazy scalar add per frame), so traced-ray
+        accounting is identical to the per-frame loop.  Returns the
+        total traced rays for the span; stats hold span averages."""
+        if self.pause_rendering or frames <= 0:
+            return 0
+        t0 = time.perf_counter()
+        w, h = self.config.width, self.config.height
+        spp = self.config.samples_per_frame
+        traced_t = None
+        esum_t = None
+        for _ in range(frames):
+            self.num_accumulated += spp
+            acc, pixels, traced, esum = render_frame_kernel(
+                self.scene.device(),
+                camlib.to_arrays(self.camera),
+                self._accumulator,
+                jnp.asarray(self._sample_counter, jnp.int32),
+                self._lane,
+                self.settings,
+                w,
+                h,
+                spp,
+                self.config.seed,
+            )
+            self._accumulator = acc
+            self._pixels = pixels
+            self._sample_counter += spp
+            traced_t = traced if traced_t is None else traced_t + traced
+            esum_t = esum if esum_t is None else esum_t + esum
+        jax.block_until_ready(self._pixels)
+        dt = time.perf_counter() - t0
+        total = int(traced_t)
+        self.stats.traced_rays = total // frames
+        self.stats.total_traced_rays += total
+        self.total_energy_received += float(esum_t)
+        self.stats.frame_time_ms = dt * 1000.0 / frames
+        self.stats.fps = frames / dt if dt > 0 else 0.0
+        return total
+
     # ---- output ----
 
     def image_u32(self) -> np.ndarray:

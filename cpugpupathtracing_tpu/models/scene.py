@@ -936,14 +936,15 @@ def packet_path_active(dev: DeviceScene) -> bool:
 def megakernel_active(dev: DeviceScene, settings) -> bool:
     """True when trace_sample should run the fused per-depth megakernels
     (ops/megakernel.py) instead of the XLA integrator body.  The gate
-    mirrors the kernel's static assumptions: packet fast path, no TLAS
-    instances, sphere lights only, power-of-two light count (the
-    reference's modulo light pick lowers to an exact bit mask), and no
-    AOV tracking (debug render modes keep the reference-shaped path)."""
+    mirrors the kernel's static assumptions: packet fast path (TLAS
+    instances included -- the kernels run the same instance machinery
+    as traverse_packet_slim), sphere lights only, power-of-two light
+    count (the reference's modulo light pick lowers to an exact bit
+    mask), and no AOV tracking (debug render modes keep the
+    reference-shaped path)."""
     nl = dev.num_lights
     return bool(
         packet_path_active(dev)
-        and dev.num_instances == 0
         and not dev.has_mesh_lights
         and (nl == 0 or (nl & (nl - 1)) == 0)
         and not settings.aovs_active
@@ -1113,10 +1114,20 @@ def hit_surface(dev: DeviceScene, hit: Hit, origin, direction):
     else:
         n_mesh = jnp.zeros_like(pos)
     if dev.num_instances:
-        # instanced hits: world normal = normalize(inv(M)^T @ n_object)
-        nm = dev.inst_nrm[jnp.maximum(hit.inst, 0)].reshape(-1, 3, 3)
-        n_world = normalize(jnp.einsum("nij,nj->ni", nm, n_mesh))
-        n_mesh = jnp.where((hit.inst >= 0)[:, None], n_world, n_mesh)
+        # instanced hits: world normal = normalize(inv(M)^T @ n_object).
+        # Explicit component arithmetic (not einsum/normalize) so the
+        # megakernel epilogue reproduces it bitwise in interpret mode
+        # (ops/megakernel.py instanced normal transform).
+        nm = dev.inst_nrm[jnp.maximum(hit.inst, 0)]
+        n0, n1, n2 = n_mesh[:, 0], n_mesh[:, 1], n_mesh[:, 2]
+        wx = nm[:, 0] * n0 + nm[:, 1] * n1 + nm[:, 2] * n2
+        wy = nm[:, 3] * n0 + nm[:, 4] * n1 + nm[:, 5] * n2
+        wz = nm[:, 6] * n0 + nm[:, 7] * n1 + nm[:, 8] * n2
+        wl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+        winst = (hit.inst >= 0) & (wl > 0.0)
+        wls = jnp.where(winst, wl, 1.0)
+        n_world = jnp.stack([wx / wls, wy / wls, wz / wls], axis=1)
+        n_mesh = jnp.where(winst[:, None], n_world, n_mesh)
     if dev.sph_center.shape[0] > 0:
         sc = jnp.minimum(pc, dev.sph_center.shape[0] - 1)
         n_sph = normalize(pos - select_rows(dev.sph_center, sc))

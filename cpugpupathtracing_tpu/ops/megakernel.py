@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
+from cpugpupathtracing_tpu.ops.traverse_packet_slim import RESTORE
 
 TILE = 1024
 GROUPS = 4
@@ -128,30 +129,66 @@ def _select_mat_col(mats_ref, mat_idx, col, num_mats):
 def _emit_traversal(
     nodes_ref, ltris_ref, entry_ref, sptr_ref, stack_ref,
     ox, oy, oz, dx, dy, dz, m_act, t_init, roots, *, any_hit,
-    count_iters=False,
+    count_iters=False, num_inst=0, iid_ref=None, rays_ref=None,
+    inst_inv_ref=None, inst_root_ref=None,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
     m_act: (8,128) bool live-lane mask.  Returns (t, tri, obj, nx, ny,
-    nz) with tri/obj = -1 and normal 0 on miss (plus the while-loop
-    iteration count when count_iters).  For any_hit=True the per-lane t
-    stays t_init and tri >= 0 flags occlusion.
+    nz) with tri/obj = -1 and normal 0 on miss (plus the hit instance
+    id when num_inst > 0, plus the while-loop iteration count when
+    count_iters).  For any_hit=True the per-lane t stays t_init and
+    tri >= 0 flags occlusion.
+
+    With num_inst > 0 the TLAS instance machinery of
+    ops/traverse_packet_slim.py runs: popping an INSTANCE child entry
+    switches the row's ray registers (VMEM scratch `rays_ref`) into the
+    instance's object space via the SMEM 3x4 inverse transform, pushes
+    a RESTORE marker, and descends into the BLAS root; normals return
+    in OBJECT space with the owning instance id for the shading
+    epilogue to transform.
     """
     shape = (ROWS, LANES)
+    instanced = num_inst > 0
 
     def inv_dir(d):
         return jnp.where(d == 0.0, BIG, 1.0 / d)
 
-    ix, iy, iz = inv_dir(dx), inv_dir(dy), inv_dir(dz)
+    ix0, iy0, iz0 = inv_dir(dx), inv_dir(dy), inv_dir(dz)
+    ox0, oy0, oz0 = ox, oy, oz
+    dx0, dy0, dz0 = dx, dy, dz
 
     for j in range(ROWS):
         entry_ref[j] = roots[0]
         sptr_ref[j] = len(roots) - 1
         for i, r in enumerate(roots[1:]):
             stack_ref[j, i] = r
+        if instanced:
+            iid_ref[j] = -1
+    if instanced:
+        # per-row mutable ray registers (world or current-instance
+        # object space); component c's row j is rays_ref[c * ROWS + j]
+        for c, v in enumerate((ox0, oy0, oz0, dx0, dy0, dz0, ix0, iy0, iz0)):
+            rays_ref[c * ROWS : (c + 1) * ROWS, :] = v
 
     def body(carry):
-        t, hit, obj, nx, ny, nz, _ = carry
+        if instanced:
+            t, hit, obj, nx, ny, nz, hiid, _ = carry
+            ox = rays_ref[0 * ROWS : 1 * ROWS, :]
+            oy = rays_ref[1 * ROWS : 2 * ROWS, :]
+            oz = rays_ref[2 * ROWS : 3 * ROWS, :]
+            dx = rays_ref[3 * ROWS : 4 * ROWS, :]
+            dy = rays_ref[4 * ROWS : 5 * ROWS, :]
+            dz = rays_ref[5 * ROWS : 6 * ROWS, :]
+            ix = rays_ref[6 * ROWS : 7 * ROWS, :]
+            iy = rays_ref[7 * ROWS : 8 * ROWS, :]
+            iz = rays_ref[8 * ROWS : 9 * ROWS, :]
+        else:
+            t, hit, obj, nx, ny, nz, _ = carry
+            hiid = None
+            ox, oy, oz = ox0, oy0, oz0
+            dx, dy, dz = dx0, dy0, dz0
+            ix, iy, iz = ix0, iy0, iz0
         m = m_act
         if any_hit:
             m = m & (hit < 0)
@@ -161,7 +198,10 @@ def _emit_traversal(
             e = entry_ref[j]
             live = e != DONE
             leaf = live & (e < 0)
-            interior = live & (e >= 0)
+            if instanced:
+                interior = live & (e >= 0) & (e < RESTORE)
+            else:
+                interior = live & (e >= 0)
             node = jnp.where(interior, e, 0)
             lrow = jnp.where(leaf, -e - 1, 0)
             nrows.append(nodes_ref[pl.ds(node, 1), :])
@@ -179,6 +219,11 @@ def _emit_traversal(
             [jnp.full((1, 1), int_s[j], jnp.int32) for j in range(ROWS)],
             axis=0,
         ) != 0
+        if instanced:
+            iid_v = jnp.concatenate(
+                [jnp.full((1, 1), iid_ref[j], jnp.int32) for j in range(ROWS)],
+                axis=0,
+            )
 
         # ---- slab phase, op-stage-major over the 8 children ----
         R = range(WIDTH)
@@ -237,6 +282,8 @@ def _emit_traversal(
             nx = jnp.where(ok, tm[:, 9:10], nx)
             ny = jnp.where(ok, tm[:, 10:11], ny)
             nz = jnp.where(ok, tm[:, 11:12], nz)
+            if instanced:
+                hiid = jnp.where(ok, iid_v, hiid)
 
         # ---- per-row scalar control: push children, pop next ----
         alive = jnp.int32(0)
@@ -255,12 +302,66 @@ def _emit_traversal(
                 stack_ref[j, slot] = jnp.where(push, es_[k], prev)
                 sp = sp + jnp.where(push, 1, 0)
 
+            if instanced:
+                # TLAS instance entry / RESTORE handling, identical to
+                # traverse_packet_slim's machinery (module docstring)
+                is_inst = live & (e > SLIM_EMPTY)
+                is_rest = live & (e == RESTORE)
+                iid_e = e - SLIM_EMPTY - 1
+                iid_c = jnp.clip(iid_e, 0, num_inst - 1)
+                slot = jnp.where(is_inst, jnp.minimum(sp, STACK - 1), STACK - 1)
+                prev = stack_ref[j, slot]
+                stack_ref[j, slot] = jnp.where(is_inst, RESTORE, prev)
+                sp = sp + jnp.where(is_inst, 1, 0)
+
+                @pl.when(is_inst)
+                def _enter(j=j, iid_c=iid_c):
+                    mm = [inst_inv_ref[iid_c, k] for k in range(12)]
+                    o_x = mm[0] * ox0[j] + mm[1] * oy0[j] + mm[2] * oz0[j] + mm[3]
+                    o_y = mm[4] * ox0[j] + mm[5] * oy0[j] + mm[6] * oz0[j] + mm[7]
+                    o_z = mm[8] * ox0[j] + mm[9] * oy0[j] + mm[10] * oz0[j] + mm[11]
+                    d_x = mm[0] * dx0[j] + mm[1] * dy0[j] + mm[2] * dz0[j]
+                    d_y = mm[4] * dx0[j] + mm[5] * dy0[j] + mm[6] * dz0[j]
+                    d_z = mm[8] * dx0[j] + mm[9] * dy0[j] + mm[10] * dz0[j]
+                    rays_ref[0 * ROWS + j, :] = o_x
+                    rays_ref[1 * ROWS + j, :] = o_y
+                    rays_ref[2 * ROWS + j, :] = o_z
+                    rays_ref[3 * ROWS + j, :] = d_x
+                    rays_ref[4 * ROWS + j, :] = d_y
+                    rays_ref[5 * ROWS + j, :] = d_z
+                    rays_ref[6 * ROWS + j, :] = inv_dir(d_x)
+                    rays_ref[7 * ROWS + j, :] = inv_dir(d_y)
+                    rays_ref[8 * ROWS + j, :] = inv_dir(d_z)
+
+                @pl.when(is_rest)
+                def _leave(j=j):
+                    rays_ref[0 * ROWS + j, :] = ox0[j]
+                    rays_ref[1 * ROWS + j, :] = oy0[j]
+                    rays_ref[2 * ROWS + j, :] = oz0[j]
+                    rays_ref[3 * ROWS + j, :] = dx0[j]
+                    rays_ref[4 * ROWS + j, :] = dy0[j]
+                    rays_ref[5 * ROWS + j, :] = dz0[j]
+                    rays_ref[6 * ROWS + j, :] = ix0[j]
+                    rays_ref[7 * ROWS + j, :] = iy0[j]
+                    rays_ref[8 * ROWS + j, :] = iz0[j]
+
+                iid_ref[j] = jnp.where(
+                    is_inst, iid_e, jnp.where(is_rest, -1, iid_ref[j])
+                )
+
             can = live & (sp > 0)
+            if instanced:
+                can = can & ~is_inst  # entering descends, not pops
             top = stack_ref[j, jnp.maximum(sp - 1, 0)]
             nxt = jnp.where(can, top, DONE)
+            if instanced:
+                blas_e = inst_root_ref[iid_c]
+                nxt = jnp.where(is_inst, blas_e, nxt)
             sptr_ref[j] = jnp.where(can, sp - 1, sp)
             entry_ref[j] = nxt
             alive = alive + jnp.where(nxt != DONE, 1, 0)
+        if instanced:
+            return t, hit, obj, nx, ny, nz, hiid, alive
         return t, hit, obj, nx, ny, nz, alive
 
     def cond(carry):
@@ -282,13 +383,16 @@ def _emit_traversal(
         jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.float32),
     ]
+    if instanced:
+        init.append(jnp.full(shape, -1, jnp.int32))
     if count_iters:
         init.append(jnp.int32(0))
     init.append(jnp.int32(1))
     out = jax.lax.while_loop(cond, body, tuple(init))
+    base = out[:7] if instanced else out[:6]
     if count_iters:
-        return out[0], out[1], out[2], out[3], out[4], out[5], out[-2]
-    return out[0], out[1], out[2], out[3], out[4], out[5]
+        return base + (out[-2],)
+    return base
 
 
 def _analytic_tests(sph_ref, pln_ref, ox, oy, oz, dx, dy, dz,
@@ -342,25 +446,42 @@ def _analytic_tests(sph_ref, pln_ref, ox, oy, oz, dx, dy, dz,
 def _shade_extend_kernel(
     nodes_ref, ltris_ref, mats_ref, lights_ref, sph_ref, pln_ref,
     sphmat_ref, plnmat_ref, objmat_ref, depth_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    st_ref, tx_ref, ty_ref, tz_ref, ex_ref, ey_ref, ez_ref, fl_ref,
-    # outputs
-    nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
-    nst_ref, ntx_ref, nty_ref, ntz_ref, nex_ref, ney_ref, nez_ref,
-    nfl_ref,
-    sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref, stm_ref,
-    cx_ref, cy_ref, cz_ref,
-    # [iters_ref when count_iters], scratch
+    # [inst_inv/inst_nrm/inst_root when num_inst], 14 input columns,
+    # 24 output columns, [iters_ref when count_iters], scratch
     *tail,
     roots, num_mats, num_lights, num_sph, num_pln, num_objs,
-    nee, rr, cosine, ref_pdf, count_iters=False,
+    nee, rr, cosine, ref_pdf, num_inst=0, count_iters=False,
 ):
     """One integrator depth minus the shadow resolve: traversal + the
     full TracePathAdvanced shading body (Source/Main.cpp:396-579)."""
-    if count_iters:
-        iters_ref, entry_ref, sptr_ref, stack_ref = tail
+    i = 0
+    if num_inst:
+        inst_inv_ref, inst_nrm_ref, inst_root_ref = tail[0:3]
+        i = 3
     else:
-        entry_ref, sptr_ref, stack_ref = tail
+        inst_inv_ref = inst_nrm_ref = inst_root_ref = None
+    (
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        st_ref, tx_ref, ty_ref, tz_ref, ex_ref, ey_ref, ez_ref, fl_ref,
+    ) = tail[i : i + 14]
+    i += 14
+    (
+        nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
+        nst_ref, ntx_ref, nty_ref, ntz_ref, nex_ref, ney_ref, nez_ref,
+        nfl_ref,
+        sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref, stm_ref,
+        cx_ref, cy_ref, cz_ref,
+    ) = tail[i : i + 24]
+    i += 24
+    if count_iters:
+        iters_ref = tail[i]
+        i += 1
+    entry_ref, sptr_ref, stack_ref = tail[i : i + 3]
+    i += 3
+    if num_inst:
+        rays_ref, iid_ref = tail[i : i + 2]
+    else:
+        rays_ref = iid_ref = None
     shape = (ROWS, LANES)
     for g in range(GROUPS):
         gs = slice(g * TILE, (g + 1) * TILE)
@@ -428,10 +549,32 @@ def _shade_extend_kernel(
                 nodes_ref, ltris_ref, entry_ref, sptr_ref, stack_ref,
                 ox, oy, oz, dx, dy, dz, active, t_init, roots,
                 any_hit=False, count_iters=count_iters,
+                num_inst=num_inst, iid_ref=iid_ref, rays_ref=rays_ref,
+                inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
             )
             t, tri, obj, mnx, mny, mnz = trav[:6]
             if count_iters:
-                iters_ref[pl.program_id(0) * GROUPS + g] = trav[6]
+                iters_ref[pl.program_id(0) * GROUPS + g] = trav[-1]
+            if num_inst:
+                # world normal = (inv M)^T @ n_object, normalized --
+                # the same explicit arithmetic as hit_surface
+                # (models/scene.py), so interpret mode stays bitwise
+                hiid = trav[6]
+                mrow = []
+                for c9 in range(9):
+                    v = jnp.full(shape, inst_nrm_ref[0, c9], jnp.float32)
+                    for ii in range(1, num_inst):
+                        v = jnp.where(hiid == ii, inst_nrm_ref[ii, c9], v)
+                    mrow.append(v)
+                wx = mrow[0] * mnx + mrow[1] * mny + mrow[2] * mnz
+                wy = mrow[3] * mnx + mrow[4] * mny + mrow[5] * mnz
+                wz = mrow[6] * mnx + mrow[7] * mny + mrow[8] * mnz
+                wl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+                winst = (hiid >= 0) & (wl > 0.0)
+                wls = jnp.where(winst, wl, 1.0)
+                mnx = jnp.where(winst, wx / wls, mnx)
+                mny = jnp.where(winst, wy / wls, mny)
+                mnz = jnp.where(winst, wz / wls, mnz)
             kind = jnp.zeros(shape, jnp.int32)
             t, kind = _analytic_tests(
                 sph_ref, pln_ref, ox, oy, oz, dx, dy, dz, t, kind,
@@ -749,17 +892,34 @@ def _shade_extend_kernel(
 
 def _shadow_resolve_kernel(
     nodes_ref, ltris_ref, sph_ref, pln_ref,
-    sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref, stm_ref,
-    fl_ref, ex_ref, ey_ref, ez_ref, cx_ref, cy_ref, cz_ref,
-    nex_ref, ney_ref, nez_ref,
+    # [inst_inv/inst_root when num_inst], 14 input columns, 3 output
+    # columns, [iters_ref when count_iters], scratch
     *tail,
-    roots, num_sph, num_pln, count_iters=False,
+    roots, num_sph, num_pln, num_inst=0, count_iters=False,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
-    if count_iters:
-        iters_ref, entry_ref, sptr_ref, stack_ref = tail
+    i = 0
+    if num_inst:
+        inst_inv_ref, inst_root_ref = tail[0:2]
+        i = 2
     else:
-        entry_ref, sptr_ref, stack_ref = tail
+        inst_inv_ref = inst_root_ref = None
+    (
+        sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref, stm_ref,
+        fl_ref, ex_ref, ey_ref, ez_ref, cx_ref, cy_ref, cz_ref,
+    ) = tail[i : i + 14]
+    i += 14
+    nex_ref, ney_ref, nez_ref = tail[i : i + 3]
+    i += 3
+    if count_iters:
+        iters_ref = tail[i]
+        i += 1
+    entry_ref, sptr_ref, stack_ref = tail[i : i + 3]
+    i += 3
+    if num_inst:
+        rays_ref, iid_ref = tail[i : i + 2]
+    else:
+        rays_ref = iid_ref = None
     shape = (ROWS, LANES)
     for g in range(GROUPS):
         gs = slice(g * TILE, (g + 1) * TILE)
@@ -789,10 +949,12 @@ def _shadow_resolve_kernel(
                 nodes_ref, ltris_ref, entry_ref, sptr_ref, stack_ref,
                 ox, oy, oz, dx, dy, dz, sneed, tmax, roots,
                 any_hit=True, count_iters=count_iters,
+                num_inst=num_inst, iid_ref=iid_ref, rays_ref=rays_ref,
+                inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
             )
             t, tri = trav[0], trav[1]
             if count_iters:
-                iters_ref[pl.program_id(0) * GROUPS + g] = trav[6]
+                iters_ref[pl.program_id(0) * GROUPS + g] = trav[-1]
             occluded = tri >= 0
             for s in range(num_sph):
                 cxs, cys, czs = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]
@@ -853,6 +1015,7 @@ def shade_extend(
     rays, state, throughput, energy, flags,
     *, roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, interpret=False, count_iters=False,
+    inst_inv=None, inst_nrm=None, inst_root=None,
 ):
     """One fused depth step (minus shadow resolve) over the wavefront.
 
@@ -861,18 +1024,25 @@ def shade_extend(
     Returns (rays', state', throughput', energy', flags' (bit2 =
     shadow_needed), shadow_o (3), shadow_d (3), shadow_tmax, contrib (3)
     [, per-sub-tile traversal iteration counts when count_iters]).
+
+    With inst_inv (I, 12) / inst_nrm (I, 9) / inst_root (I,) given, the
+    traversal runs the TLAS instance machinery and the epilogue
+    transforms object-space normals to world before shading.
     """
     step = GROUPS * TILE
     cols = list(rays) + [state] + list(throughput) + list(energy) + [flags]
     pads = [1.0] * 6 + [0] + [0.0] * 6 + [0]
     n, cols = _pad_to(step, cols, pads)
     num_steps = n // step
+    num_inst = int(inst_inv.shape[0]) if inst_inv is not None else 0
 
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 if num_inst else [])
         + [pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)] * 14
     )
+    inst_inputs = (inst_inv, inst_nrm, inst_root) if num_inst else ()
     out_specs = [
         pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
     ] * 24
@@ -891,6 +1061,16 @@ def shade_extend(
         out_shape.append(
             jax.ShapeDtypeStruct((num_steps * GROUPS,), jnp.int32)
         )
+    scratch = [
+        pltpu.SMEM((ROWS,), jnp.int32),
+        pltpu.SMEM((ROWS,), jnp.int32),
+        pltpu.SMEM((ROWS, STACK), jnp.int32),
+    ]
+    if num_inst:
+        scratch += [
+            pltpu.VMEM((9 * ROWS, LANES), jnp.float32),
+            pltpu.SMEM((ROWS,), jnp.int32),
+        ]
     res = pl.pallas_call(
         functools.partial(
             _shade_extend_kernel,
@@ -898,23 +1078,19 @@ def shade_extend(
             num_mats=num_mats, num_lights=num_lights,
             num_sph=num_sph, num_pln=num_pln, num_objs=num_objs,
             nee=nee, rr=rr, cosine=cosine, ref_pdf=ref_pdf,
-            count_iters=count_iters,
+            num_inst=num_inst, count_iters=count_iters,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.SMEM((ROWS,), jnp.int32),
-            pltpu.SMEM((ROWS,), jnp.int32),
-            pltpu.SMEM((ROWS, STACK), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
     )(nodes, ltris, mats, lights, sph, pln, sphmat, plnmat, objmat, depth,
-      *cols)
+      *inst_inputs, *cols)
     n0 = rays[0].shape[0]
     iters = res[24] if count_iters else None
     res = [r[:n0] for r in res[:24]]
@@ -937,9 +1113,11 @@ def shadow_resolve(
     nodes, ltris, sph, pln,
     shadow_o, shadow_d, shadow_tmax, flags, energy, contrib,
     *, roots, num_sph, num_pln, interpret=False, count_iters=False,
+    inst_inv=None, inst_root=None,
 ):
     """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)
-    (plus per-sub-tile iteration counts when count_iters)."""
+    (plus per-sub-tile iteration counts when count_iters).  inst_inv /
+    inst_root enable TLAS instance occluders."""
     step = GROUPS * TILE
     cols = (
         list(shadow_o) + list(shadow_d) + [shadow_tmax, flags]
@@ -948,11 +1126,14 @@ def shadow_resolve(
     pads = [0.0] * 7 + [0] + [0.0] * 6
     n, cols = _pad_to(step, cols, pads)
     num_steps = n // step
+    num_inst = int(inst_inv.shape[0]) if inst_inv is not None else 0
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 if num_inst else [])
         + [pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)] * 14
     )
+    inst_inputs = (inst_inv, inst_root) if num_inst else ()
     out_specs = [
         pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
     ] * 3
@@ -962,27 +1143,33 @@ def shadow_resolve(
         out_shape.append(
             jax.ShapeDtypeStruct((num_steps * GROUPS,), jnp.int32)
         )
+    scratch = [
+        pltpu.SMEM((ROWS,), jnp.int32),
+        pltpu.SMEM((ROWS,), jnp.int32),
+        pltpu.SMEM((ROWS, STACK), jnp.int32),
+    ]
+    if num_inst:
+        scratch += [
+            pltpu.VMEM((9 * ROWS, LANES), jnp.float32),
+            pltpu.SMEM((ROWS,), jnp.int32),
+        ]
     res = pl.pallas_call(
         functools.partial(
             _shadow_resolve_kernel,
             roots=tuple(int(r) for r in roots),
             num_sph=num_sph, num_pln=num_pln,
-            count_iters=count_iters,
+            num_inst=num_inst, count_iters=count_iters,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.SMEM((ROWS,), jnp.int32),
-            pltpu.SMEM((ROWS,), jnp.int32),
-            pltpu.SMEM((ROWS, STACK), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(nodes, ltris, sph, pln, *cols)
+    )(nodes, ltris, sph, pln, *inst_inputs, *cols)
     n0 = shadow_o[0].shape[0]
     if count_iters:
         return tuple(r[:n0] for r in res[:3]) + (res[3],)

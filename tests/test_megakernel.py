@@ -119,3 +119,57 @@ def test_gate_rejects_unsupported(force_packet):
     # AOV tracking keeps the reference-shaped path
     assert not megakernel_active(dev, RenderSettings(track_aovs=True))
     assert megakernel_active(dev, RenderSettings())
+
+
+def _scene_instanced(num_inst: int = 3) -> Scene:
+    """Instanced glass balls (one BLAS, rotated/scaled/translated
+    placements) over a floor with two sphere lights: exercises the
+    megakernel's TLAS instance machinery + object->world normal
+    transform against the XLA integrator's (tests/test_packet_instances
+    covers the bare traversal)."""
+    s = Scene()
+    white = s.add_material(matlib.Material.diffuse((0.8, 0.8, 0.8)))
+    glass = s.add_material(
+        matlib.Material.dielectric((0.9, 0.9, 0.9), 0.1, 0.7, (0.1, 0.2, 0.2), 1.5)
+    )
+    light = s.add_material(matlib.Material.light((1.0, 0.95, 0.8), 10.0))
+    tf = np.zeros((num_inst, 4, 4), np.float32)
+    for i in range(num_inst):
+        ang = 2.1 * i + 0.4
+        c, sn = np.cos(ang), np.sin(ang)
+        scale = 0.6 + 0.3 * i  # non-uniform across instances
+        tf[i] = [
+            [c * scale, 0, sn * scale, -2.5 + 2.5 * i],
+            [0, scale * 1.3, 0, 0.2 * i],  # anisotropic y: real inv^T
+            [-sn * scale, 0, c * scale, 1.0 - i],
+            [0, 0, 0, 1],
+        ]
+    s.add_instanced_mesh("balls", meshlib.icosphere(subdivisions=1), glass, tf)
+    s.add_mesh("floor", meshlib.ground_quad(half_extent=50.0, y=-2.0), white)
+    centers = [(6.0, 6.0, 6.0), (-6.0, 6.0, -4.0)]
+    for li in range(2):
+        i = s.add_sphere(f"light{li}", centers[li], 2.0, light)
+        s.mark_light(i)
+    return s
+
+
+@pytest.mark.parametrize("sort", [True, False], ids=["sort", "nosort"])
+def test_megakernel_instanced_matches_integrator(force_packet, sort):
+    settings = RenderSettings(max_ray_depth=3)
+    dev = _scene_instanced().device()
+    assert dev.num_instances == 3
+    assert megakernel_active(dev, settings)
+    idx = jnp.arange(64 * 32, dtype=jnp.int32) if sort else None
+    _, ref = _trace(dev, settings, integrators.trace_advanced, idx=idx)
+    _, got = _trace(dev, settings, integrators.trace_advanced_mega, idx=idx)
+    _check(ref, got, True)
+
+
+def test_megakernel_instanced_no_nee(force_packet):
+    # NEE off removes the occlusion-boundary caveat: tight agreement
+    settings = RenderSettings(max_ray_depth=2, next_event_estimation=False)
+    dev = _scene_instanced().device()
+    assert megakernel_active(dev, settings)
+    _, ref = _trace(dev, settings, integrators.trace_advanced)
+    _, got = _trace(dev, settings, integrators.trace_advanced_mega)
+    _check(ref, got, False)

@@ -264,3 +264,18 @@ class TestConvergenceRMSE:
 
         rmse = float(np.sqrt(np.mean((pool(a) - pool(b)) ** 2)))
         assert rmse < 0.05, f"integrators diverge: RMSE {rmse:.4f}"
+
+
+class TestPipelined:
+    def test_pipelined_bitwise_equals_frame_loop(self):
+        cfg = RenderConfig(width=W, height=H)
+        r1 = Renderer(small_scene(), config=cfg)
+        r1.render(3)
+        r2 = Renderer(small_scene(), config=cfg)
+        total = r2.render_pipelined(3)
+        # same kernel, same per-frame accumulator feedback: the
+        # deferred-sync loop must be bitwise invisible
+        assert np.array_equal(np.asarray(r1._pixels), np.asarray(r2._pixels))
+        assert total == r1.stats.total_traced_rays
+        assert total == r2.stats.total_traced_rays
+        assert r2.num_accumulated == r1.num_accumulated

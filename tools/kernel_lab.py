@@ -169,12 +169,26 @@ def _lab_kernel(*refs, roots, opts):
                     # consecutive instructions have no data dependency, so
                     # chain latency hides behind issue instead of stalling
                     R = range(WIDTH)
-                    tx1 = [(nmat[:, 6 * k + 0 : 6 * k + 1] - ox) * ix for k in R]
-                    ty1 = [(nmat[:, 6 * k + 1 : 6 * k + 2] - oy) * iy for k in R]
-                    tz1 = [(nmat[:, 6 * k + 2 : 6 * k + 3] - oz) * iz for k in R]
-                    tx2 = [(nmat[:, 6 * k + 3 : 6 * k + 4] - ox) * ix for k in R]
-                    ty2 = [(nmat[:, 6 * k + 4 : 6 * k + 5] - oy) * iy for k in R]
-                    tz2 = [(nmat[:, 6 * k + 5 : 6 * k + 6] - oz) * iz for k in R]
+                    if opts.get("fma"):
+                        # b*inv - o*inv with o*inv hoisted loop-invariant:
+                        # one fused multiply-add per plane instead of
+                        # sub+mul.  NOT bit-identical to (b-o)*inv --
+                        # slab bounds move ~1 ulp; harness asserts
+                        # whether hits survive.
+                        oxi, oyi, ozi = ox * ix, oy * iy, oz * iz
+                        tx1 = [nmat[:, 6 * k + 0 : 6 * k + 1] * ix - oxi for k in R]
+                        ty1 = [nmat[:, 6 * k + 1 : 6 * k + 2] * iy - oyi for k in R]
+                        tz1 = [nmat[:, 6 * k + 2 : 6 * k + 3] * iz - ozi for k in R]
+                        tx2 = [nmat[:, 6 * k + 3 : 6 * k + 4] * ix - oxi for k in R]
+                        ty2 = [nmat[:, 6 * k + 4 : 6 * k + 5] * iy - oyi for k in R]
+                        tz2 = [nmat[:, 6 * k + 5 : 6 * k + 6] * iz - ozi for k in R]
+                    else:
+                        tx1 = [(nmat[:, 6 * k + 0 : 6 * k + 1] - ox) * ix for k in R]
+                        ty1 = [(nmat[:, 6 * k + 1 : 6 * k + 2] - oy) * iy for k in R]
+                        tz1 = [(nmat[:, 6 * k + 2 : 6 * k + 3] - oz) * iz for k in R]
+                        tx2 = [(nmat[:, 6 * k + 3 : 6 * k + 4] - ox) * ix for k in R]
+                        ty2 = [(nmat[:, 6 * k + 4 : 6 * k + 5] - oy) * iy for k in R]
+                        tz2 = [(nmat[:, 6 * k + 5 : 6 * k + 6] - oz) * iz for k in R]
                     mnx = [jnp.minimum(tx1[k], tx2[k]) for k in R]
                     mny = [jnp.minimum(ty1[k], ty2[k]) for k in R]
                     mnz = [jnp.minimum(tz1[k], tz2[k]) for k in R]

@@ -76,6 +76,13 @@ def main():
             ("slab+leaf ilv + unroll2",
              dict(slab="ilv", leaf="ilv", unroll=2), True),
         ]
+    elif which == "r4":
+        variants = [
+            ("ilv + fixed order", dict(slab="ilv", leaf="ilv", order="fixed"),
+             True),
+            ("ilv + fixed + fma",
+             dict(slab="ilv", leaf="ilv", order="fixed", fma=True), True),
+        ]
     else:
         variants = [
             ("ilv", dict(slab="ilv", leaf="ilv"), True),
@@ -114,7 +121,7 @@ def main():
     dp_roots = (0, len(ddp.nodes))
 
     tables = [("greedy", dev.pnodes, dev.pltris, dev.proots)]
-    if which != "r2":
+    if which not in ("r2", "r4"):
         tables.append(("dp", dp_nodes_j, dp_ltris_j, dp_roots))
 
     if which == "dual":

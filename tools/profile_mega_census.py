@@ -66,6 +66,15 @@ def main():
         interpret=jax.default_backend() != "tpu",
         count_iters=True,
     )
+    shadow_extra = {}
+    if dev.num_instances:
+        static.update(
+            inst_inv=dev.inst_inv, inst_nrm=dev.inst_nrm,
+            inst_root=dev.inst_blas_root_packet,
+        )
+        shadow_extra = dict(
+            inst_inv=dev.inst_inv, inst_root=dev.inst_blas_root_packet,
+        )
     c = dict(
         throughput=jnp.ones((n, 3), f32),
         energy=jnp.zeros((n, 3), f32),
@@ -116,6 +125,7 @@ def main():
                 so, sd, stmax, flags2, en, contrib,
                 roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
                 interpret=static["interpret"], count_iters=True,
+                **shadow_extra,
             )
             jax.block_until_ready(en_res)
             dt2 = time.perf_counter() - t0
