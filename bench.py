@@ -71,10 +71,15 @@ def main():
         # accumulate on device, one sync at the end)
         rays = r.render_pipelined(frames)
     else:
+        # hooked configs pipeline too: the per-frame refit dispatches
+        # are async, so only ONE sync at the end of the span
+        tr = None
         for f in range(frames):
             hook(f + 1, r)
-            r.render_frame()
-            rays += r.stats.traced_rays
+            t_dev = r.render_frame(sync=False)
+            tr = t_dev if tr is None else tr + t_dev
+        jax.block_until_ready(r._pixels)
+        rays = int(tr)
     wall = time.time() - t0
 
     # compiled-kernel parity gates (tools/tpu_parity_gate.py): every

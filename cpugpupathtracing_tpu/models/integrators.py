@@ -741,7 +741,9 @@ def trace_advanced_mega(
     do_sort = idx is not None
     num_sph = int(dev.sph_center.shape[0])
     num_pln = int(dev.pln_point.shape[0])
-    instanced = dev.num_instances > 0
+    # flattened instanced scenes (scene.DeviceScene.packet_flattened)
+    # run the PLAIN kernels: tables are world-space already
+    instanced = dev.num_instances > 0 and not dev.packet_flattened
     static = dict(
         roots=dev.proots,
         num_mats=int(dev.mk_mats.shape[0]),

@@ -225,11 +225,17 @@ class Renderer:
 
     # ---- frame loop ----
 
-    def render_frame(self) -> None:
+    def render_frame(self, sync: bool = True):
         """Trace one progressive frame (Render(), Main.cpp:691-755).
-        No-op while paused (Main.cpp:693-696)."""
+        No-op while paused (Main.cpp:693-696).
+
+        sync=False skips the per-frame host sync (stats stay stale) and
+        returns the traced-ray count as a DEVICE scalar: callers doing
+        per-frame host work (e.g. animation refit hooks) can still
+        pipeline dispatches and sum/sync once at the end (see
+        render_pipelined for the hook-free variant)."""
         if self.pause_rendering:
-            return
+            return None
         t0 = time.perf_counter()
         w, h = self.config.width, self.config.height
         spp = self.config.samples_per_frame
@@ -249,6 +255,10 @@ class Renderer:
         self._accumulator = acc
         self._pixels = pixels
         self._sample_counter += spp
+        if not sync:
+            # energy/stat counters are the caller's to drain; pixels
+            # and accumulator state are already chained on device
+            return traced
         self.stats.traced_rays = int(traced)
         self.stats.total_traced_rays += int(traced)
         self.total_energy_received += float(esum)
@@ -256,6 +266,7 @@ class Renderer:
         dt = time.perf_counter() - t0
         self.stats.frame_time_ms = dt * 1000.0
         self.stats.fps = 1.0 / dt if dt > 0 else 0.0
+        return None
 
     def render(self, frames: int) -> None:
         for _ in range(frames):

@@ -21,6 +21,7 @@ in-flight tracing -- buffers swap between frames.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import NamedTuple
 
@@ -120,6 +121,13 @@ class DeviceScene:
     traversal: str = dataclasses.field(metadata=dict(static=True), default="packet")
     sroot: int = dataclasses.field(metadata=dict(static=True), default=-1)
     proots: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # instance FLATTENING (packet path): instanced BLASes are replicated
+    # into world space (shared topology, per-instance transformed
+    # floats), so the hot kernels run the plain non-instanced machinery
+    # (+880 ns/iteration measured for the object-space register path,
+    # tools 'dummy instance' experiment).  False = over the VMEM budget
+    # or disabled; the object-space TLAS machinery runs instead.
+    packet_flattened: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def num_triangles(self) -> int:
@@ -226,6 +234,138 @@ def _refit_apply(wnodes, pnodes, snodes12, wrow, prow, srow, w_off, p_off, s_off
         jax.lax.dynamic_update_slice(pnodes, prow, (p_off, 0)),
         jax.lax.dynamic_update_slice(snodes12, srow, (s_off, 0)),
     )
+
+
+def _flatten_tables(src_bounds, src_ltris, A, b, nrmM):
+    """World-space instance tables for the flattened packet path.
+
+    src_bounds (B, 48) object-space child boxes (8 x [min3 max3]),
+    src_ltris (Lr, 128) object-space leaf records with id columns
+    stamped, A (I, 3, 3) object->world linear part, b (I, 3)
+    translation, nrmM (I, 3, 3) normal matrix (inverse transpose).
+    Returns ((I*B, 48) world bounds, (I*Lr, 128) world records).
+
+    Child AABBs transform conservatively (center' = A c + t, extent' =
+    |A| e): boxes only grow, so culling stays correct and triangle
+    tests stay exact.  Triangle records transform exactly (v0 affine,
+    e1/e2 linear); the embedded flat normal becomes the pre-normalized
+    world normal, which matches what the object-space machinery path
+    computes per hit in the shading epilogue."""
+    I = A.shape[0]
+    B = src_bounds.shape[0]
+    Lr = src_ltris.shape[0]
+    bx = src_bounds.reshape(B, 8, 6)
+    mn, mx = bx[:, :, 0:3], bx[:, :, 3:6]
+    c = (mn + mx) * 0.5
+    e = (mx - mn) * 0.5
+    Aa = jnp.abs(A)
+
+    def lin(M, v, t=None):
+        # explicit component contraction: (I,1,1) coeffs x (1,B,8) cols
+        out = []
+        for x in range(3):
+            acc = (
+                M[:, x, 0][:, None, None] * v[None, :, :, 0]
+                + M[:, x, 1][:, None, None] * v[None, :, :, 1]
+                + M[:, x, 2][:, None, None] * v[None, :, :, 2]
+            )
+            if t is not None:
+                acc = acc + t[:, x][:, None, None]
+            out.append(acc)
+        return jnp.stack(out, axis=-1)  # (I, B, 8, 3)
+
+    cw = lin(A, c, b)
+    ew = lin(Aa, e)
+    mnw = cw - ew
+    mxw = cw + ew
+    bounds = jnp.concatenate([mnw, mxw], axis=-1).reshape(I, B, 48)
+    bounds = bounds.reshape(I * B, 48)
+
+    def lin2(M, v, t=None):
+        # (I, Lr, 3) variant for leaf-record columns
+        out = []
+        for x in range(3):
+            acc = (
+                M[:, x, 0][:, None] * v[None, :, 0]
+                + M[:, x, 1][:, None] * v[None, :, 1]
+                + M[:, x, 2][:, None] * v[None, :, 2]
+            )
+            if t is not None:
+                acc = acc + t[:, x][:, None]
+            out.append(acc)
+        return jnp.stack(out, axis=-1)
+
+    parts = []
+    for k in range(8):
+        r = src_ltris[:, 16 * k : 16 * k + 16]
+        v0w = lin2(A, r[:, 0:3], b)
+        e1w = lin2(A, r[:, 3:6])
+        e2w = lin2(A, r[:, 6:9])
+        nw = lin2(nrmM, r[:, 9:12])
+        nl = jnp.sqrt(jnp.sum(nw * nw, axis=-1, keepdims=True))
+        nw = jnp.where(nl > 0.0, nw / jnp.maximum(nl, 1e-30), nw)
+        ids = jnp.broadcast_to(r[None, :, 12:16], (I, Lr, 4))
+        parts.append(jnp.concatenate([v0w, e1w, e2w, nw, ids], axis=-1))
+    recs = jnp.concatenate(parts, axis=-1).reshape(I * Lr, 128)
+    return bounds, recs
+
+
+@functools.partial(jax.jit, static_argnames=("bases",))
+def _flatten_splice(pnodes, pltris, flat_args, bases):
+    """Write every instanced object's world tables into the device
+    arrays in ONE dispatch.  flat_args: tuple of (src_bounds, src_ltris,
+    A, b, nrmM); bases: static tuple of (node_base, ltris_base)."""
+    for (sb, sl, A, b, nM), (nb, lb) in zip(flat_args, bases):
+        bounds, recs = _flatten_tables(sb, sl, A, b, nM)
+        pnodes = jax.lax.dynamic_update_slice(pnodes, bounds, (nb, 0))
+        pltris = jax.lax.dynamic_update_slice(pltris, recs, (lb, 0))
+    return pnodes, pltris
+
+
+def _slim_tlas_rows_flat(
+    tlas_rows: np.ndarray, p_off: int, inst_roots
+) -> np.ndarray:
+    """Slim TLAS encoding for the FLATTENED packet path: instance
+    children become plain interior entries pointing at the instance's
+    world-space BLAS root row (no SLIM_EMPTY+id encoding, no RESTORE
+    machinery at traversal time)."""
+    from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
+    from cpugpupathtracing_tpu.ops.traverse_wide import CCNT_INSTANCE
+
+    rows = tlas_rows.copy()
+    cidx = rows[:, 48:56].view(np.int32)
+    ccnt = rows[:, 56:64].view(np.int32)
+    inst = ccnt == CCNT_INSTANCE
+    cidx[inst] = np.asarray(inst_roots, np.int32)[cidx[inst]]
+    cidx[ccnt == 0] += p_off
+    cidx[ccnt == -1] = SLIM_EMPTY
+    ccnt[:] = -1
+    return rows
+
+
+def _inst_transform_arrays(objs, flat_meta):
+    """Per-object (A, b, nrmM) f32 stacks for _flatten_splice, from the
+    CURRENT instance transforms."""
+    out = []
+    for fm in flat_meta:
+        obj = objs[fm["oi"]]
+        A_l, b_l, n_l = [], [], []
+        for m4 in obj.instances:
+            m = np.asarray(m4, np.float32)
+            inv = np.linalg.inv(np.asarray(m4, np.float64))
+            A_l.append(m[:3, :3])
+            b_l.append(m[:3, 3])
+            n_l.append(inv[:3, :3].T.astype(np.float32))
+        out.append(
+            (
+                fm["src_bounds_j"],
+                fm["src_ltris_j"],
+                jnp.asarray(np.stack(A_l)),
+                jnp.asarray(np.stack(b_l)),
+                jnp.asarray(np.stack(n_l)),
+            )
+        )
+    return tuple(out)
 
 
 def _slim_tlas_rows(tlas_rows: np.ndarray, p_off: int) -> np.ndarray:
@@ -432,7 +572,12 @@ class Scene:
                 "Scene", "TLAS topology changed across refit ({} -> {} rows)",
                 meta["tlas_count"], len(tlas_rows),
             )
-        prow = _slim_tlas_rows(tlas_rows, meta["p_tlas_off"])
+        if meta.get("flatten"):
+            prow = _slim_tlas_rows_flat(
+                tlas_rows, meta["p_tlas_off"], meta["p_flat_roots"]
+            )
+        else:
+            prow = _slim_tlas_rows(tlas_rows, meta["p_tlas_off"])
         wrow = tlas_rows.copy()
         wcidx = wrow[:, 48:56].view(i32)
         wccnt = wrow[:, 56:64].view(i32)
@@ -452,10 +597,23 @@ class Scene:
             jnp.int32(meta["w_tlas_off"]), jnp.int32(meta["p_tlas_off"]),
             jnp.int32(meta["s_tlas_off"]),
         )
+        new_pltris = dev.pltris
+        if meta.get("flatten"):
+            # re-flatten the instanced world tables (same jitted splice
+            # as the build: conservative child boxes + exact triangles)
+            new_pnodes, new_pltris = _flatten_splice(
+                new_pnodes, new_pltris,
+                _inst_transform_arrays(self.objects, meta["flat_meta"]),
+                tuple(
+                    (fm["node_base"], fm["ltris_base"])
+                    for fm in meta["flat_meta"]
+                ),
+            )
         return dataclasses.replace(
             dev,
             wnodes=new_wnodes,
             pnodes=new_pnodes,
+            pltris=new_pltris,
             snodes12=new_snodes,
             inst_inv=jnp.asarray(np.stack(inst_inv_l)),
             inst_nrm=jnp.asarray(np.stack(inst_nrm_l)),
@@ -487,6 +645,45 @@ class Scene:
         )
         if has_instances and not self.use_wide:
             except_error("Scene", "instanced meshes require use_wide=True")
+
+        # instance FLATTENING decision (packet path): replicate each
+        # instanced BLAS into world space when the flattened tables fit
+        # the VMEM budget -- the hot kernels then run the plain
+        # non-instanced machinery (see DeviceScene.packet_flattened).
+        flatten_packets = False
+        if has_instances and self.use_wide:
+            budget = float(os.environ.get("CPUGPU_FLATTEN_BUDGET_MB", "64"))
+            flat_bytes = 0
+            for obj in self.objects:
+                if obj.kind == PRIM_MESH and obj.instances is not None:
+                    if obj._wide_cache is None or obj._wide_cache[0] is not obj.bvh:
+                        pb = obj.bvh.rebuild(
+                            obj.build_option, max_leaf_size=8, leaf_stop=8
+                        )
+                        obj._wide_cache = (
+                            obj.bvh,
+                            bvh8lib.collapse(obj.bvh),
+                            bvh8lib.to_slim(
+                                bvh8lib.collapse(pb, leaf_max=8), pb.tri_normal
+                            ),
+                        )
+                    pw = obj._wide_cache[2]
+                    flat_bytes += len(obj.instances) * (
+                        pw.nodes.nbytes + pw.ltris.nbytes
+                    )
+            flatten_packets = (
+                flat_bytes <= budget * 1e6
+                and os.environ.get("CPUGPU_NO_FLATTEN") != "1"
+            )
+            if not flatten_packets and flat_bytes > budget * 1e6:
+                log_warn(
+                    "Scene",
+                    "flattened instance tables {:.0f} MB exceed the {:.0f} MB "
+                    "budget; using the object-space TLAS machinery",
+                    flat_bytes / 1e6, budget,
+                )
+        flat_meta: list[dict] = []
+        p_flat_roots: list[int] = []
 
         for oi, obj in enumerate(self.objects):
             if obj.kind == PRIM_MESH:
@@ -521,28 +718,54 @@ class Scene:
                         )
                     w = obj._wide_cache[1]
                     pw = obj._wide_cache[2]
-                    prow = pw.nodes.copy()
-                    pcidx = prow[:, 48:56].view(i32)
-                    pccnt = prow[:, 56:64].view(i32)
-                    pcidx[pccnt == 0] += pnode_off
-                    pcidx[pccnt > 0] -= pleaf_off  # leaf enc -(row+1)
-                    pnodes_l.append(prow)
                     # stamp object index + globalize triangle ids in
-                    # the shading-complete leaf records
+                    # the shading-complete leaf records (ids are shared
+                    # by every instance of this object)
                     lt = pw.ltris.copy()
                     ltv = lt.view(i32)
                     for krec in range(8):
                         ltv[:, 16 * krec + 12] = oi
                         tidc = ltv[:, 16 * krec + 13]
                         tidc[tidc >= 0] += tri_off
-                    ptris_l.append(lt)
-                    if obj.instances is None:
-                        proots.append(pnode_off)
+                    if obj.instances is not None and flatten_packets:
+                        # FLATTENED: one world-space table copy per
+                        # instance (entries host-static per instance,
+                        # floats filled by _flatten_splice on device)
+                        fm = dict(
+                            oi=oi,
+                            node_base=pnode_off,
+                            ltris_base=pleaf_off,
+                            src_bounds_j=jnp.asarray(pw.nodes[:, :48].copy()),
+                            src_ltris_j=jnp.asarray(lt),
+                        )
+                        for _ in range(len(obj.instances)):
+                            prow_i = pw.nodes.copy()
+                            ci = prow_i[:, 48:56].view(i32)
+                            cc = prow_i[:, 56:64].view(i32)
+                            ci[cc == 0] += pnode_off
+                            ci[cc > 0] -= pleaf_off
+                            pnodes_l.append(prow_i)
+                            ptris_l.append(lt)
+                            p_flat_roots.append(pnode_off)
+                            pnode_off += pw.num_nodes
+                            pleaf_off += pw.num_leaf_rows
+                        flat_meta.append(fm)
+                        p_blas_root_this = p_flat_roots[-len(obj.instances)]
                     else:
-                        # one slim BLAS shared by every instance
-                        p_blas_root_this = pnode_off
-                    pnode_off += pw.num_nodes
-                    pleaf_off += pw.num_leaf_rows
+                        prow = pw.nodes.copy()
+                        pcidx = prow[:, 48:56].view(i32)
+                        pccnt = prow[:, 56:64].view(i32)
+                        pcidx[pccnt == 0] += pnode_off
+                        pcidx[pccnt > 0] -= pleaf_off  # leaf enc -(row+1)
+                        pnodes_l.append(prow)
+                        ptris_l.append(lt)
+                        if obj.instances is None:
+                            proots.append(pnode_off)
+                        else:
+                            # one slim BLAS shared by every instance
+                            p_blas_root_this = pnode_off
+                        pnode_off += pw.num_nodes
+                        pleaf_off += pw.num_leaf_rows
                     wrow = w.nodes.copy()
                     cidx = wrow[:, 48:56].view(i32)
                     ccnt = wrow[:, 56:64].view(i32)
@@ -631,8 +854,12 @@ class Scene:
             )
             # slim-encoded copy for the packet kernel BEFORE the wide
             # offset adjustment: interior -> global slim row, instance ->
-            # SLIM_EMPTY + 1 + id, empty -> SLIM_EMPTY
-            prow = _slim_tlas_rows(tlas_rows, pnode_off)
+            # SLIM_EMPTY + 1 + id (machinery) or the instance's
+            # world-space BLAS root row (flattened), empty -> SLIM_EMPTY
+            if flatten_packets:
+                prow = _slim_tlas_rows_flat(tlas_rows, pnode_off, p_flat_roots)
+            else:
+                prow = _slim_tlas_rows(tlas_rows, pnode_off)
             pnodes_l.append(prow)
             proots.append(pnode_off)
             refit_p_tlas_off = pnode_off
@@ -728,6 +955,9 @@ class Scene:
                 s_tlas_off=tlas_off,
                 static_lo=static_lo,
                 static_hi=static_hi,
+                flatten=flatten_packets,
+                flat_meta=flat_meta,
+                p_flat_roots=p_flat_roots,
             )
 
         use_wide = self.use_wide and len(wnodes) > 0
@@ -792,6 +1022,18 @@ class Scene:
             mk_pln[pi, 3:6] = pln["normal"][pi]
             mk_pln[pi, 6] = self.objects[pln["obj"][pi]].mat_index
 
+        pnodes_j = cat(pnodes_l, 64)
+        pltris_j = cat(ptris_l, 128)
+        if flatten_packets:
+            # fill the per-instance world-space floats (entries are
+            # already host-static); the SAME jitted function runs at
+            # refit time, so rebuild and refit agree bitwise
+            pnodes_j, pltris_j = _flatten_splice(
+                pnodes_j, pltris_j,
+                _inst_transform_arrays(self.objects, flat_meta),
+                tuple((fm["node_base"], fm["ltris_base"]) for fm in flat_meta),
+            )
+
         return DeviceScene(
             mk_mats=jnp.asarray(mk_mats),
             mk_lights=jnp.asarray(mk_lights),
@@ -820,8 +1062,8 @@ class Scene:
             wnodes=cat(wnodes, 64),
             wtris9=cat(wtris, 9),
             wleaf_id=cat(wleaf, 1, i32),
-            pnodes=cat(pnodes_l, 64),
-            pltris=cat(ptris_l, 128),
+            pnodes=pnodes_j,
+            pltris=pltris_j,
             snodes12=cat(snodes_l, 12),
             stris9=cat(s_tris_l, 9),
             sleaf_id=cat(s_perm_l, 1, i32),
@@ -866,6 +1108,7 @@ class Scene:
             traversal=traversal if use_wide else "binary",
             sroot=sroot,
             proots=tuple(proots),
+            packet_flattened=flatten_packets,
         )
 
 
@@ -985,19 +1228,23 @@ def intersect_scene(
     if packet_path_active(dev):
         from cpugpupathtracing_tpu.ops import traverse_packet_slim as packetlib
 
+        # flattened scenes run the plain (non-instanced) kernel: the
+        # tables are already world-space, iid stays -1 and normals are
+        # pre-transformed (DeviceScene.packet_flattened)
+        machinery = dev.num_instances > 0 and not dev.packet_flattened
         t, tri, pobj, nrm_c, depth, kiid = packetlib.traverse_packet_slim(
             o_c, d_c, t_init, dev.pnodes, dev.pltris,
             dev.proots, active=active, any_hit=any_hit,
             count_depth=count_depth,
             interpret=jax.default_backend() != "tpu",
-            inst_inv=dev.inst_inv if dev.num_instances else None,
-            inst_root=dev.inst_blas_root_packet if dev.num_instances else None,
+            inst_inv=dev.inst_inv if machinery else None,
+            inst_root=dev.inst_blas_root_packet if machinery else None,
         )
         mesh_normal = jnp.stack(nrm_c, axis=1)
         mesh_hit = tri >= 0
         obj = jnp.where(mesh_hit, pobj, obj)
         prim = jnp.where(mesh_hit, tri, prim)
-        if dev.num_instances:
+        if machinery:
             inst = jnp.where(mesh_hit, kiid, inst)
     elif dev.use_wide and dev.traversal == "skip" and dev.sroot >= 0:
         from cpugpupathtracing_tpu.ops import traverse_skip as skiplib

@@ -153,11 +153,21 @@ def _scene_instanced(num_inst: int = 3) -> Scene:
     return s
 
 
-@pytest.mark.parametrize("sort", [True, False], ids=["sort", "nosort"])
-def test_megakernel_instanced_matches_integrator(force_packet, sort):
+@pytest.mark.parametrize(
+    "sort,flatten",
+    [(True, True), (False, True), (True, False)],
+    ids=["sort-flattened", "nosort-flattened", "sort-machinery"],
+)
+def test_megakernel_instanced_matches_integrator(
+    force_packet, monkeypatch, sort, flatten
+):
+    if not flatten:
+        # object-space machinery variant (over-budget fallback)
+        monkeypatch.setenv("CPUGPU_NO_FLATTEN", "1")
     settings = RenderSettings(max_ray_depth=3)
     dev = _scene_instanced().device()
     assert dev.num_instances == 3
+    assert dev.packet_flattened == flatten
     assert megakernel_active(dev, settings)
     idx = jnp.arange(64 * 32, dtype=jnp.int32) if sort else None
     _, ref = _trace(dev, settings, integrators.trace_advanced, idx=idx)

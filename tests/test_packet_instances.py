@@ -22,6 +22,10 @@ from cpugpupathtracing_tpu.utils.vecmath import RAY_TMAX
 @pytest.fixture()
 def force_packet(monkeypatch):
     monkeypatch.setenv("CPUGPU_TPU_FORCE_PACKET", "1")
+    # this file pins the object-space MACHINERY path (register swap +
+    # RESTORE); the default world-space flattening is covered by
+    # tests/test_flatten.py
+    monkeypatch.setenv("CPUGPU_NO_FLATTEN", "1")
 
 
 def _transforms():

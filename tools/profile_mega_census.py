@@ -67,7 +67,7 @@ def main():
         count_iters=True,
     )
     shadow_extra = {}
-    if dev.num_instances:
+    if dev.num_instances and not dev.packet_flattened:
         static.update(
             inst_inv=dev.inst_inv, inst_nrm=dev.inst_nrm,
             inst_root=dev.inst_blas_root_packet,

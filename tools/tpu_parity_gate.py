@@ -150,20 +150,30 @@ def check_parity_instanced(n_rays: int = 2048, chunk: int = 512, seed: int = 9) 
     k_tri = np.asarray(hit.prim)
     k_iid = np.asarray(hit.inst)
 
-    b = s.objects[0].bvh
-    v0 = jnp.asarray(b.tri_v0)
-    e1 = jnp.asarray(b.tri_v1 - b.tri_v0)
-    e2 = jnp.asarray(b.tri_v2 - b.tri_v0)
-    best_t = np.full(n_rays, np.float32(RAY_TMAX))
-    best_tri = np.full(n_rays, -1, np.int32)
-    best_iid = np.full(n_rays, -1, np.int32)
-    for iid, m in enumerate(mats):
-        inv = np.linalg.inv(m.astype(np.float64)).astype(np.float32)
-        oo = o_np @ inv[:3, :3].T + inv[:3, 3]
-        dd = d_np @ inv[:3, :3].T  # unnormalized: t stays the world param
+    if dev.packet_flattened:
+        # FLATTENED path (production default): the kernel traverses
+        # world-space leaf records, so the oracle is brute force over
+        # those same records -- tri id must match exactly, t to fp
+        # tolerance (the oracle orders float ops differently), and
+        # every hit is a world-space hit (iid == -1)
+        lt = np.asarray(dev.pltris)
+        ids = lt.view(np.int32)
+        tris_l, tid_l = [], []
+        for k in range(8):
+            r = lt[:, 16 * k : 16 * k + 16]
+            m = ids[:, 16 * k + 13] >= 0
+            tris_l.append(r[m, 0:9])
+            tid_l.append(ids[m, 16 * k + 13])
+        tris = np.concatenate(tris_l)
+        tid = np.concatenate(tid_l)
+        v0 = jnp.asarray(tris[:, 0:3])
+        e1 = jnp.asarray(tris[:, 3:6])
+        e2 = jnp.asarray(tris[:, 6:9])
+        best_t = np.full(n_rays, np.float32(RAY_TMAX))
+        best_tri = np.full(n_rays, -1, np.int32)
         for st in range(0, n_rays, chunk):
             bt, bidx = intersect.brute_force_nearest_triangle(
-                jnp.asarray(oo[st : st + chunk]), jnp.asarray(dd[st : st + chunk]),
+                o[st : st + chunk], d[st : st + chunk],
                 v0, e1, e2, jnp.asarray(best_t[st : st + chunk]),
             )
             bt = np.asarray(bt)
@@ -171,8 +181,32 @@ def check_parity_instanced(n_rays: int = 2048, chunk: int = 512, seed: int = 9) 
             better = bidx >= 0
             sl = slice(st, st + chunk)
             best_t[sl] = np.where(better, bt, best_t[sl])
-            best_tri[sl] = np.where(better, bidx, best_tri[sl])
-            best_iid[sl] = np.where(better, iid, best_iid[sl])
+            best_tri[sl] = np.where(better, tid[bidx], best_tri[sl])
+        best_iid = np.full(n_rays, -1, np.int32)
+    else:
+        b = s.objects[0].bvh
+        v0 = jnp.asarray(b.tri_v0)
+        e1 = jnp.asarray(b.tri_v1 - b.tri_v0)
+        e2 = jnp.asarray(b.tri_v2 - b.tri_v0)
+        best_t = np.full(n_rays, np.float32(RAY_TMAX))
+        best_tri = np.full(n_rays, -1, np.int32)
+        best_iid = np.full(n_rays, -1, np.int32)
+        for iid, m in enumerate(mats):
+            inv = np.linalg.inv(m.astype(np.float64)).astype(np.float32)
+            oo = o_np @ inv[:3, :3].T + inv[:3, 3]
+            dd = d_np @ inv[:3, :3].T  # unnormalized: t stays the world param
+            for st in range(0, n_rays, chunk):
+                bt, bidx = intersect.brute_force_nearest_triangle(
+                    jnp.asarray(oo[st : st + chunk]), jnp.asarray(dd[st : st + chunk]),
+                    v0, e1, e2, jnp.asarray(best_t[st : st + chunk]),
+                )
+                bt = np.asarray(bt)
+                bidx = np.asarray(bidx)
+                better = bidx >= 0
+                sl = slice(st, st + chunk)
+                best_t[sl] = np.where(better, bt, best_t[sl])
+                best_tri[sl] = np.where(better, bidx, best_tri[sl])
+                best_iid[sl] = np.where(better, iid, best_iid[sl])
 
     mism = int(((k_tri != best_tri) | (k_iid != best_iid)).sum())
     hm = best_tri >= 0
@@ -186,6 +220,7 @@ def check_parity_instanced(n_rays: int = 2048, chunk: int = 512, seed: int = 9) 
         "checked": int(n_rays),
         "hits": int(hm.sum()),
         "backend": jax.default_backend(),
+        "flattened": bool(dev.packet_flattened),
         "max_t_rel": max_rel,
     }
 
