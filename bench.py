@@ -44,7 +44,7 @@ def main():
     scene, cam, settings, width, height, hook = factory()
     build_s = time.time() - t0
 
-    frames = 8
+    frames = None  # auto: sized from the measured warmup frame time
     if len(args.size) >= 2:
         width, height = args.size[0], args.size[1]
         cam = cam.replace(aspect=width / height)
@@ -63,6 +63,22 @@ def main():
         hook(0, r)
     r.render_frame()  # compile + first frame
     compile_s = time.time() - t0
+
+    # steady-state warmup: the tunneled chip's first executions of a
+    # fresh executable carry a ~100 ms/dispatch ramp (argument/program
+    # caching) that would dominate short spans -- measured 8.7 vs 47.4
+    # Mrays/s on the 20 ms whitted config at 8 vs 64 frames
+    tw = time.time()
+    for _ in range(4):
+        if hook:
+            hook(0, r)
+        r.render_frame(sync=False)
+    jax.block_until_ready(r._pixels)
+    warm_dt = (time.time() - tw) / 4
+    if frames is None:
+        # ~10 s of timed span: long enough that any residual ramp is
+        # noise even on the ~20 ms/frame configs
+        frames = int(min(256, max(8, 10.0 / max(warm_dt, 1e-3))))
 
     rays = 0
     t0 = time.time()

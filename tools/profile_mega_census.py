@@ -157,7 +157,8 @@ def main():
                 mode = env.split(",")[min(d, len(env.split(",")) - 1)]
             else:
                 mode = "compact" if d == 0 else "morton8"
-            nc = sort_wavefront(dev, nc, idx, aovs=False, mode=mode)
+            if mode != "none":
+                nc = sort_wavefront(dev, nc, idx, aovs=False, mode=mode)
         c = nc
 
     print(
