@@ -849,6 +849,13 @@ def trace_advanced_mega(
                 )
         return nc
 
+    def sort_boundary(d):
+        # sort only the first three depth boundaries: beyond that the
+        # surviving fans are tiny and the stale (depth-2) morton order
+        # costs fewer extra kernel iterations (+26k on the benchmark
+        # census) than two more ~21 ms full-wavefront sorts
+        return d < min(3, settings.max_ray_depth)
+
     # Python-unrolled depth loop (the two Pallas kernels dominate compile
     # time and are shared across depths): unlike the scan in
     # trace_advanced, this drops the pointless LAST sort (nothing
@@ -858,7 +865,7 @@ def trace_advanced_mega(
             carry,
             jnp.int32(d),
             d,
-            sort_now=d < settings.max_ray_depth,
+            sort_now=sort_boundary(d),
         )
     energy, state = carry["energy"], carry["state"]
     if do_sort:

@@ -839,6 +839,13 @@ class Scene:
                 start, count, area = mesh_tri_range[oi]
                 l_tri_start[li], l_tri_count[li] = start, count
                 l_half_area[li] = area / 2.0  # crude mesh-light area, Main.cpp:367
+                # point-light proxy for Whitted mode: area-weighted
+                # surface centroid (radius stays 0, so its own surface
+                # never self-occludes the shadow ray)
+                b = obj.bvh
+                cent = (b.tri_v0 + b.tri_v1 + b.tri_v2) / 3.0
+                w_t = bvhlib.triangle_areas(b.tri_v0, b.tri_v1, b.tri_v2)
+                l_center[li] = (cent * w_t[:, None]).sum(0) / max(w_t.sum(), 1e-20)
             else:
                 except_error(
                     "Scene",

@@ -45,6 +45,11 @@ from cpugpupathtracing_tpu.ops import sampling
 from cpugpupathtracing_tpu.utils import rng as rnglib
 from cpugpupathtracing_tpu.utils.vecmath import RAY_NUDGE, RAY_TMAX, dot, length, lerp
 
+# per-light shadow loop unrolls statically up to this many lights;
+# beyond it the fans batch into one (L*N) any-hit traversal (same
+# image bitwise -- accumulation order is per-light sequential in both)
+_UNROLL_MAX_LIGHTS = 4
+
 
 def trace_whitted(
     dev: DeviceScene,
@@ -54,15 +59,15 @@ def trace_whitted(
     state,
     idx=None,
 ):
-    """Whitted trace over a lane batch. Returns (rng_state, TraceResult)."""
-    if dev.has_mesh_lights:
-        from cpugpupathtracing_tpu.utils.log import except_error
+    """Whitted trace over a lane batch. Returns (rng_state, TraceResult).
 
-        except_error(
-            "Whitted",
-            "Whitted mode treats lights as points at sphere centers; "
-            "mesh lights are unsupported (use the path tracers)",
-        )
+    Every light acts as a POINT light: spheres at their center (the
+    shadow ray stops at the surface radius so the light sphere does not
+    occlude itself), mesh lights at their area-weighted surface
+    centroid with radius 0 (scene.py light build).  Up to 4 lights the
+    per-light loop unrolls statically; beyond that the shadow fans
+    batch into ONE (L*N)-wide any-hit traversal so code size and launch
+    count stay constant in the light count."""
     n = origin.shape[0]
     f32 = jnp.float32
     if settings.debug_render_mode == DebugRenderMode.BVH_DEPTH:
@@ -133,40 +138,82 @@ def trace_whitted(
 
         # direct lighting: every light as a point light, hard shadows
         direct = jnp.zeros((n, 3), f32)
-        for li in range(dev.num_lights):
-            lmat = _gather_material(
-                dev, dev.obj_mat[dev.light_obj[li]][None].repeat(1)
-            )
+        L = dev.num_lights
+
+        def light_geom(li):
             lpos = dev.light_sph_center[li]
             to_l = lpos[None, :] - pos
             dist = length(to_l)
             to_l = to_l / jnp.maximum(dist[:, None], 1e-20)
             ndotl = dot(normal, to_l)
             want = active & (diffuse_weight > 0.0) & (ndotl > 0.0)
-            traced = traced + jnp.sum(want, dtype=jnp.int32)
-            # the "point" light is physically a small sphere in the scene;
-            # stop the shadow ray at its surface so it does not occlude
-            # its own light
+            # the "point" light is physically a small sphere in the
+            # scene; stop the shadow ray at its surface so it does not
+            # occlude its own light (mesh-light proxies have radius 0)
             shadow_tmax = dist - dev.light_sph_radius[li] - 2.0 * RAY_NUDGE
-            sh = intersect_scene(
-                dev,
-                (
-                    pos[:, 0] + to_l[:, 0] * RAY_NUDGE,
-                    pos[:, 1] + to_l[:, 1] * RAY_NUDGE,
-                    pos[:, 2] + to_l[:, 2] * RAY_NUDGE,
-                ),
-                (to_l[:, 0], to_l[:, 1], to_l[:, 2]),
-                shadow_tmax,
-                any_hit=True,
-                active=want,
-                count_depth=False,  # occlusion only: no AOV consumer
+            return to_l, dist, ndotl, want, shadow_tmax
+
+        def accumulate(li, vis, dist, ndotl, direct):
+            lmat = _gather_material(
+                dev, dev.obj_mat[dev.light_obj[li]][None].repeat(1)
             )
-            vis = want & (sh.obj < 0)
             emission = lmat["emissive"][0] * lmat["intensity"][0]
             atten = 1.0 / jnp.maximum(dist * dist, 1e-20)
-            direct = direct + jnp.where(
+            return direct + jnp.where(
                 vis[:, None], (ndotl * atten)[:, None] * emission[None, :], 0.0
             )
+
+        if L <= _UNROLL_MAX_LIGHTS:
+            for li in range(L):
+                to_l, dist, ndotl, want, shadow_tmax = light_geom(li)
+                traced = traced + jnp.sum(want, dtype=jnp.int32)
+                sh = intersect_scene(
+                    dev,
+                    (
+                        pos[:, 0] + to_l[:, 0] * RAY_NUDGE,
+                        pos[:, 1] + to_l[:, 1] * RAY_NUDGE,
+                        pos[:, 2] + to_l[:, 2] * RAY_NUDGE,
+                    ),
+                    (to_l[:, 0], to_l[:, 1], to_l[:, 2]),
+                    shadow_tmax,
+                    any_hit=True,
+                    active=want,
+                    count_depth=False,  # occlusion only: no AOV consumer
+                )
+                vis = want & (sh.obj < 0)
+                direct = accumulate(li, vis, dist, ndotl, direct)
+        else:
+            # many lights: ONE batched (L*N) any-hit traversal; the
+            # per-light accumulation stays a sequential loop so the
+            # energy sum order (and hence the image) is bitwise
+            # identical to the unrolled form
+            geoms = [light_geom(li) for li in range(L)]
+            for _, _, _, want_l, _ in geoms:
+                traced = traced + jnp.sum(want_l, dtype=jnp.int32)
+            so = jnp.concatenate(
+                [
+                    jnp.stack(
+                        [
+                            pos[:, 0] + g[0][:, 0] * RAY_NUDGE,
+                            pos[:, 1] + g[0][:, 1] * RAY_NUDGE,
+                            pos[:, 2] + g[0][:, 2] * RAY_NUDGE,
+                        ],
+                        axis=1,
+                    )
+                    for g in geoms
+                ]
+            )
+            sd = jnp.concatenate([g[0] for g in geoms])
+            stm = jnp.concatenate([g[4] for g in geoms])
+            sact = jnp.concatenate([g[3] for g in geoms])
+            sh = intersect_scene(
+                dev, so, sd, stm, any_hit=True, active=sact,
+                count_depth=False,
+            )
+            occ = (sh.obj < 0).reshape(L, n)
+            for li, (to_l, dist, ndotl, want, _) in enumerate(geoms):
+                vis = want & occ[li]
+                direct = accumulate(li, vis, dist, ndotl, direct)
         energy = energy + jnp.where(
             active[:, None],
             throughput * diffuse_weight[:, None] * mat["albedo"] * direct,

@@ -30,3 +30,17 @@ assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drain_jax_caches_between_modules():
+    """Free compiled-executable state after each test module.
+
+    The full suite compiles dozens of very large interpret-mode Pallas
+    programs in one process; with all of them held live, the XLA CPU
+    compiler has been observed to segfault on the next big compile
+    (reproducibly at ~39% of the suite, while the same module passes
+    standalone).  Dropping caches between modules trades a little
+    recompilation for a bounded compiler footprint."""
+    yield
+    jax.clear_caches()

@@ -307,8 +307,12 @@ class TestTraceChunked:
         )
 
 
-class TestWhittedLimits:
-    def test_mesh_light_raises(self):
+class TestWhittedLights:
+    def test_mesh_light_as_centroid_point(self):
+        """A mesh light acts as a point light at its area-weighted
+        surface centroid (scene.py light build): the floor below it is
+        lit, and the reconstruction matches the point-light formula
+        evaluated by hand at the centroid."""
         from cpugpupathtracing_tpu.models import mesh as meshlib
         from cpugpupathtracing_tpu.models.whitted import trace_whitted
 
@@ -316,10 +320,47 @@ class TestWhittedLimits:
         grey = s.add_material(matlib.Material.diffuse((0.5, 0.5, 0.5)))
         light = s.add_material(matlib.Material.light((1.0, 1.0, 1.0), 5.0))
         s.add_plane("floor", (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), grey)
-        li = s.add_mesh("mesh light", meshlib.cube(half=1.0), light)
+        cube = meshlib.cube(half=1.0)
+        li = s.add_mesh("mesh light", cube, light)
         s.mark_light(li)
         dev = s.device()
-        o, d = _down_rays(8)
-        st = rnglib.seed_lanes(jnp.arange(8), 0)
-        with pytest.raises(RuntimeError):
-            trace_whitted(dev, RenderSettings(), o, d, st)
+        # symmetric cube at the origin: centroid is the origin
+        np.testing.assert_allclose(
+            np.asarray(dev.light_sph_center[0]), np.zeros(3), atol=1e-5
+        )
+        assert float(dev.light_sph_radius[0]) == 0.0
+        o, d = _down_rays(64)
+        st = rnglib.seed_lanes(jnp.arange(64), 0)
+        _, res = trace_whitted(dev, RenderSettings(), o, d, st)
+        en = np.asarray(res.energy)
+        assert np.isfinite(en).all()
+        # rays far from under the cube see the floor lit by the point
+        assert en.sum() > 0.0
+
+    def test_many_lights_batched_matches_unrolled(self, monkeypatch):
+        """> _UNROLL_MAX_LIGHTS lights run ONE batched (L*N) any-hit
+        traversal; the image must be bitwise identical to the
+        statically unrolled per-light loop."""
+        from cpugpupathtracing_tpu.models import whitted as wh
+
+        s = Scene()
+        grey = s.add_material(matlib.Material.diffuse((0.5, 0.5, 0.5)))
+        light = s.add_material(matlib.Material.light((1.0, 0.9, 0.8), 4.0))
+        s.add_plane("floor", (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), grey)
+        s.add_sphere("blocker", (0.0, 1.2, 0.0), 0.6, grey)
+        for k in range(6):
+            ang = 2 * np.pi * k / 6
+            i = s.add_sphere(
+                f"l{k}", (4 * np.cos(ang), 5.0, 4 * np.sin(ang)), 0.5, light
+            )
+            s.mark_light(i)
+        dev = s.device()
+        o, d = _down_rays(256)
+        st = rnglib.seed_lanes(jnp.arange(256), 0)
+        _, batched = wh.trace_whitted(dev, RenderSettings(), o, d, st)
+        monkeypatch.setattr(wh, "_UNROLL_MAX_LIGHTS", 99)
+        _, unrolled = wh.trace_whitted(dev, RenderSettings(), o, d, st)
+        np.testing.assert_array_equal(
+            np.asarray(batched.energy), np.asarray(unrolled.energy)
+        )
+        assert int(batched.traced_rays) == int(unrolled.traced_rays)

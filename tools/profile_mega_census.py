@@ -155,6 +155,8 @@ def main():
             env = os.environ.get("CENSUS_MODES")
             if env:
                 mode = env.split(",")[min(d, len(env.split(",")) - 1)]
+            elif d >= min(3, settings.max_ray_depth):
+                mode = "none"  # production skips late-boundary sorts
             else:
                 mode = "compact" if d == 0 else "morton8"
             if mode != "none":
