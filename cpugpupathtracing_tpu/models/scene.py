@@ -45,6 +45,11 @@ PRIM_MESH, PRIM_SPHERE, PRIM_PLANE = 0, 1, 2
 # identical for any valid tree).
 DEVICE_MAX_LEAF = 4
 
+# Analytic sphere/plane tests unroll as static 1-D loops up to this
+# many objects (the measured-fast layout); beyond it the batched (N, S)
+# form returns -- bitwise-identical hits either way (intersect_scene).
+ANALYTIC_UNROLL_MAX = 16
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -1197,6 +1202,10 @@ def megakernel_active(dev: DeviceScene, settings) -> bool:
         packet_path_active(dev)
         and not dev.has_mesh_lights
         and (nl == 0 or (nl & (nl - 1)) == 0)
+        # the kernel unrolls analytic tests + material select chains
+        # statically; very wide scenes would blow up Mosaic compile time
+        and dev.sph_center.shape[0] + dev.pln_point.shape[0]
+        <= ANALYTIC_UNROLL_MAX
         and not settings.aovs_active
         and os.environ.get("CPUGPU_NO_MEGAKERNEL") != "1"
     )
@@ -1314,9 +1323,13 @@ def intersect_scene(
     # intermediates in the pathological T(1,128) layout plus an
     # argmin/take_along_axis pair -- measured at ~28 ms/depth in the
     # frame xplane profile.  Ties keep the lowest index, exactly like
-    # argmin, so results are bitwise identical.
+    # argmin, so results are bitwise identical.  Beyond
+    # ANALYTIC_UNROLL_MAX objects the unrolled form's code size and
+    # compile time grow linearly, so the batched (N, S) form returns as
+    # the lesser evil (bitwise-identical results: first-min argmin ==
+    # the loop's strict-< tie rule).
     num_sph = dev.sph_center.shape[0]
-    if num_sph > 0:
+    if 0 < num_sph <= ANALYTIC_UNROLL_MAX:
         best = jnp.full((n,), jnp.inf, jnp.float32)
         bj = jnp.zeros((n,), jnp.int32)
         for si in range(num_sph):
@@ -1331,9 +1344,22 @@ def intersect_scene(
         obj = jnp.where(closer, select_rows(dev.sph_obj, bj), obj)
         kind = jnp.where(closer, PRIM_SPHERE, kind)
         prim = jnp.where(closer, bj, prim)
+    elif num_sph > ANALYTIC_UNROLL_MAX:
+        valid_s, ts = intersect.intersect_sphere(
+            origin[:, None, :], direction[:, None, :],
+            dev.sph_center[None], dev.sph_radius_sq[None],
+        )  # (N, S)
+        ts = jnp.where(valid_s & (ts < t[:, None]), ts, jnp.inf)
+        bj = jnp.argmin(ts, axis=1).astype(jnp.int32)
+        best = jnp.take_along_axis(ts, bj[:, None], axis=1)[:, 0]
+        closer = jnp.isfinite(best)
+        t = jnp.where(closer, best, t)
+        obj = jnp.where(closer, dev.sph_obj[bj], obj)
+        kind = jnp.where(closer, PRIM_SPHERE, kind)
+        prim = jnp.where(closer, bj, prim)
 
     num_pln = dev.pln_point.shape[0]
-    if num_pln > 0:
+    if 0 < num_pln <= ANALYTIC_UNROLL_MAX:
         best = jnp.full((n,), jnp.inf, jnp.float32)
         bj = jnp.zeros((n,), jnp.int32)
         for pi in range(num_pln):
@@ -1346,6 +1372,19 @@ def intersect_scene(
         closer = jnp.isfinite(best)
         t = jnp.where(closer, best, t)
         obj = jnp.where(closer, select_rows(dev.pln_obj, bj), obj)
+        kind = jnp.where(closer, PRIM_PLANE, kind)
+        prim = jnp.where(closer, bj, prim)
+    elif num_pln > ANALYTIC_UNROLL_MAX:
+        valid_p, ts = intersect.intersect_plane(
+            origin[:, None, :], direction[:, None, :],
+            dev.pln_point[None], dev.pln_normal[None],
+        )  # (N, P)
+        ts = jnp.where(valid_p & (ts < t[:, None]), ts, jnp.inf)
+        bj = jnp.argmin(ts, axis=1).astype(jnp.int32)
+        best = jnp.take_along_axis(ts, bj[:, None], axis=1)[:, 0]
+        closer = jnp.isfinite(best)
+        t = jnp.where(closer, best, t)
+        obj = jnp.where(closer, dev.pln_obj[bj], obj)
         kind = jnp.where(closer, PRIM_PLANE, kind)
         prim = jnp.where(closer, bj, prim)
 

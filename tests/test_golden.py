@@ -77,9 +77,49 @@ def _whitted_render():
     return r.image_u32()
 
 
+def _instanced_scene():
+    s = Scene()
+    white = s.add_material(matlib.Material.diffuse((0.9, 0.9, 0.9)))
+    glass = s.add_material(
+        matlib.Material.dielectric((1.0, 1.0, 1.0), 0.0, 1.0, (0.2, 0.8, 0.8), 1.517)
+    )
+    light = s.add_material(matlib.Material.light((1.0, 0.95, 0.8), 10.0))
+    tf = np.zeros((3, 4, 4), np.float32)
+    for i in range(3):
+        ang = 2.1 * i
+        c, sn = np.cos(ang), np.sin(ang)
+        sc = 0.8 + 0.2 * i
+        tf[i] = [
+            [c * sc, 0, sn * sc, -2.5 + 2.5 * i],
+            [0, sc, 0, 0.0],
+            [-sn * sc, 0, c * sc, 0.0],
+            [0, 0, 0, 1],
+        ]
+    s.add_instanced_mesh("icos", meshlib.icosphere(radius=1.0, subdivisions=2), glass, tf)
+    s.add_plane("floor", (0.0, -2.0, 0.0), (0.0, 1.0, 0.0), white)
+    li = s.add_sphere("light", (8.0, 9.0, 7.0), 4.0, light)
+    s.mark_light(li)
+    return s
+
+
+def _instanced_render():
+    """Flattened-instancing semantics lock: world-space tables feed the
+    same advanced integrator; this golden pins the image against any
+    drift in the flatten arithmetic (tests/test_flatten.py pins hits)."""
+    r = Renderer(
+        _instanced_scene(),
+        camera=CameraConfig(pos=(0.0, 0.5, 8.0)),
+        config=RenderConfig(width=96, height=54, seed=0x9E3779B9),
+        settings=RenderSettings(render_mode=RenderMode.ADVANCED),
+    )
+    r.render(2)
+    return r.image_u32()
+
+
 def _all():
     out = {name: _render(name) for name in CASES}
     out["whitted"] = _whitted_render()
+    out["instanced_flattened"] = _instanced_render()
     return out
 
 

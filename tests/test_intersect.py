@@ -175,3 +175,44 @@ class TestBruteForce:
         )
         assert idx.tolist() == [-1]
         np.testing.assert_allclose(t, [RAY_TMAX])
+
+
+def test_many_analytics_batched_matches_unrolled(monkeypatch, rng_np):
+    """> ANALYTIC_UNROLL_MAX spheres/planes take the batched (N, S)
+    path; hits must be bitwise identical to the static unrolled loops
+    (first-min argmin == the loop's strict-< tie rule)."""
+    import jax.numpy as jnp
+    from cpugpupathtracing_tpu.models import materials as matlib
+    from cpugpupathtracing_tpu.models import scene as scenelib
+    from cpugpupathtracing_tpu.utils.vecmath import RAY_TMAX
+
+    s = scenelib.Scene()
+    grey = s.add_material(matlib.Material.diffuse((0.5, 0.5, 0.5)))
+    for k in range(24):
+        ang = 2 * np.pi * k / 24
+        s.add_sphere(
+            f"s{k}",
+            (3.0 * np.cos(ang), 0.3 * (k % 5), 3.0 * np.sin(ang)),
+            0.4 + 0.02 * k,
+            grey,
+        )
+    for k in range(18):
+        s.add_plane(
+            f"p{k}", (0.0, -2.0 - 0.5 * k, 0.0), (0.05 * (k % 3), 1.0, 0.0), grey
+        )
+    dev = s.device()
+    n = 512
+    o = jnp.asarray(rng_np.normal(size=(n, 3)).astype(np.float32) * 5)
+    aim = jnp.asarray(rng_np.normal(size=(n, 3)).astype(np.float32))
+    d = aim - o
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+
+    hb = scenelib.intersect_scene(dev, o, d, t0)
+    monkeypatch.setattr(scenelib, "ANALYTIC_UNROLL_MAX", 99)
+    hu = scenelib.intersect_scene(dev, o, d, t0)
+    np.testing.assert_array_equal(np.asarray(hb.t), np.asarray(hu.t))
+    np.testing.assert_array_equal(np.asarray(hb.obj), np.asarray(hu.obj))
+    np.testing.assert_array_equal(np.asarray(hb.prim), np.asarray(hu.prim))
+    np.testing.assert_array_equal(np.asarray(hb.kind), np.asarray(hu.kind))
+    assert int((np.asarray(hb.obj) >= 0).sum()) > 100
