@@ -41,6 +41,7 @@ LANES = 128
 WIDTH = 8
 LEAF_TRIS = 8
 STACK = 64
+FRAME_STACK = 189  # 21 x 9-slot frames for the framestack ctrl variant
 TRI_DET_EPS = 0.001
 DONE = 0x7FFFFFFF
 BIG = 1e30
@@ -66,12 +67,15 @@ def _lab_kernel(*refs, roots, opts):
     slab_mode = {"full": "seq"}.get(opts.get("slab", "full"), opts.get("slab"))
     packed_ctrl = opts.get("ctrl", "extract") == "packed"
     packed_mask = opts.get("ctrl", "extract") == "packedmask"
+    frame_stack = opts.get("ctrl", "extract") == "framestack"
     fixed_order = opts.get("order", "nearest") == "fixed"
 
+    pid = pl.program_id(0)  # hoisted: interpret mode cannot lower
+    # program_id inside a pl.when body
     for g in range(GROUPS):
         gs = slice(g * TILE, (g + 1) * TILE)
         any_act = jnp.sum(act_ref[gs]) > 0
-        iters_out[pl.program_id(0) * GROUPS + g] = 0
+        iters_out[pid * GROUPS + g] = 0
 
         @pl.when(jnp.logical_not(any_act))
         def _dead(gs=gs):
@@ -101,9 +105,18 @@ def _lab_kernel(*refs, roots, opts):
 
             for j in range(ROWS):
                 entry_ref[j] = roots[0]
-                sptr_ref[j] = len(roots) - 1
-                for i, r in enumerate(roots[1:]):
-                    stack_ref[j, i] = r
+                if frame_stack:
+                    # uniform 9-slot frame format: [8 child slots, mask];
+                    # remaining roots form the bottom frame
+                    nroots = len(roots) - 1
+                    for i, r in enumerate(roots[1:]):
+                        stack_ref[j, i] = r
+                    stack_ref[j, 8] = (1 << nroots) - 1
+                    sptr_ref[j] = 9 if nroots else 0
+                else:
+                    sptr_ref[j] = len(roots) - 1
+                    for i, r in enumerate(roots[1:]):
+                        stack_ref[j, i] = r
 
             def entry_step(t, hit, obj, depth):
                 """One stack entry per row: decode, slab, leaf, control."""
@@ -307,7 +320,7 @@ def _lab_kernel(*refs, roots, opts):
                         )
 
                 # ---- control ----
-                if packed_mask:
+                if packed_mask or frame_stack:
                     # 8-bit finite mask built in the vector domain, ONE
                     # extract per row; no nearest-child ordering
                     D = jnp.concatenate(child_dmin, axis=1)   # (8, 8)
@@ -347,6 +360,35 @@ def _lab_kernel(*refs, roots, opts):
                         es_ = [ents_ref[node_j, k] for k in range(WIDTH)]
                     else:
                         es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+
+                    if frame_stack:
+                        # 9-slot frame push: 8 UNCONDITIONAL stores + the
+                        # pass mask + one conditional sp bump replace the
+                        # per-child conditional-select chains (junk
+                        # frames land above the live top and are never
+                        # observed).  Pop: ctz of the top frame's mask.
+                        w = mask_bits[j, 0]
+                        base_p = jnp.minimum(sp, FRAME_STACK - 9)
+                        for k in range(WIDTH):
+                            stack_ref[j, base_p + k] = es_[k]
+                        stack_ref[j, base_p + 8] = w
+                        do_push = interior & (w != 0)
+                        sp = sp + jnp.where(do_push, 9, 0)
+
+                        can = live & (sp > 0)
+                        base = jnp.maximum(sp - 9, 0)
+                        mw = stack_ref[j, base + 8]
+                        low = mw & (-mw)
+                        kk = jax.lax.population_count(low - 1)  # ctz
+                        ent = stack_ref[j, base + jnp.minimum(kk, jnp.int32(7))]
+                        rem = mw & (mw - 1)
+                        stack_ref[j, base + 8] = rem
+                        sp = jnp.where(rem == 0, base, sp)
+                        nxt = jnp.where(can, ent, DONE)
+                        sptr_ref[j] = sp
+                        entry_ref[j] = nxt
+                        alive = alive + jnp.where(nxt != DONE, 1, 0)
+                        continue
 
                     if packed_mask:
                         # fixed push order, mask from one packed extract
@@ -442,7 +484,7 @@ def _lab_kernel(*refs, roots, opts):
             hit_out[gs] = hit.reshape(-1)
             obj_out[gs] = obj.reshape(-1)
             depth_out[gs] = depth.reshape(-1)
-            iters_out[pl.program_id(0) * GROUPS + g] = out[4]
+            iters_out[pid * GROUPS + g] = out[4]
 
 
 @functools.partial(jax.jit, static_argnames=("roots", "opts_t"))
@@ -505,11 +547,20 @@ def traverse_lab(origin, direction, t_init, nodes, ltris, roots, *, active,
         scratch_shapes=[
             pltpu.SMEM((ROWS,), jnp.int32),
             pltpu.SMEM((ROWS,), jnp.int32),
-            pltpu.SMEM((ROWS, STACK), jnp.int32),
+            pltpu.SMEM(
+                (
+                    ROWS,
+                    FRAME_STACK
+                    if opts.get("ctrl") == "framestack"
+                    else STACK,
+                ),
+                jnp.int32,
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=jax.default_backend() != "tpu",
     )(
         *inputs,
         ox_c, oy_c, oz_c,

@@ -83,6 +83,13 @@ def main():
             ("ilv + fixed + fma",
              dict(slab="ilv", leaf="ilv", order="fixed", fma=True), True),
         ]
+    elif which == "r5":
+        variants = [
+            ("ilv + fixed order", dict(slab="ilv", leaf="ilv", order="fixed"),
+             True),
+            ("ilv + framestack",
+             dict(slab="ilv", leaf="ilv", ctrl="framestack"), True),
+        ]
     else:
         variants = [
             ("ilv", dict(slab="ilv", leaf="ilv"), True),
