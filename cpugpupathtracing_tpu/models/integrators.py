@@ -722,6 +722,7 @@ def trace_advanced_mega(
     direction,
     state,
     idx=None,
+    frame_stack=None,
 ) -> tuple[jnp.ndarray, TraceResult]:
     """TracePathAdvanced via the fused per-depth megakernels
     (ops/megakernel.py): per depth, ONE closest-hit+shading launch and
@@ -756,6 +757,7 @@ def trace_advanced_mega(
         cosine=settings.cosine_weighted_diffuse,
         ref_pdf=settings.diffuse_pdf_mode == DiffusePdfMode.REFERENCE,
         interpret=interpret,
+        frame_stack=frame_stack,
     )
     if instanced:
         static.update(
@@ -808,7 +810,7 @@ def trace_advanced_mega(
             traced = traced + jnp.sum(sneed, dtype=jnp.int32)
             shadow_static = dict(
                 roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
-                interpret=interpret,
+                interpret=interpret, frame_stack=frame_stack,
             )
             if instanced:
                 shadow_static.update(

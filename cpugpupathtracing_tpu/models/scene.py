@@ -987,17 +987,32 @@ class Scene:
         traversal = self.traversal
         if use_wide and traversal == "packet":
             from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
+                FRAMESTACK_DEFAULT,
+                FSTACK_FRAMES,
                 STACK as PACKET_STACK,
             )
 
-            need = 7 * (tlas_depth + pdepth + 1) + 1 + max(len(proots), 1)
-            if need > PACKET_STACK:
+            if FRAMESTACK_DEFAULT:
+                # frame-stack scheme: one 9-slot frame per descent level
+                # (+1 RESTORE frame, + root frames), and ONE frame of
+                # headroom so the kernel's unconditional frame write at
+                # the clamped top can never land on live data
+                root_frames = (max(len(proots) - 1, 0) + 7) // 8
+                need = tlas_depth + pdepth + 2 + root_frames + 1
+                bound = FSTACK_FRAMES
+                kind = "frame"
+            else:
+                need = 7 * (tlas_depth + pdepth + 1) + 1 + max(len(proots), 1)
+                bound = PACKET_STACK
+                kind = "slot"
+            if need > bound:
                 log_warn(
                     "Scene",
-                    "packet-kernel stack bound exceeded (need {} > {}); "
+                    "packet-kernel {} stack bound exceeded (need {} > {}); "
                     "falling back to wide traversal",
+                    kind,
                     need,
-                    PACKET_STACK,
+                    bound,
                 )
                 traversal = "wide"
 

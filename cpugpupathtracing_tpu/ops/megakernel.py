@@ -52,7 +52,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
-from cpugpupathtracing_tpu.ops.traverse_packet_slim import RESTORE
+from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
+    RESTORE, FSTACK, FRAMESTACK_DEFAULT,
+)
 
 TILE = 1024
 GROUPS = 4
@@ -130,7 +132,7 @@ def _emit_traversal(
     nodes_ref, ltris_ref, entry_ref, sptr_ref, stack_ref,
     ox, oy, oz, dx, dy, dz, m_act, t_init, roots, *, any_hit,
     count_iters=False, num_inst=0, iid_ref=None, rays_ref=None,
-    inst_inv_ref=None, inst_root_ref=None,
+    inst_inv_ref=None, inst_root_ref=None, frame_stack=False,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
@@ -160,9 +162,24 @@ def _emit_traversal(
 
     for j in range(ROWS):
         entry_ref[j] = roots[0]
-        sptr_ref[j] = len(roots) - 1
-        for i, r in enumerate(roots[1:]):
-            stack_ref[j, i] = r
+        if frame_stack:
+            # remaining roots seed whole 9-slot frames (8 + mask); see
+            # ops/traverse_packet_slim.py FSTACK for the frame scheme
+            nroots = len(roots) - 1
+            nf = 0
+            pos = 0
+            while pos < nroots:
+                cnt = min(8, nroots - pos)
+                for i in range(cnt):
+                    stack_ref[j, 9 * nf + i] = roots[1 + pos + i]
+                stack_ref[j, 9 * nf + 8] = (1 << cnt) - 1
+                nf += 1
+                pos += cnt
+            sptr_ref[j] = 9 * nf
+        else:
+            sptr_ref[j] = len(roots) - 1
+            for i, r in enumerate(roots[1:]):
+                stack_ref[j, i] = r
         if instanced:
             iid_ref[j] = -1
     if instanced:
@@ -286,14 +303,101 @@ def _emit_traversal(
                 hiid = jnp.where(ok, iid_v, hiid)
 
         # ---- per-row scalar control: push children, pop next ----
+        if frame_stack:
+            # per-row pass masks built ONCE in the vector domain (see
+            # ops/traverse_packet_slim.py's frame-stack scheme)
+            fs_d = jnp.concatenate(child_dmin, axis=1)      # (8, 8)
+            fs_fin = jnp.isfinite(fs_d)
+            fs_mask = jnp.zeros((ROWS, 1), jnp.int32)
+            for k in range(WIDTH):
+                fs_mask = fs_mask | (
+                    fs_fin[:, k : k + 1].astype(jnp.int32) << k
+                )
+
         alive = jnp.int32(0)
         for j in range(ROWS):
             e = entry_ref[j]
             live = e != DONE
             interior = int_s[j]
             sp = sptr_ref[j]
-            ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
             es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+
+            if frame_stack:
+                # 9-slot frame push (8 unconditional stores + pass mask),
+                # ctz pop -- bit-exact hits vs the linear scheme
+                w = fs_mask[j, 0]
+                slot0 = es_[0]
+                if instanced:
+                    is_inst = live & (e > SLIM_EMPTY)
+                    is_rest = live & (e == RESTORE)
+                    iid_e = e - SLIM_EMPTY - 1
+                    iid_c = jnp.clip(iid_e, 0, num_inst - 1)
+                    slot0 = jnp.where(is_inst, RESTORE, slot0)
+                    w = jnp.where(is_inst, jnp.int32(1), w)
+                base_p = jnp.minimum(sp, FSTACK - 9)
+                stack_ref[j, base_p] = slot0
+                for k in range(1, WIDTH):
+                    stack_ref[j, base_p + k] = es_[k]
+                stack_ref[j, base_p + 8] = w
+                sp = sp + jnp.where(w != 0, 9, 0)
+
+                if instanced:
+                    @pl.when(is_inst)
+                    def _enter_f(j=j, iid_c=iid_c):
+                        mm = [inst_inv_ref[iid_c, k] for k in range(12)]
+                        o_x = mm[0] * ox0[j] + mm[1] * oy0[j] + mm[2] * oz0[j] + mm[3]
+                        o_y = mm[4] * ox0[j] + mm[5] * oy0[j] + mm[6] * oz0[j] + mm[7]
+                        o_z = mm[8] * ox0[j] + mm[9] * oy0[j] + mm[10] * oz0[j] + mm[11]
+                        d_x = mm[0] * dx0[j] + mm[1] * dy0[j] + mm[2] * dz0[j]
+                        d_y = mm[4] * dx0[j] + mm[5] * dy0[j] + mm[6] * dz0[j]
+                        d_z = mm[8] * dx0[j] + mm[9] * dy0[j] + mm[10] * dz0[j]
+                        rays_ref[0 * ROWS + j, :] = o_x
+                        rays_ref[1 * ROWS + j, :] = o_y
+                        rays_ref[2 * ROWS + j, :] = o_z
+                        rays_ref[3 * ROWS + j, :] = d_x
+                        rays_ref[4 * ROWS + j, :] = d_y
+                        rays_ref[5 * ROWS + j, :] = d_z
+                        rays_ref[6 * ROWS + j, :] = inv_dir(d_x)
+                        rays_ref[7 * ROWS + j, :] = inv_dir(d_y)
+                        rays_ref[8 * ROWS + j, :] = inv_dir(d_z)
+
+                    @pl.when(is_rest)
+                    def _leave_f(j=j):
+                        rays_ref[0 * ROWS + j, :] = ox0[j]
+                        rays_ref[1 * ROWS + j, :] = oy0[j]
+                        rays_ref[2 * ROWS + j, :] = oz0[j]
+                        rays_ref[3 * ROWS + j, :] = dx0[j]
+                        rays_ref[4 * ROWS + j, :] = dy0[j]
+                        rays_ref[5 * ROWS + j, :] = dz0[j]
+                        rays_ref[6 * ROWS + j, :] = ix0[j]
+                        rays_ref[7 * ROWS + j, :] = iy0[j]
+                        rays_ref[8 * ROWS + j, :] = iz0[j]
+
+                    iid_ref[j] = jnp.where(
+                        is_inst, iid_e, jnp.where(is_rest, -1, iid_ref[j])
+                    )
+
+                can = live & (sp > 0)
+                if instanced:
+                    can = can & ~is_inst  # entering descends, not pops
+                base = jnp.maximum(sp - 9, 0)
+                mw = stack_ref[j, base + 8]
+                low = mw & (-mw)
+                kk = jax.lax.population_count(low - 1)  # ctz
+                ent = stack_ref[j, base + jnp.minimum(kk, jnp.int32(7))]
+                rem = mw & (mw - 1)
+                stack_ref[j, base + 8] = jnp.where(can, rem, mw)
+                sp = jnp.where(can & (rem == 0), base, sp)
+                nxt = jnp.where(can, ent, DONE)
+                if instanced:
+                    blas_e = inst_root_ref[iid_c]
+                    nxt = jnp.where(is_inst, blas_e, nxt)
+                sptr_ref[j] = sp
+                entry_ref[j] = nxt
+                alive = alive + jnp.where(nxt != DONE, 1, 0)
+                continue
+
+            ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
             # fixed push order for both modes (see traverse_packet_slim)
             for k in range(WIDTH):
                 push = jnp.isfinite(ds_[k]) & interior
@@ -451,6 +555,7 @@ def _shade_extend_kernel(
     *tail,
     roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, num_inst=0, count_iters=False,
+    frame_stack=False,
 ):
     """One integrator depth minus the shadow resolve: traversal + the
     full TracePathAdvanced shading body (Source/Main.cpp:396-579)."""
@@ -551,6 +656,7 @@ def _shade_extend_kernel(
                 any_hit=False, count_iters=count_iters,
                 num_inst=num_inst, iid_ref=iid_ref, rays_ref=rays_ref,
                 inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
+                frame_stack=frame_stack,
             )
             t, tri, obj, mnx, mny, mnz = trav[:6]
             if count_iters:
@@ -896,6 +1002,7 @@ def _shadow_resolve_kernel(
     # columns, [iters_ref when count_iters], scratch
     *tail,
     roots, num_sph, num_pln, num_inst=0, count_iters=False,
+    frame_stack=False,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
     i = 0
@@ -951,6 +1058,7 @@ def _shadow_resolve_kernel(
                 any_hit=True, count_iters=count_iters,
                 num_inst=num_inst, iid_ref=iid_ref, rays_ref=rays_ref,
                 inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
+                frame_stack=frame_stack,
             )
             t, tri = trav[0], trav[1]
             if count_iters:
@@ -1008,6 +1116,7 @@ def _pad_to(step, arrs, pad_vals):
     static_argnames=(
         "roots", "num_mats", "num_lights", "num_sph", "num_pln", "num_objs",
         "nee", "rr", "cosine", "ref_pdf", "interpret", "count_iters",
+        "frame_stack",
     ),
 )
 def shade_extend(
@@ -1015,7 +1124,7 @@ def shade_extend(
     rays, state, throughput, energy, flags,
     *, roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, interpret=False, count_iters=False,
-    inst_inv=None, inst_nrm=None, inst_root=None,
+    inst_inv=None, inst_nrm=None, inst_root=None, frame_stack=None,
 ):
     """One fused depth step (minus shadow resolve) over the wavefront.
 
@@ -1035,6 +1144,8 @@ def shade_extend(
     n, cols = _pad_to(step, cols, pads)
     num_steps = n // step
     num_inst = int(inst_inv.shape[0]) if inst_inv is not None else 0
+    if frame_stack is None:
+        frame_stack = FRAMESTACK_DEFAULT
 
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
@@ -1064,7 +1175,7 @@ def shade_extend(
     scratch = [
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM((ROWS,), jnp.int32),
-        pltpu.SMEM((ROWS, STACK), jnp.int32),
+        pltpu.SMEM((ROWS, FSTACK if frame_stack else STACK), jnp.int32),
     ]
     if num_inst:
         scratch += [
@@ -1079,6 +1190,7 @@ def shade_extend(
             num_sph=num_sph, num_pln=num_pln, num_objs=num_objs,
             nee=nee, rr=rr, cosine=cosine, ref_pdf=ref_pdf,
             num_inst=num_inst, count_iters=count_iters,
+            frame_stack=frame_stack,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -1107,13 +1219,13 @@ def shade_extend(
 @functools.partial(
     jax.jit,
     static_argnames=("roots", "num_sph", "num_pln", "interpret",
-                     "count_iters"),
+                     "count_iters", "frame_stack"),
 )
 def shadow_resolve(
     nodes, ltris, sph, pln,
     shadow_o, shadow_d, shadow_tmax, flags, energy, contrib,
     *, roots, num_sph, num_pln, interpret=False, count_iters=False,
-    inst_inv=None, inst_root=None,
+    inst_inv=None, inst_root=None, frame_stack=None,
 ):
     """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)
     (plus per-sub-tile iteration counts when count_iters).  inst_inv /
@@ -1127,6 +1239,8 @@ def shadow_resolve(
     n, cols = _pad_to(step, cols, pads)
     num_steps = n // step
     num_inst = int(inst_inv.shape[0]) if inst_inv is not None else 0
+    if frame_stack is None:
+        frame_stack = FRAMESTACK_DEFAULT
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
@@ -1146,7 +1260,7 @@ def shadow_resolve(
     scratch = [
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM((ROWS,), jnp.int32),
-        pltpu.SMEM((ROWS, STACK), jnp.int32),
+        pltpu.SMEM((ROWS, FSTACK if frame_stack else STACK), jnp.int32),
     ]
     if num_inst:
         scratch += [
@@ -1159,6 +1273,7 @@ def shadow_resolve(
             roots=tuple(int(r) for r in roots),
             num_sph=num_sph, num_pln=num_pln,
             num_inst=num_inst, count_iters=count_iters,
+            frame_stack=frame_stack,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

@@ -50,6 +50,7 @@ maps back to original ids via leaf_id like Source/BVH.cpp:81.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +69,21 @@ LANES = 128
 WIDTH = 8
 LEAF_TRIS = 8
 STACK = 64
+# frame-stack mode: the stack holds 9-slot FRAMES (8 child entries + a
+# pass-mask word) instead of individual entries, so a push is 9
+# unconditional SMEM stores instead of 8 conditional select-chains --
+# the round-3 lab measured the per-child conditional push loop as the
+# largest single share of the ~1.07 us/iteration scalar critical path.
+# Pop takes the lowest set bit of the top frame's mask (fixed order,
+# like the linear scheme).  Hits are bit-exact either way (strict-<
+# accepts are visit-order independent); iteration counts and the
+# bvh_depth AOV may shift within the documented t-evolution-timing
+# semantics.
+FSTACK_FRAMES = 24     # max simultaneous frames (DFS depth); the scene
+FSTACK = 9 * FSTACK_FRAMES  # build validates tree depth + 1 frame headroom
+# read ONCE at import: flipping the env var later has no effect (jit
+# caches key on the resolved value's source argument, not the env)
+FRAMESTACK_DEFAULT = os.environ.get("CPUGPU_FRAMESTACK", "") == "1"
 TRI_DET_EPS = 0.001
 DONE = 0x7FFFFFFF
 RESTORE = 0x3FFFFFFF  # stack marker: leave instance space (< SLIM_EMPTY,
@@ -78,7 +94,7 @@ BIG = 1e30
 def _traverse_kernel(
     *refs,
     roots: tuple, any_hit: bool, count_depth: bool, instanced: bool,
-    count_iters: bool,
+    count_iters: bool, frame_stack: bool = False,
 ):
     if count_iters:
         # the iters output ref sits after the 8 regular outputs, before
@@ -146,9 +162,23 @@ def _traverse_kernel(
 
             for j in range(ROWS):
                 entry_ref[j] = roots[0]
-                sptr_ref[j] = len(roots) - 1
-                for i, r in enumerate(roots[1:]):
-                    stack_ref[j, i] = r
+                if frame_stack:
+                    # remaining roots seed whole 9-slot frames (8 + mask)
+                    nroots = len(roots) - 1
+                    nf = 0
+                    pos = 0
+                    while pos < nroots:
+                        cnt = min(8, nroots - pos)
+                        for i in range(cnt):
+                            stack_ref[j, 9 * nf + i] = roots[1 + pos + i]
+                        stack_ref[j, 9 * nf + 8] = (1 << cnt) - 1
+                        nf += 1
+                        pos += cnt
+                    sptr_ref[j] = 9 * nf
+                else:
+                    sptr_ref[j] = len(roots) - 1
+                    for i, r in enumerate(roots[1:]):
+                        stack_ref[j, i] = r
                 if instanced:
                     iid_ref[j] = -1
             if instanced:
@@ -294,6 +324,20 @@ def _traverse_kernel(
                         hiid = jnp.where(valid, iid_v, hiid)
 
                 # ---- per-row control (scalar): push children, pop next ----
+                if frame_stack:
+                    # per-row pass masks built ONCE in the vector domain:
+                    # one packed extract per row replaces the 8 per-child
+                    # dmin extracts of the linear scheme.  bm gates on
+                    # int_v and m, so the mask is 0 for every non-live /
+                    # non-interior row.
+                    fs_d = jnp.concatenate(child_dmin, axis=1)      # (8, 8)
+                    fs_fin = jnp.isfinite(fs_d)
+                    fs_mask = jnp.zeros((ROWS, 1), jnp.int32)
+                    for k in range(WIDTH):
+                        fs_mask = fs_mask | (
+                            fs_fin[:, k : k + 1].astype(jnp.int32) << k
+                        )
+
                 alive = jnp.int32(0)
                 for j in range(ROWS):
                     e = entry_ref[j]
@@ -301,8 +345,92 @@ def _traverse_kernel(
                     interior = int_s[j]
                     sp = sptr_ref[j]
 
-                    ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
                     es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+
+                    if frame_stack:
+                        # 9-slot frame push: 8 UNCONDITIONAL stores + the
+                        # pass mask replace the conditional select-chain
+                        # pushes (junk frames land above the live top and
+                        # are never observed; the scene build keeps one
+                        # frame of headroom so the boundary clamp never
+                        # lands on live data).
+                        w = fs_mask[j, 0]
+                        slot0 = es_[0]
+                        if instanced:
+                            is_inst = live & (e > SLIM_EMPTY)
+                            is_rest = live & (e == RESTORE)
+                            iid_e = e - SLIM_EMPTY - 1
+                            iid_c = jnp.clip(iid_e, 0, num_inst - 1)
+                            # an instance entry pushes a 1-slot RESTORE
+                            # frame under the BLAS walk
+                            slot0 = jnp.where(is_inst, RESTORE, slot0)
+                            w = jnp.where(is_inst, jnp.int32(1), w)
+                        base_p = jnp.minimum(sp, FSTACK - 9)
+                        stack_ref[j, base_p] = slot0
+                        for k in range(1, WIDTH):
+                            stack_ref[j, base_p + k] = es_[k]
+                        stack_ref[j, base_p + 8] = w
+                        sp = sp + jnp.where(w != 0, 9, 0)
+
+                        if instanced:
+                            @pl.when(is_inst)
+                            def _enter_f(j=j, iid_c=iid_c):
+                                mm = [inst_inv_ref[iid_c, k] for k in range(12)]
+                                o_x = mm[0] * ox0[j] + mm[1] * oy0[j] + mm[2] * oz0[j] + mm[3]
+                                o_y = mm[4] * ox0[j] + mm[5] * oy0[j] + mm[6] * oz0[j] + mm[7]
+                                o_z = mm[8] * ox0[j] + mm[9] * oy0[j] + mm[10] * oz0[j] + mm[11]
+                                d_x = mm[0] * dx0[j] + mm[1] * dy0[j] + mm[2] * dz0[j]
+                                d_y = mm[4] * dx0[j] + mm[5] * dy0[j] + mm[6] * dz0[j]
+                                d_z = mm[8] * dx0[j] + mm[9] * dy0[j] + mm[10] * dz0[j]
+                                rays_ref[0 * ROWS + j, :] = o_x
+                                rays_ref[1 * ROWS + j, :] = o_y
+                                rays_ref[2 * ROWS + j, :] = o_z
+                                rays_ref[3 * ROWS + j, :] = d_x
+                                rays_ref[4 * ROWS + j, :] = d_y
+                                rays_ref[5 * ROWS + j, :] = d_z
+                                rays_ref[6 * ROWS + j, :] = inv_dir(d_x)
+                                rays_ref[7 * ROWS + j, :] = inv_dir(d_y)
+                                rays_ref[8 * ROWS + j, :] = inv_dir(d_z)
+
+                            @pl.when(is_rest)
+                            def _leave_f(j=j):
+                                rays_ref[0 * ROWS + j, :] = ox0[j]
+                                rays_ref[1 * ROWS + j, :] = oy0[j]
+                                rays_ref[2 * ROWS + j, :] = oz0[j]
+                                rays_ref[3 * ROWS + j, :] = dx0[j]
+                                rays_ref[4 * ROWS + j, :] = dy0[j]
+                                rays_ref[5 * ROWS + j, :] = dz0[j]
+                                rays_ref[6 * ROWS + j, :] = ix0[j]
+                                rays_ref[7 * ROWS + j, :] = iy0[j]
+                                rays_ref[8 * ROWS + j, :] = iz0[j]
+
+                            iid_ref[j] = jnp.where(
+                                is_inst, iid_e, jnp.where(is_rest, -1, iid_ref[j])
+                            )
+
+                        can = live & (sp > 0)
+                        if instanced:
+                            can = can & ~is_inst  # entering descends, not pops
+                        base = jnp.maximum(sp - 9, 0)
+                        mw = stack_ref[j, base + 8]
+                        low = mw & (-mw)
+                        kk = jax.lax.population_count(low - 1)  # ctz
+                        ent = stack_ref[j, base + jnp.minimum(kk, jnp.int32(7))]
+                        rem = mw & (mw - 1)
+                        # pop side effects gated on `can`: an entering row
+                        # must leave its just-pushed RESTORE frame intact
+                        stack_ref[j, base + 8] = jnp.where(can, rem, mw)
+                        sp = jnp.where(can & (rem == 0), base, sp)
+                        nxt = jnp.where(can, ent, DONE)
+                        if instanced:
+                            blas_e = inst_root_ref[iid_c]
+                            nxt = jnp.where(is_inst, blas_e, nxt)
+                        sptr_ref[j] = sp
+                        entry_ref[j] = nxt
+                        alive = alive + jnp.where(nxt != DONE, 1, 0)
+                        continue
+
+                    ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
                     # FIXED push order for closest-hit too: the nearest-
                     # child argmin bought ~9% fewer iterations but its
                     # extract/compare/select chain cost ~19% per
@@ -422,13 +550,14 @@ def _traverse_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("roots", "interpret", "any_hit", "count_depth", "count_iters"),
+    static_argnames=("roots", "interpret", "any_hit", "count_depth",
+                     "count_iters", "frame_stack"),
 )
 def traverse_packet_slim(
     origin, direction, t_init, nodes, ltris, roots,
     *, active=None, interpret: bool = False, any_hit: bool = False,
     count_depth: bool = True, inst_inv=None, inst_root=None,
-    count_iters: bool = False,
+    count_iters: bool = False, frame_stack: bool | None = None,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
@@ -459,6 +588,8 @@ def traverse_packet_slim(
     n0 = ox_c.shape[0]
     roots = tuple(int(r) for r in roots)
     instanced = inst_inv is not None
+    if frame_stack is None:
+        frame_stack = FRAMESTACK_DEFAULT
     step = GROUPS * TILE
     n = -(-n0 // step) * step
     num_steps = n // step
@@ -487,7 +618,7 @@ def traverse_packet_slim(
     scratch = [
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM((ROWS,), jnp.int32),
-        pltpu.SMEM((ROWS, STACK), jnp.int32),
+        pltpu.SMEM((ROWS, FSTACK if frame_stack else STACK), jnp.int32),
     ]
     if instanced:
         in_specs += [
@@ -530,6 +661,7 @@ def traverse_packet_slim(
             count_depth=count_depth,
             instanced=instanced,
             count_iters=count_iters,
+            frame_stack=frame_stack,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

@@ -106,6 +106,28 @@ def test_megakernel_single_light(force_packet):
     _check(ref, got, True)
 
 
+def test_megakernel_frame_stack_bitwise(force_packet):
+    """frame_stack=True flips only the traversal's stack mechanics;
+    hits are bit-exact, RNG order is untouched, so the whole megakernel
+    image must be BITWISE identical to the linear-stack run."""
+    settings = RenderSettings(max_ray_depth=3)
+    dev = _scene().device()
+    assert megakernel_active(dev, settings)
+    idx = jnp.arange(64 * 32, dtype=jnp.int32)
+
+    def mega_fs(d_, s_, o_, dir_, st_, idx=None):
+        return integrators.trace_advanced_mega(
+            d_, s_, o_, dir_, st_, idx=idx, frame_stack=True
+        )
+
+    _, lin = _trace(dev, settings, integrators.trace_advanced_mega, idx=idx)
+    _, frm = _trace(dev, settings, mega_fs, idx=idx)
+    np.testing.assert_array_equal(
+        np.asarray(lin.energy), np.asarray(frm.energy)
+    )
+    assert int(lin.traced_rays) == int(frm.traced_rays)
+
+
 def test_gate_rejects_unsupported(force_packet):
     s = _scene(num_lights=2)
     dev = s.device()

@@ -116,6 +116,38 @@ def test_slim_tmax(sphere_slim):
     assert (np.asarray(hit)[512:] >= 0).all()
 
 
+def test_slim_frame_stack_matches_linear(sphere_slim, rng_np):
+    """The 9-slot frame-stack control scheme (frame_stack=True) must be
+    bit-exact with the linear per-entry stack on hits: strict-< accepts
+    make the closest hit visit-order independent, and only the push/pop
+    mechanics differ (ops/traverse_packet_slim.py FSTACK)."""
+    b, s = sphere_slim
+    n = 2048
+    o, d = _rays(rng_np, n)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    act = jnp.asarray(rng_np.random(n) < 0.8)
+    lin = tps.traverse_packet_slim(
+        o, d, t0, *_tables(s), (0,), active=act, interpret=True,
+        frame_stack=False,
+    )
+    frm = tps.traverse_packet_slim(
+        o, d, t0, *_tables(s), (0,), active=act, interpret=True,
+        frame_stack=True,
+    )
+    np.testing.assert_array_equal(np.asarray(frm[0]), np.asarray(lin[0]))
+    np.testing.assert_array_equal(np.asarray(frm[1]), np.asarray(lin[1]))
+    np.testing.assert_array_equal(np.asarray(frm[2]), np.asarray(lin[2]))
+    for c_f, c_l in zip(frm[3], lin[3]):
+        np.testing.assert_array_equal(np.asarray(c_f), np.asarray(c_l))
+    # and against the oracle directly
+    bt, bidx = intersect.brute_force_nearest_triangle(
+        o, d, jnp.asarray(b.tri_v0), jnp.asarray(b.tri_v1 - b.tri_v0),
+        jnp.asarray(b.tri_v2 - b.tri_v0), t0,
+    )
+    a = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(frm[1])[a], np.asarray(bidx)[a])
+
+
 def test_slim_multi_root(rng_np):
     """Two concatenated objects, both roots pre-seeded: nearest hit must
     win across objects (the fused IntersectScene contract)."""
@@ -166,3 +198,10 @@ def test_slim_multi_root(rng_np):
     )
     np.testing.assert_array_equal(np.asarray(hit), np.asarray(bidx))
     np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
+    # frame-stack scheme: multi-root seeding uses whole 9-slot frames
+    tf, hitf, _, _, _, _ = tps.traverse_packet_slim(
+        o, d, t0, nodes, ltris, tuple(roots), interpret=True,
+        frame_stack=True,
+    )
+    np.testing.assert_array_equal(np.asarray(hitf), np.asarray(bidx))
+    np.testing.assert_array_equal(np.asarray(tf), np.asarray(t))

@@ -131,6 +131,36 @@ def test_instanced_render_matches_wide(force_packet):
     assert int(res_p.traced_rays) == int(res_w.traced_rays)
 
 
+def test_instanced_frame_stack_matches_linear(force_packet):
+    """Frame-stack control with the TLAS machinery: instance entries
+    push a 1-slot RESTORE frame and the pop is gated so entering rows
+    keep it intact -- hits/t/obj/iid must be bit-exact vs the linear
+    stack (ops/traverse_packet_slim.py FSTACK scheme)."""
+    from cpugpupathtracing_tpu.ops import traverse_packet_slim as tps
+
+    scene = _instanced_scene()
+    dev = scene.device()
+    o, d = _rays(4096)
+    n = o.shape[0]
+    tmax = jnp.full((n,), RAY_TMAX, jnp.float32)
+    act = jnp.ones((n,), jnp.int32)
+    outs = []
+    for fs in (False, True):
+        res = tps.traverse_packet_slim(
+            o, d, tmax, dev.pnodes, dev.pltris, dev.proots, active=act,
+            interpret=True, frame_stack=fs,
+            inst_inv=dev.inst_inv, inst_root=dev.inst_blas_root_packet,
+        )
+        outs.append(res)
+    lin, frm = outs
+    np.testing.assert_array_equal(np.asarray(frm[0]), np.asarray(lin[0]))  # t
+    np.testing.assert_array_equal(np.asarray(frm[1]), np.asarray(lin[1]))  # tri
+    np.testing.assert_array_equal(np.asarray(frm[2]), np.asarray(lin[2]))  # obj
+    np.testing.assert_array_equal(np.asarray(frm[5]), np.asarray(lin[5]))  # iid
+    # the scene must actually exercise the instance machinery
+    assert int((np.asarray(lin[5]) >= 0).sum()) > 50
+
+
 def test_refit_matches_full_rebuild(force_packet):
     """set_instance_transform refits the TLAS in O(instances): the
     refitted snapshot must intersect identically to a from-scratch
