@@ -209,11 +209,17 @@ def _emit_traversal(
         m = m_act
         if any_hit:
             m = m & (hit < 0)
+            # any-hit row flush (see ops/traverse_packet_slim.py): a row
+            # whose live lanes are all occluded is parked immediately
+            row_live_v = jnp.max(m.astype(jnp.int32), axis=1,
+                                 keepdims=True)            # (8, 1)
 
         nrows, lrows, leaf_s, int_s = [], [], [], []
         for j in range(ROWS):
             e = entry_ref[j]
             live = e != DONE
+            if any_hit:
+                live = live & (row_live_v[j, 0] != 0)
             leaf = live & (e < 0)
             if instanced:
                 interior = live & (e >= 0) & (e < RESTORE)
@@ -318,6 +324,8 @@ def _emit_traversal(
         for j in range(ROWS):
             e = entry_ref[j]
             live = e != DONE
+            if any_hit:
+                live = live & (row_live_v[j, 0] != 0)
             interior = int_s[j]
             sp = sptr_ref[j]
             es_ = [imat[j, 48 + k] for k in range(WIDTH)]

@@ -208,12 +208,21 @@ def _traverse_kernel(
                 m = act0
                 if any_hit:
                     m = m & (hit < 0)
+                    # any-hit row flush: once every live lane of a row is
+                    # occluded, draining its remaining stack entries can
+                    # only re-find hits for already-hit lanes -- park the
+                    # row NOW (exact; saves the full slab+leaf cost of
+                    # every pending pop on coherent shadow fans)
+                    row_live_v = jnp.max(m.astype(jnp.int32), axis=1,
+                                         keepdims=True)        # (8, 1)
 
                 # ---- per-row entry decode + row loads (scalar control) ----
                 nrows, lrows, leaf_s, int_s = [], [], [], []
                 for j in range(ROWS):
                     e = entry_ref[j]
                     live = e != DONE
+                    if any_hit:
+                        live = live & (row_live_v[j, 0] != 0)
                     leaf = live & (e < 0)
                     if instanced:
                         interior = live & (e >= 0) & (e < RESTORE)
@@ -342,6 +351,8 @@ def _traverse_kernel(
                 for j in range(ROWS):
                     e = entry_ref[j]
                     live = e != DONE
+                    if any_hit:
+                        live = live & (row_live_v[j, 0] != 0)
                     interior = int_s[j]
                     sp = sptr_ref[j]
 
