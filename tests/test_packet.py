@@ -205,3 +205,40 @@ def test_slim_multi_root(rng_np):
     )
     np.testing.assert_array_equal(np.asarray(hitf), np.asarray(bidx))
     np.testing.assert_array_equal(np.asarray(tf), np.asarray(t))
+
+
+def test_stack_bound_falls_back_to_wide(monkeypatch, rng_np):
+    """The scene build validates the packet kernel's FIXED stack size
+    against the tree depth (ADVICE r2) for BOTH stack schemes, and falls
+    back to the wide traversal instead of silently corrupting the stack.
+    The bounds are patched small to trigger the guard on a tiny scene."""
+    from cpugpupathtracing_tpu.models import materials as matlib
+    from cpugpupathtracing_tpu.models.scene import Scene, intersect_scene
+
+    def build():
+        s = Scene()
+        white = s.add_material(matlib.Material.diffuse((0.8, 0.8, 0.8)))
+        s.add_mesh("ball", mesh.icosphere(subdivisions=2), white)
+        return s
+
+    # healthy bounds: packet path stays selected
+    assert build().device().traversal == "packet"
+
+    # linear scheme: slot bound too small
+    monkeypatch.setattr(tps, "STACK", 8)
+    dev_lin = build().device()
+    assert dev_lin.traversal == "wide"
+    monkeypatch.undo()
+
+    # frame scheme: frame bound too small
+    monkeypatch.setattr(tps, "FRAMESTACK_DEFAULT", True)
+    monkeypatch.setattr(tps, "FSTACK_FRAMES", 2)
+    dev_frm = build().device()
+    assert dev_frm.traversal == "wide"
+
+    # the fallback snapshot still intersects correctly
+    n = 1024
+    o, d = _rays(rng_np, n)
+    tmax = jnp.full((n,), RAY_TMAX, jnp.float32)
+    h = intersect_scene(dev_frm, o, d, tmax)
+    assert int((np.asarray(h.obj) >= 0).sum()) > 0
