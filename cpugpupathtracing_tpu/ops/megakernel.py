@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
 from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
-    RESTORE, FSTACK, FRAMESTACK_DEFAULT,
+    RESTORE, FSTACK, FRAMESTACK_DEFAULT, _ctz8,
 )
 
 TILE = 1024
@@ -390,9 +390,7 @@ def _emit_traversal(
                     can = can & ~is_inst  # entering descends, not pops
                 base = jnp.maximum(sp - 9, 0)
                 mw = stack_ref[j, base + 8]
-                low = mw & (-mw)
-                kk = jax.lax.population_count(low - 1)  # ctz
-                ent = stack_ref[j, base + jnp.minimum(kk, jnp.int32(7))]
+                ent = stack_ref[j, base + _ctz8(mw)]
                 rem = mw & (mw - 1)
                 stack_ref[j, base + 8] = jnp.where(can, rem, mw)
                 sp = jnp.where(can & (rem == 0), base, sp)

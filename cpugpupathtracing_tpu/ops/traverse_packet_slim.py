@@ -84,6 +84,23 @@ FSTACK = 9 * FSTACK_FRAMES  # build validates tree depth + 1 frame headroom
 # read ONCE at import: flipping the env var later has no effect (jit
 # caches key on the resolved value's source argument, not the env)
 FRAMESTACK_DEFAULT = os.environ.get("CPUGPU_FRAMESTACK", "") == "1"
+# frame-stack pop uses scalar lax.population_count for ctz; if Mosaic
+# rejects it on some toolchain, CPUGPU_CTZ_CHAIN=1 swaps in an 8-way
+# compare chain (bit-identical result, read once at import like above)
+CTZ_CHAIN = os.environ.get("CPUGPU_CTZ_CHAIN", "") == "1"
+
+
+def _ctz8(mw, chain: bool | None = None):
+    """Slot index of the lowest set bit of the 8-bit frame mask `mw`
+    (scalar i32).  Returns 7 when mw == 0 (callers gate on the mask, so
+    the popped junk entry is never observed)."""
+    low = mw & (-mw)
+    if CTZ_CHAIN if chain is None else chain:
+        kk = jnp.int32(7)
+        for k in range(6, -1, -1):
+            kk = jnp.where(low == (1 << k), jnp.int32(k), kk)
+        return kk
+    return jnp.minimum(jax.lax.population_count(low - 1), jnp.int32(7))
 TRI_DET_EPS = 0.001
 DONE = 0x7FFFFFFF
 RESTORE = 0x3FFFFFFF  # stack marker: leave instance space (< SLIM_EMPTY,
@@ -424,9 +441,7 @@ def _traverse_kernel(
                             can = can & ~is_inst  # entering descends, not pops
                         base = jnp.maximum(sp - 9, 0)
                         mw = stack_ref[j, base + 8]
-                        low = mw & (-mw)
-                        kk = jax.lax.population_count(low - 1)  # ctz
-                        ent = stack_ref[j, base + jnp.minimum(kk, jnp.int32(7))]
+                        ent = stack_ref[j, base + _ctz8(mw)]
                         rem = mw & (mw - 1)
                         # pop side effects gated on `can`: an entering row
                         # must leave its just-pushed RESTORE frame intact

@@ -242,3 +242,17 @@ def test_stack_bound_falls_back_to_wide(monkeypatch, rng_np):
     tmax = jnp.full((n,), RAY_TMAX, jnp.float32)
     h = intersect_scene(dev_frm, o, d, tmax)
     assert int((np.asarray(h.obj) >= 0).sum()) > 0
+
+
+def test_ctz8_chain_matches_popcount():
+    """The CPUGPU_CTZ_CHAIN compare-chain fallback must agree with the
+    population_count ctz for every 8-bit mask (incl. mw == 0 -> 7)."""
+    for mw in range(256):
+        w = jnp.int32(mw)
+        a = int(tps._ctz8(w, chain=False))
+        b = int(tps._ctz8(w, chain=True))
+        assert a == b, (mw, a, b)
+        if mw:
+            assert a == (mw & -mw).bit_length() - 1
+        else:
+            assert a == 7

@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
+from cpugpupathtracing_tpu.ops.traverse_packet_slim import _ctz8
 
 TILE = 1024
 GROUPS = 4
@@ -378,9 +379,7 @@ def _lab_kernel(*refs, roots, opts):
                         can = live & (sp > 0)
                         base = jnp.maximum(sp - 9, 0)
                         mw = stack_ref[j, base + 8]
-                        low = mw & (-mw)
-                        kk = jax.lax.population_count(low - 1)  # ctz
-                        ent = stack_ref[j, base + jnp.minimum(kk, jnp.int32(7))]
+                        ent = stack_ref[j, base + _ctz8(mw)]
                         rem = mw & (mw - 1)
                         stack_ref[j, base + 8] = rem
                         sp = jnp.where(rem == 0, base, sp)
