@@ -256,3 +256,39 @@ def test_ctz8_chain_matches_popcount():
             assert a == (mw & -mw).bit_length() - 1
         else:
             assert a == 7
+
+
+def test_lab_fused_decode_matches_brute_force(rng_np):
+    """The kernel-lab decode='fused' variant (unified node|leaf table,
+    one dynamic load per row) must reproduce brute-force hits exactly,
+    standalone and on top of the frame-stack control scheme."""
+    from tools.kernel_lab import traverse_lab, fuse_tables
+
+    m = mesh.icosphere(subdivisions=1)
+    b = bvh.build(m.positions, m.normals, m.indices,
+                  BuildOption.SAH_SPLIT_INTERVALS, max_leaf_size=8)
+    s = bvh8.to_slim(bvh8.collapse(b, leaf_max=8), b.tri_normal)
+    un, nn = fuse_tables(s.nodes, s.ltris)
+
+    n = 1024
+    o, d = _rays(rng_np, n)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    act = jnp.ones((n,), jnp.int32)
+    bt, bidx = intersect.brute_force_nearest_triangle(
+        o, d, jnp.asarray(b.tri_v0), jnp.asarray(b.tri_v1 - b.tri_v0),
+        jnp.asarray(b.tri_v2 - b.tri_v0), t0,
+    )
+    oc = (o[:, 0], o[:, 1], o[:, 2])
+    dc = (d[:, 0], d[:, 1], d[:, 2])
+    dummy = jnp.zeros((1, 128), jnp.float32)
+    for opts in (
+        dict(slab="ilv", leaf="ilv", order="fixed", decode="fused", nn=nn),
+        dict(slab="ilv", leaf="ilv", ctrl="framestack", decode="fused",
+             nn=nn),
+    ):
+        t, hit, obj, depth, _ = traverse_lab(
+            oc, dc, t0, jnp.asarray(un), dummy, (0,), active=act,
+            opts_t=tuple(sorted(opts.items())),
+        )
+        np.testing.assert_array_equal(np.asarray(hit), np.asarray(bidx))
+        np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)

@@ -48,6 +48,28 @@ DONE = 0x7FFFFFFF
 BIG = 1e30
 
 
+def fuse_tables(nodes, ltris):
+    """Build the unified (node|leaf) table for the decode='fused' lab
+    variant: node rows pad 64 -> 128 columns, leaf rows append after
+    them, and child entries re-encode leaf children from -(lrow+1) to
+    nn + lrow so EVERY live entry is a direct row index into one table
+    (DONE / SLIM_EMPTY sentinels unchanged; roots unchanged).  Halves
+    the per-row dynamic loads and removes the node/lrow address selects
+    from the decode phase, at the cost of 2x node-table VMEM."""
+    import numpy as np
+
+    nodes = np.asarray(nodes)
+    ltris = np.asarray(ltris)
+    nn = len(nodes)
+    un = np.zeros((nn + len(ltris), 128), np.float32)
+    un[:nn, :64] = nodes
+    un[nn:] = ltris
+    ci = un[:nn, 48:56].view(np.int32)
+    leaf = ci < 0
+    ci[leaf] = nn + (-ci[leaf] - 1)
+    return un, nn
+
+
 def _lab_kernel(*refs, roots, opts):
     refs = list(refs)
     smem_entries = opts.get("entries", "vector") == "smem"
@@ -70,6 +92,8 @@ def _lab_kernel(*refs, roots, opts):
     packed_mask = opts.get("ctrl", "extract") == "packedmask"
     frame_stack = opts.get("ctrl", "extract") == "framestack"
     fixed_order = opts.get("order", "nearest") == "fixed"
+    fused = opts.get("decode") == "fused"
+    nn_rows = opts.get("nn", 0)  # node-row count of the fused table
 
     pid = pl.program_id(0)  # hoisted: interpret mode cannot lower
     # program_id inside a pl.when body
@@ -124,19 +148,32 @@ def _lab_kernel(*refs, roots, opts):
                 m = act0
 
                 # ---- per-row entry decode + row loads ----
-                nrows, lrows = [], []
                 entries = []
-                for j in range(ROWS):
-                    e = entry_ref[j]
-                    entries.append(e)
-                    leaf = (e != DONE) & (e < 0)
-                    interior = (e != DONE) & (e >= 0)
-                    node = jnp.where(interior, e, 0)
-                    lrow = jnp.where(leaf, -e - 1, 0)
-                    nrows.append(nodes_ref[pl.ds(node, 1), :])
-                    lrows.append(ltris_ref[pl.ds(lrow, 1), :])
-                nmat = jnp.concatenate(nrows, axis=0)
-                lmat = jnp.concatenate(lrows, axis=0)
+                if fused:
+                    # unified table: ONE dynamic load per row, ONE
+                    # address select (live), flags from scalar compares
+                    # against the static node-row count
+                    urows = []
+                    for j in range(ROWS):
+                        e = entry_ref[j]
+                        entries.append(e)
+                        row = jnp.where(e != DONE, e, 0)
+                        urows.append(nodes_ref[pl.ds(row, 1), :])
+                    lmat = jnp.concatenate(urows, axis=0)     # (8, 128)
+                    nmat = lmat[:, :64]
+                else:
+                    nrows, lrows = [], []
+                    for j in range(ROWS):
+                        e = entry_ref[j]
+                        entries.append(e)
+                        leaf = (e != DONE) & (e < 0)
+                        interior = (e != DONE) & (e >= 0)
+                        node = jnp.where(interior, e, 0)
+                        lrow = jnp.where(leaf, -e - 1, 0)
+                        nrows.append(nodes_ref[pl.ds(node, 1), :])
+                        lrows.append(ltris_ref[pl.ds(lrow, 1), :])
+                    nmat = jnp.concatenate(nrows, axis=0)
+                    lmat = jnp.concatenate(lrows, axis=0)
                 imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
                 # ONE scalar->vector staging of the entries: leaf/interior
                 # flags derive in the vector domain
@@ -145,8 +182,12 @@ def _lab_kernel(*refs, roots, opts):
                     axis=0,
                 )                                            # (8, 1)
                 live_v = evec != DONE
-                leaf_v = live_v & (evec < 0)
-                int_v = live_v & (evec >= 0)
+                if fused:
+                    leaf_v = live_v & (evec >= nn_rows)
+                    int_v = live_v & (evec < nn_rows)
+                else:
+                    leaf_v = live_v & (evec < 0)
+                    int_v = live_v & (evec >= 0)
 
                 # ---- interior: 8 child slab tests ----
                 child_dmin = []
@@ -353,7 +394,10 @@ def _lab_kernel(*refs, roots, opts):
                 for j in range(ROWS):
                     e = entries[j]
                     live = e != DONE
-                    interior = live & (e >= 0)
+                    if fused:
+                        interior = live & (e < nn_rows)
+                    else:
+                        interior = live & (e >= 0)
                     sp = sptr_ref[j]
 
                     if smem_entries:

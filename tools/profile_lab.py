@@ -90,6 +90,21 @@ def main():
             ("ilv + framestack",
              dict(slab="ilv", leaf="ilv", ctrl="framestack"), True),
         ]
+    elif which == "r6":
+        # decode-phase attack: unified node|leaf table (one load per
+        # row, one address select) alone and on top of the frame stack
+        variants = [
+            ("ilv + fixed order", dict(slab="ilv", leaf="ilv", order="fixed"),
+             True),
+            ("ilv + framestack",
+             dict(slab="ilv", leaf="ilv", ctrl="framestack"), True),
+            ("ilv + fixed + fused",
+             dict(slab="ilv", leaf="ilv", order="fixed", decode="fused"),
+             True),
+            ("ilv + framestack + fused",
+             dict(slab="ilv", leaf="ilv", ctrl="framestack", decode="fused"),
+             True),
+        ]
     else:
         variants = [
             ("ilv", dict(slab="ilv", leaf="ilv"), True),
@@ -128,8 +143,17 @@ def main():
     dp_roots = (0, len(ddp.nodes))
 
     tables = [("greedy", dev.pnodes, dev.pltris, dev.proots)]
-    if which not in ("r2", "r4"):
+    if which not in ("r2", "r4", "r5", "r6"):
         tables.append(("dp", dp_nodes_j, dp_ltris_j, dp_roots))
+
+    if any(o.get("decode") == "fused" for _, o, _ in variants):
+        from tools.kernel_lab import fuse_tables
+
+        un_np, unn = fuse_tables(np.asarray(dev.pnodes), np.asarray(dev.pltris))
+        un_j = jnp.asarray(un_np)
+        fused_dummy = jnp.zeros((1, 128), jnp.float32)
+        print(f"fused table: {un_np.shape[0]} rows ({unn} node rows, "
+              f"{un_np.nbytes / 1e6:.1f} MB)", flush=True)
 
     if which == "dual":
         from tools.kernel_lab import traverse_lab_dual
@@ -160,10 +184,14 @@ def main():
 
     for tname, tn, tl, tr in tables:
         for label, opts, check in variants:
+            vtn, vtl = tn, tl
+            if opts.get("decode") == "fused":
+                opts = dict(opts, nn=unn)
+                vtn, vtl = un_j, fused_dummy
             opts_t = tuple(sorted(opts.items()))
             try:
                 f = jax.jit(
-                    lambda o_, d_, a_, ot=opts_t, tn=tn, tl=tl, tr=tr: traverse_lab(
+                    lambda o_, d_, a_, ot=opts_t, tn=vtn, tl=vtl, tr=tr: traverse_lab(
                         o_, d_, t0v, tn, tl, tr, active=a_, opts_t=ot,
                     )
                 )

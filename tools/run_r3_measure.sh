@@ -9,8 +9,8 @@ cd /root/repo
 echo "== 1. floor probe (per-iteration attribution) =="
 timeout 3600 python tools/floor_probe.py 2>&1 | tee $OUT/floor_probe.log
 
-echo "== 2. kernel lab r5: framestack vs fixed-order on the real bounce fan =="
-LAB_VARIANTS=r5 timeout 3600 python tools/profile_lab.py 2>&1 | tee $OUT/lab_r5.log
+echo "== 2. kernel lab r6: framestack / fused-decode on the real bounce fan =="
+LAB_VARIANTS=r6 timeout 5400 python tools/profile_lab.py 2>&1 | tee $OUT/lab_r6.log
 
 echo "== 3. production A/B: config 3, linear stack =="
 timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/bench_c3_linear.log
