@@ -9,13 +9,19 @@ cd /root/repo
 echo "== 1. floor probe (per-iteration attribution) =="
 timeout 3600 python tools/floor_probe.py 2>&1 | tee $OUT/floor_probe.log
 
-echo "== 2. kernel lab r6: framestack / fused-decode on the real bounce fan =="
-LAB_VARIANTS=r6 timeout 5400 python tools/profile_lab.py 2>&1 | tee $OUT/lab_r6.log
+echo "== 2. kernel lab2: framestack / fused decode / gated leaf on the bounce fan =="
+timeout 7200 python tools/profile_lab2.py 2>&1 | tee $OUT/lab2.log
 
 echo "== 3. production A/B: config 3, linear stack =="
 timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/bench_c3_linear.log
 
 echo "== 4. production A/B: config 3, frame stack =="
 CPUGPU_FRAMESTACK=1 timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/bench_c3_framestack.log
+
+echo "== 5. census: per-depth iterations after the any-hit row flush =="
+timeout 3600 python tools/profile_mega_census.py 3 2>&1 | tee $OUT/census_c3.log
+
+echo "== 6. config 5 bench (instanced/TLAS regression check) =="
+timeout 3600 python bench.py --config 5 2>&1 | tee $OUT/bench_c5.log
 
 echo "== done =="
