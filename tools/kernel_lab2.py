@@ -37,7 +37,9 @@ from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
 from cpugpupathtracing_tpu.ops.traverse_packet_slim import _ctz8
 
 TILE = 1024
-GROUPS = 4
+# LAB2_GROUPS sweeps the 1024-ray sub-tiles per grid step: more groups
+# amortize the ~13 us/step operand staging over more traversal work
+GROUPS = int(os.environ.get("LAB2_GROUPS", "4"))
 ROWS = 8
 LANES = 128
 WIDTH = 8

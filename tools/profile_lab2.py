@@ -80,6 +80,9 @@ def main():
         ("fused only", dict(fused=True)),
         ("gate only", dict(gate_leaf=True)),
     ]
+    only = os.environ.get("LAB2_ONLY", "")
+    if only:
+        variants = [v for v in variants if only in v[0]]
     for label, kw in variants:
         fused = kw.get("fused", False)
         tn = un_j if fused else dev.pnodes

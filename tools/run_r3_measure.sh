@@ -12,6 +12,9 @@ timeout 3600 python tools/floor_probe.py 2>&1 | tee $OUT/floor_probe.log
 echo "== 2. kernel lab2: framestack / fused decode / gated leaf on the bounce fan =="
 timeout 7200 python tools/profile_lab2.py 2>&1 | tee $OUT/lab2.log
 
+echo "== 2b. staging amortization: GROUPS=8 re-run, framestack variants only =="
+LAB2_GROUPS=8 LAB2_ONLY=framestack timeout 7200 python tools/profile_lab2.py 2>&1 | tee $OUT/lab2_g8.log
+
 echo "== 3. production A/B: config 3, linear stack =="
 timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/bench_c3_linear.log
 
