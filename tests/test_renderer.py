@@ -279,3 +279,34 @@ class TestPipelined:
         assert total == r1.stats.total_traced_rays
         assert total == r2.stats.total_traced_rays
         assert r2.num_accumulated == r1.num_accumulated
+
+
+class TestLiveEditors:
+    """Sphere/plane scene-tree editors (Source/Primitives.cpp:385-415):
+    edits rebuild the device snapshot and reset the accumulator."""
+
+    def test_sphere_edit_resets_and_changes_image(self):
+        r = Renderer(small_scene(), config=RenderConfig(width=W, height=H))
+        r.render(2)
+        before = r.image_u32().copy()
+        r.set_sphere(2, (8.0, 2.0, 7.0), 2.0)  # move + shrink the light
+        assert r.num_accumulated == 0
+        r.render(2)
+        after = r.image_u32()
+        assert not np.array_equal(before, after)
+
+    def test_plane_edit_resets(self):
+        r = Renderer(small_scene(), config=RenderConfig(width=W, height=H))
+        r.render(1)
+        r.set_plane(1, (0.0, -2.0, 0.0), (0.0, 1.0, 0.0))
+        assert r.num_accumulated == 0
+        # the raised floor is visible in the next frame
+        r.render(1)
+        assert r.image_u32().shape == (H, W)
+
+    def test_kind_mismatch_raises(self):
+        s = small_scene()
+        with pytest.raises(Exception):
+            s.set_sphere(1, (0, 0, 0), 1.0)   # index 1 is the plane
+        with pytest.raises(Exception):
+            s.set_plane(2, (0, 0, 0), (0, 1, 0))  # index 2 is the sphere
