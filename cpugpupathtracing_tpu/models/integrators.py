@@ -49,6 +49,7 @@ from cpugpupathtracing_tpu.models.scene import (
     hit_surface,
     intersect_scene,
     packet_path_active,
+    packet_tables,
     reorder_key,
 )
 from cpugpupathtracing_tpu.ops import sampling
@@ -323,8 +324,9 @@ def sorted_shadow_resolve(dev, mk, so, sd, stmax, flags, en, contrib,
     stm_s, contrib_s, slots_s = sorted_all[7], sorted_all[8:11], sorted_all[11]
     sneed_s = 1 - ((key_s >> 18) & 1)
     zero = jnp.zeros_like(en[0])
+    s_nodes, s_ltris, _ = packet_tables(dev)
     delta = mk.shadow_resolve(
-        dev.pnodes, dev.pltris, dev.mk_sph, dev.mk_pln,
+        s_nodes, s_ltris, dev.mk_sph, dev.mk_pln,
         so_s, sd_s, stm_s, sneed_s << 2, (zero, zero, zero), contrib_s,
         **static,
     )
@@ -745,6 +747,7 @@ def trace_advanced_mega(
     # flattened instanced scenes (scene.DeviceScene.packet_flattened)
     # run the PLAIN kernels: tables are world-space already
     instanced = dev.num_instances > 0 and not dev.packet_flattened
+    mk_nodes, mk_ltris, fused_nn = packet_tables(dev)
     static = dict(
         roots=dev.proots,
         num_mats=int(dev.mk_mats.shape[0]),
@@ -758,6 +761,7 @@ def trace_advanced_mega(
         ref_pdf=settings.diffuse_pdf_mode == DiffusePdfMode.REFERENCE,
         interpret=interpret,
         frame_stack=frame_stack,
+        fused_nn=fused_nn,
     )
     if instanced:
         static.update(
@@ -793,7 +797,7 @@ def trace_advanced_mega(
         flags = c["active"] | (c["is_specular"] << 1)
         traced = c["traced"] + jnp.sum(c["active"], dtype=jnp.int32)
         rays, state2, tp, en, flags2, so, sd, stmax, contrib = mk.shade_extend(
-            dev.pnodes, dev.pltris, dev.mk_mats, dev.mk_lights,
+            mk_nodes, mk_ltris, dev.mk_mats, dev.mk_lights,
             dev.mk_sph, dev.mk_pln, dev.mk_sph_mat, dev.mk_pln_mat,
             dev.mk_objmat,
             depth[None],
@@ -811,6 +815,7 @@ def trace_advanced_mega(
             shadow_static = dict(
                 roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
                 interpret=interpret, frame_stack=frame_stack,
+                fused_nn=fused_nn,
             )
             if instanced:
                 shadow_static.update(
@@ -824,7 +829,7 @@ def trace_advanced_mega(
                 )
             else:
                 en = mk.shadow_resolve(
-                    dev.pnodes, dev.pltris, dev.mk_sph, dev.mk_pln,
+                    mk_nodes, mk_ltris, dev.mk_sph, dev.mk_pln,
                     so, sd, stmax, flags2, en, contrib,
                     **shadow_static,
                 )

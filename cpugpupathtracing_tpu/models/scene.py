@@ -50,6 +50,35 @@ DEVICE_MAX_LEAF = 4
 # form returns -- bitwise-identical hits either way (intersect_scene).
 ANALYTIC_UNROLL_MAX = 16
 
+# CPUGPU_FUSED=1 builds the unified node|leaf packet table (node rows
+# padded to 128 cols, leaf rows appended, leaf child entries re-encoded
+# as direct row indices) so the kernels' decode phase does ONE dynamic
+# load + ONE address select per row instead of two of each.  Costs ~2x
+# node-table VMEM; non-instanced-machinery packet scenes only (flattened
+# instancing qualifies).  Read ONCE at import, like CPUGPU_FRAMESTACK.
+PACKET_FUSED = os.environ.get("CPUGPU_FUSED", "") == "1"
+
+
+@jax.jit
+def _fuse_packet_tables(pnodes, pltris):
+    """Unified (node|leaf) table for the fused packet decode: entries
+    that encode leaf rows as -(lrow+1) re-encode to nn + lrow; DONE /
+    SLIM_EMPTY sentinels and root rows are unchanged.  Runs on device so
+    the TLAS refit path can rebuild it per frame without host copies."""
+    nn = pnodes.shape[0]
+    ci = jax.lax.bitcast_convert_type(pnodes[:, 48:56], jnp.int32)
+    ci = jnp.where(ci < 0, nn + (-ci - 1), ci)
+    head = jnp.concatenate(
+        [
+            pnodes[:, :48],
+            jax.lax.bitcast_convert_type(ci, jnp.float32),
+            pnodes[:, 56:64],
+            jnp.zeros((nn, 64), pnodes.dtype),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([head, pltris], axis=0)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +125,9 @@ class DeviceScene:
     # object index, global triangle id), entries pre-encoded in nodes
     pnodes: jnp.ndarray = None      # (BP, 64) slim wide rows
     pltris: jnp.ndarray = None      # (NL, 128) leaf records
+    # fused node|leaf table (CPUGPU_FUSED=1, _fuse_packet_tables); None
+    # when disabled or the instance machinery is active
+    pfused: jnp.ndarray = None      # (BP + NL, 128)
     # world bounds (ray-reordering morton quantization)
     world_lo: jnp.ndarray = None        # (3,) f32
     world_inv_extent: jnp.ndarray = None  # (3,) f32
@@ -133,6 +165,8 @@ class DeviceScene:
     # tools 'dummy instance' experiment).  False = over the VMEM budget
     # or disabled; the object-space TLAS machinery runs instead.
     packet_flattened: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # node-row count of pfused (0 = fused table unavailable)
+    pfused_nn: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def num_triangles(self) -> int:
@@ -619,6 +653,10 @@ class Scene:
             wnodes=new_wnodes,
             pnodes=new_pnodes,
             pltris=new_pltris,
+            pfused=(
+                _fuse_packet_tables(new_pnodes, new_pltris)
+                if dev.pfused is not None else None
+            ),
             snodes12=new_snodes,
             inst_inv=jnp.asarray(np.stack(inst_inv_l)),
             inst_nrm=jnp.asarray(np.stack(inst_nrm_l)),
@@ -1061,7 +1099,7 @@ class Scene:
                 tuple((fm["node_base"], fm["ltris_base"]) for fm in flat_meta),
             )
 
-        return DeviceScene(
+        dev = DeviceScene(
             mk_mats=jnp.asarray(mk_mats),
             mk_lights=jnp.asarray(mk_lights),
             mk_sph=jnp.asarray(mk_sph),
@@ -1137,6 +1175,17 @@ class Scene:
             proots=tuple(proots),
             packet_flattened=flatten_packets,
         )
+        if (
+            PACKET_FUSED
+            and dev.traversal == "packet"
+            and (dev.num_instances == 0 or dev.packet_flattened)
+        ):
+            dev = dataclasses.replace(
+                dev,
+                pfused=_fuse_packet_tables(dev.pnodes, dev.pltris),
+                pfused_nn=int(dev.pnodes.shape[0]),
+            )
+        return dev
 
 
 def reorder_key(dev: DeviceScene, origin, direction, act, bits: int = 5):
@@ -1203,6 +1252,16 @@ def packet_path_active(dev: DeviceScene) -> bool:
     )
 
 
+def packet_tables(dev: DeviceScene):
+    """(nodes, ltris, fused_nn) for the packet kernels: the unified
+    fused table when the snapshot built one (CPUGPU_FUSED=1 and no
+    instance machinery), the split tables otherwise.  With the fused
+    table the ltris argument is staged but unread by the kernel."""
+    if dev.pfused is not None:
+        return dev.pfused, dev.pltris, dev.pfused_nn
+    return dev.pnodes, dev.pltris, 0
+
+
 def megakernel_active(dev: DeviceScene, settings) -> bool:
     """True when trace_sample should run the fused per-depth megakernels
     (ops/megakernel.py) instead of the XLA integrator body.  The gate
@@ -1263,13 +1322,15 @@ def intersect_scene(
         # tables are already world-space, iid stays -1 and normals are
         # pre-transformed (DeviceScene.packet_flattened)
         machinery = dev.num_instances > 0 and not dev.packet_flattened
+        p_nodes, p_ltris, p_fused_nn = packet_tables(dev)
         t, tri, pobj, nrm_c, depth, kiid = packetlib.traverse_packet_slim(
-            o_c, d_c, t_init, dev.pnodes, dev.pltris,
+            o_c, d_c, t_init, p_nodes, p_ltris,
             dev.proots, active=active, any_hit=any_hit,
             count_depth=count_depth,
             interpret=jax.default_backend() != "tpu",
             inst_inv=dev.inst_inv if machinery else None,
             inst_root=dev.inst_blas_root_packet if machinery else None,
+            fused_nn=p_fused_nn,
         )
         mesh_normal = jnp.stack(nrm_c, axis=1)
         mesh_hit = tri >= 0

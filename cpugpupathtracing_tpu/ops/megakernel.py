@@ -132,7 +132,7 @@ def _emit_traversal(
     nodes_ref, ltris_ref, entry_ref, sptr_ref, stack_ref,
     ox, oy, oz, dx, dy, dz, m_act, t_init, roots, *, any_hit,
     count_iters=False, num_inst=0, iid_ref=None, rays_ref=None,
-    inst_inv_ref=None, inst_root_ref=None, frame_stack=False,
+    inst_inv_ref=None, inst_root_ref=None, frame_stack=False, fused_nn=0,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
@@ -215,24 +215,39 @@ def _emit_traversal(
                                  keepdims=True)            # (8, 1)
 
         nrows, lrows, leaf_s, int_s = [], [], [], []
-        for j in range(ROWS):
-            e = entry_ref[j]
-            live = e != DONE
-            if any_hit:
-                live = live & (row_live_v[j, 0] != 0)
-            leaf = live & (e < 0)
-            if instanced:
-                interior = live & (e >= 0) & (e < RESTORE)
-            else:
-                interior = live & (e >= 0)
-            node = jnp.where(interior, e, 0)
-            lrow = jnp.where(leaf, -e - 1, 0)
-            nrows.append(nodes_ref[pl.ds(node, 1), :])
-            lrows.append(ltris_ref[pl.ds(lrow, 1), :])
-            leaf_s.append(leaf)
-            int_s.append(interior)
-        nmat = jnp.concatenate(nrows, axis=0)
-        lmat = jnp.concatenate(lrows, axis=0)
+        if fused_nn:
+            # unified node|leaf table: one dynamic load + one address
+            # select per row (see ops/traverse_packet_slim.py fused_nn)
+            urows = []
+            for j in range(ROWS):
+                e = entry_ref[j]
+                live = e != DONE
+                if any_hit:
+                    live = live & (row_live_v[j, 0] != 0)
+                leaf_s.append(live & (e >= fused_nn))
+                int_s.append(live & (e < fused_nn))
+                urows.append(nodes_ref[pl.ds(jnp.where(live, e, 0), 1), :])
+            lmat = jnp.concatenate(urows, axis=0)
+            nmat = lmat[:, :64]
+        else:
+            for j in range(ROWS):
+                e = entry_ref[j]
+                live = e != DONE
+                if any_hit:
+                    live = live & (row_live_v[j, 0] != 0)
+                leaf = live & (e < 0)
+                if instanced:
+                    interior = live & (e >= 0) & (e < RESTORE)
+                else:
+                    interior = live & (e >= 0)
+                node = jnp.where(interior, e, 0)
+                lrow = jnp.where(leaf, -e - 1, 0)
+                nrows.append(nodes_ref[pl.ds(node, 1), :])
+                lrows.append(ltris_ref[pl.ds(lrow, 1), :])
+                leaf_s.append(leaf)
+                int_s.append(interior)
+            nmat = jnp.concatenate(nrows, axis=0)
+            lmat = jnp.concatenate(lrows, axis=0)
         imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
         leaf_v = jnp.concatenate(
             [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
@@ -561,7 +576,7 @@ def _shade_extend_kernel(
     *tail,
     roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, num_inst=0, count_iters=False,
-    frame_stack=False,
+    frame_stack=False, fused_nn=0,
 ):
     """One integrator depth minus the shadow resolve: traversal + the
     full TracePathAdvanced shading body (Source/Main.cpp:396-579)."""
@@ -662,7 +677,7 @@ def _shade_extend_kernel(
                 any_hit=False, count_iters=count_iters,
                 num_inst=num_inst, iid_ref=iid_ref, rays_ref=rays_ref,
                 inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
-                frame_stack=frame_stack,
+                frame_stack=frame_stack, fused_nn=fused_nn,
             )
             t, tri, obj, mnx, mny, mnz = trav[:6]
             if count_iters:
@@ -1008,7 +1023,7 @@ def _shadow_resolve_kernel(
     # columns, [iters_ref when count_iters], scratch
     *tail,
     roots, num_sph, num_pln, num_inst=0, count_iters=False,
-    frame_stack=False,
+    frame_stack=False, fused_nn=0,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
     i = 0
@@ -1064,7 +1079,7 @@ def _shadow_resolve_kernel(
                 any_hit=True, count_iters=count_iters,
                 num_inst=num_inst, iid_ref=iid_ref, rays_ref=rays_ref,
                 inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
-                frame_stack=frame_stack,
+                frame_stack=frame_stack, fused_nn=fused_nn,
             )
             t, tri = trav[0], trav[1]
             if count_iters:
@@ -1122,7 +1137,7 @@ def _pad_to(step, arrs, pad_vals):
     static_argnames=(
         "roots", "num_mats", "num_lights", "num_sph", "num_pln", "num_objs",
         "nee", "rr", "cosine", "ref_pdf", "interpret", "count_iters",
-        "frame_stack",
+        "frame_stack", "fused_nn",
     ),
 )
 def shade_extend(
@@ -1131,6 +1146,7 @@ def shade_extend(
     *, roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, interpret=False, count_iters=False,
     inst_inv=None, inst_nrm=None, inst_root=None, frame_stack=None,
+    fused_nn=0,
 ):
     """One fused depth step (minus shadow resolve) over the wavefront.
 
@@ -1150,6 +1166,9 @@ def shade_extend(
     n, cols = _pad_to(step, cols, pads)
     num_steps = n // step
     num_inst = int(inst_inv.shape[0]) if inst_inv is not None else 0
+    if num_inst and fused_nn:
+        raise ValueError("fused packet tables do not support the instance "
+                         "machinery (flattened scenes may fuse)")
     if frame_stack is None:
         frame_stack = FRAMESTACK_DEFAULT
 
@@ -1196,7 +1215,7 @@ def shade_extend(
             num_sph=num_sph, num_pln=num_pln, num_objs=num_objs,
             nee=nee, rr=rr, cosine=cosine, ref_pdf=ref_pdf,
             num_inst=num_inst, count_iters=count_iters,
-            frame_stack=frame_stack,
+            frame_stack=frame_stack, fused_nn=fused_nn,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -1225,13 +1244,13 @@ def shade_extend(
 @functools.partial(
     jax.jit,
     static_argnames=("roots", "num_sph", "num_pln", "interpret",
-                     "count_iters", "frame_stack"),
+                     "count_iters", "frame_stack", "fused_nn"),
 )
 def shadow_resolve(
     nodes, ltris, sph, pln,
     shadow_o, shadow_d, shadow_tmax, flags, energy, contrib,
     *, roots, num_sph, num_pln, interpret=False, count_iters=False,
-    inst_inv=None, inst_root=None, frame_stack=None,
+    inst_inv=None, inst_root=None, frame_stack=None, fused_nn=0,
 ):
     """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)
     (plus per-sub-tile iteration counts when count_iters).  inst_inv /
@@ -1245,6 +1264,9 @@ def shadow_resolve(
     n, cols = _pad_to(step, cols, pads)
     num_steps = n // step
     num_inst = int(inst_inv.shape[0]) if inst_inv is not None else 0
+    if num_inst and fused_nn:
+        raise ValueError("fused packet tables do not support the instance "
+                         "machinery (flattened scenes may fuse)")
     if frame_stack is None:
         frame_stack = FRAMESTACK_DEFAULT
     in_specs = (
@@ -1279,7 +1301,7 @@ def shadow_resolve(
             roots=tuple(int(r) for r in roots),
             num_sph=num_sph, num_pln=num_pln,
             num_inst=num_inst, count_iters=count_iters,
-            frame_stack=frame_stack,
+            frame_stack=frame_stack, fused_nn=fused_nn,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

@@ -111,7 +111,7 @@ BIG = 1e30
 def _traverse_kernel(
     *refs,
     roots: tuple, any_hit: bool, count_depth: bool, instanced: bool,
-    count_iters: bool, frame_stack: bool = False,
+    count_iters: bool, frame_stack: bool = False, fused_nn: int = 0,
 ):
     if count_iters:
         # the iters output ref sits after the 8 regular outputs, before
@@ -235,24 +235,43 @@ def _traverse_kernel(
 
                 # ---- per-row entry decode + row loads (scalar control) ----
                 nrows, lrows, leaf_s, int_s = [], [], [], []
-                for j in range(ROWS):
-                    e = entry_ref[j]
-                    live = e != DONE
-                    if any_hit:
-                        live = live & (row_live_v[j, 0] != 0)
-                    leaf = live & (e < 0)
-                    if instanced:
-                        interior = live & (e >= 0) & (e < RESTORE)
-                    else:
-                        interior = live & (e >= 0)
-                    node = jnp.where(interior, e, 0)
-                    lrow = jnp.where(leaf, -e - 1, 0)
-                    nrows.append(nodes_ref[pl.ds(node, 1), :])
-                    lrows.append(ltris_ref[pl.ds(lrow, 1), :])
-                    leaf_s.append(leaf)
-                    int_s.append(interior)
-                nmat = jnp.concatenate(nrows, axis=0)          # (8, 64)
-                lmat = jnp.concatenate(lrows, axis=0)          # (8, 128)
+                if fused_nn:
+                    # unified node|leaf table (scene._fuse_packet_tables):
+                    # every live entry is a direct row index, so ONE
+                    # dynamic load and ONE address select per row replace
+                    # the two-table decode (non-instanced scenes only)
+                    urows = []
+                    for j in range(ROWS):
+                        e = entry_ref[j]
+                        live = e != DONE
+                        if any_hit:
+                            live = live & (row_live_v[j, 0] != 0)
+                        leaf_s.append(live & (e >= fused_nn))
+                        int_s.append(live & (e < fused_nn))
+                        urows.append(
+                            nodes_ref[pl.ds(jnp.where(live, e, 0), 1), :]
+                        )
+                    lmat = jnp.concatenate(urows, axis=0)      # (8, 128)
+                    nmat = lmat[:, :64]
+                else:
+                    for j in range(ROWS):
+                        e = entry_ref[j]
+                        live = e != DONE
+                        if any_hit:
+                            live = live & (row_live_v[j, 0] != 0)
+                        leaf = live & (e < 0)
+                        if instanced:
+                            interior = live & (e >= 0) & (e < RESTORE)
+                        else:
+                            interior = live & (e >= 0)
+                        node = jnp.where(interior, e, 0)
+                        lrow = jnp.where(leaf, -e - 1, 0)
+                        nrows.append(nodes_ref[pl.ds(node, 1), :])
+                        lrows.append(ltris_ref[pl.ds(lrow, 1), :])
+                        leaf_s.append(leaf)
+                        int_s.append(interior)
+                    nmat = jnp.concatenate(nrows, axis=0)      # (8, 64)
+                    lmat = jnp.concatenate(lrows, axis=0)      # (8, 128)
                 imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
                 leaf_v = jnp.concatenate(
                     [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
@@ -577,13 +596,14 @@ def _traverse_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("roots", "interpret", "any_hit", "count_depth",
-                     "count_iters", "frame_stack"),
+                     "count_iters", "frame_stack", "fused_nn"),
 )
 def traverse_packet_slim(
     origin, direction, t_init, nodes, ltris, roots,
     *, active=None, interpret: bool = False, any_hit: bool = False,
     count_depth: bool = True, inst_inv=None, inst_root=None,
     count_iters: bool = False, frame_stack: bool | None = None,
+    fused_nn: int = 0,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
@@ -614,6 +634,11 @@ def traverse_packet_slim(
     n0 = ox_c.shape[0]
     roots = tuple(int(r) for r in roots)
     instanced = inst_inv is not None
+    if instanced and fused_nn:
+        raise ValueError(
+            "fused packet tables do not support the instance machinery "
+            "(flattened scenes run the plain kernel and may fuse)"
+        )
     if frame_stack is None:
         frame_stack = FRAMESTACK_DEFAULT
     step = GROUPS * TILE
@@ -688,6 +713,7 @@ def traverse_packet_slim(
             instanced=instanced,
             count_iters=count_iters,
             frame_stack=frame_stack,
+            fused_nn=fused_nn,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

@@ -148,3 +148,40 @@ def test_flattened_normals_are_world(force_packet, rng_np):
     # pre-normalized world normals, unit length, facing checked by dot
     # with the ray being negative for front hits on a convex shell
     assert np.abs(ln - 1.0).max() < 1e-4
+
+
+def test_flatten_fused_refit_bitwise(force_packet, rng_np, monkeypatch):
+    """Fused tables on a flattened instanced scene: hits bitwise-equal
+    to the split tables, before AND after a transform refit (the refit
+    path rebuilds pfused from the re-spliced tables)."""
+    import dataclasses
+
+    from cpugpupathtracing_tpu.models import scene as scenelib
+
+    monkeypatch.setattr(scenelib, "PACKET_FUSED", True)
+    s = _scene()
+    dev = s.device()
+    assert dev.packet_flattened and dev.pfused is not None
+
+    n = 1024
+    o = rng_np.normal(size=(n, 3)).astype(np.float32) * 6
+    aim = rng_np.normal(size=(n, 3)).astype(np.float32) * 2
+    d = aim - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+
+    for step in range(2):
+        if step == 1:
+            s.set_instance_transform(0, 1, _tf(2.0, 0.8, 0.3))
+            dev = s.device()
+            assert dev.pfused is not None
+        dev0 = dataclasses.replace(dev, pfused=None, pfused_nn=0)
+        h1 = intersect_scene(dev, o, d, t0)
+        h0 = intersect_scene(dev0, o, d, t0)
+        for name in ("t", "obj", "prim", "inst"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(h1, name)),
+                np.asarray(getattr(h0, name)),
+                err_msg=f"{name} step={step}",
+            )

@@ -292,3 +292,36 @@ def test_lab_fused_decode_matches_brute_force(rng_np):
         )
         np.testing.assert_array_equal(np.asarray(hit), np.asarray(bidx))
         np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
+
+
+def test_fused_tables_production_bitwise(rng_np, monkeypatch):
+    """CPUGPU_FUSED unified-table decode must be bitwise identical to
+    the split-table kernel through intersect_scene, incl. any-hit."""
+    import dataclasses
+
+    from cpugpupathtracing_tpu.models import materials as matlib
+    from cpugpupathtracing_tpu.models import mesh as meshlib
+    from cpugpupathtracing_tpu.models import scene as scenelib
+
+    monkeypatch.setenv("CPUGPU_TPU_FORCE_PACKET", "1")
+    monkeypatch.setattr(scenelib, "PACKET_FUSED", True)
+
+    s = scenelib.Scene()
+    grey = s.add_material(matlib.Material.diffuse((0.5, 0.5, 0.5)))
+    s.add_mesh("ball", meshlib.icosphere(subdivisions=2), grey)
+    s.add_plane("floor", (0.0, -2.0, 0.0), (0.0, 1.0, 0.0), grey)
+    dev = s.device()
+    assert dev.pfused is not None and dev.pfused_nn > 0
+    dev0 = dataclasses.replace(dev, pfused=None, pfused_nn=0)
+
+    n = 2048
+    o, d = _rays(rng_np, n)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    for any_hit in (False, True):
+        h1 = scenelib.intersect_scene(dev, o, d, t0, any_hit=any_hit)
+        h0 = scenelib.intersect_scene(dev0, o, d, t0, any_hit=any_hit)
+        for name in ("t", "obj", "kind", "prim", "inst"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(h1, name)), np.asarray(getattr(h0, name)),
+                err_msg=f"{name} any_hit={any_hit}",
+            )
