@@ -131,7 +131,33 @@ def _probe_kernel(nodes_ref, ltris_ref,
                     ok = det_ok & (u >= 0.0) & (vv >= 0.0) & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t) & m
                     t = jnp.where(ok, tt, t)
 
-            if "ctrl" in stages:
+            if "fctrl" in stages:
+                # frame-stack-shaped control: 9 unconditional stores +
+                # mask word + ctz pop (constant payloads, fixed trips)
+                from cpugpupathtracing_tpu.ops.traverse_packet_slim import _ctz8
+
+                for j in range(ROWS):
+                    e = entry_ref[j]
+                    interior = e >= 0
+                    sp = sptr_ref[j]
+                    w = (e % 255) + 1  # nonzero 8-bit mask
+                    base_p = jnp.minimum(sp, STACK - 9)
+                    for k in range(WIDTH):
+                        stack_ref[j, base_p + k] = (e + k + 1) % nrows_total
+                    stack_ref[j, base_p + 8] = w
+                    sp = sp + jnp.where(interior & (w != 0), 9, 0)
+                    sp = jnp.minimum(sp, STACK - 18)  # bound growth
+                    can = sp > 0
+                    base = jnp.maximum(sp - 9, 0)
+                    mw = stack_ref[j, base + 8]
+                    ent = stack_ref[j, base + _ctz8(mw)]
+                    rem = mw & (mw - 1)
+                    stack_ref[j, base + 8] = jnp.where(can, rem, mw)
+                    sp = jnp.where(can & (rem == 0), base, sp)
+                    nxt = jnp.where(can, ent, 0)
+                    sptr_ref[j] = sp
+                    entry_ref[j] = nxt
+            elif "ctrl" in stages:
                 for j in range(ROWS):
                     e = entry_ref[j]
                     interior = e >= 0
@@ -203,11 +229,14 @@ def main():
     for stages in [
         (),
         ("ctrl",),
+        ("fctrl",),
         ("loads",),
         ("ctrl", "loads"),
+        ("fctrl", "loads"),
         ("ctrl", "loads", "slab"),
         ("ctrl", "loads", "leaf"),
         ("ctrl", "loads", "slab", "leaf"),
+        ("fctrl", "loads", "slab", "leaf"),
     ]:
         run(stages, nodes, ltris, cols)
 
