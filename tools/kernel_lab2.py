@@ -364,6 +364,313 @@ def traverse_lab2(origin, direction, t_init, nodes, ltris, roots, *, active,
     return t[:n0], hit[:n0], obj[:n0], iters, leafs
 
 
+def _lab2p_kernel(*refs, roots, nn, frame_stack, fused):
+    """SOFTWARE-PIPELINED body: each iteration (1) pops the NEXT entry
+    and issues its row load, (2) runs slab+leaf on the CURRENT entry
+    from the row matrix carried since last iteration, (3) pushes the
+    current entry's children.  The scalar pop + dynamic-load issue in
+    (1) have no data dependency on (2), so they overlap the VPU work
+    instead of serializing ahead of it -- the pop->load->slab->push
+    chain measured as the per-iteration floor splits into two parallel
+    halves.  A row whose pop precedes a same-iteration push runs one
+    bubble iteration (slab no-op) before draining the new frame; hits
+    stay exact for any visit order.  Requires fused tables."""
+    (
+        nodes_ref, ltris_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref, act_ref,
+        t_out, hit_out, obj_out, iters_out, leafs_out,
+        entry_ref, entry2_ref, sptr_ref, stack_ref, t_s, hit_s, obj_s,
+    ) = refs
+    assert fused, "pipelined lab kernel requires fused tables"
+    pid = pl.program_id(0)
+
+    for g in range(GROUPS):
+        gs = slice(g * TILE, (g + 1) * TILE)
+        any_act = jnp.sum(act_ref[gs]) > 0
+        iters_out[pid * GROUPS + g] = 0
+        leafs_out[pid * GROUPS + g] = 0
+
+        @pl.when(jnp.logical_not(any_act))
+        def _dead(gs=gs):
+            t_out[gs] = t0_ref[gs]
+            hit_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+            obj_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+
+        @pl.when(any_act)
+        def _group(g=g, gs=gs):
+            shape = (ROWS, LANES)
+            ox = ox_ref[gs].reshape(shape)
+            oy = oy_ref[gs].reshape(shape)
+            oz = oz_ref[gs].reshape(shape)
+            dx = dx_ref[gs].reshape(shape)
+            dy = dy_ref[gs].reshape(shape)
+            dz = dz_ref[gs].reshape(shape)
+            act0 = act_ref[gs].reshape(shape) != 0
+
+            def inv_dir(d):
+                return jnp.where(d == 0.0, BIG, 1.0 / d)
+
+            ix = inv_dir(dx)
+            iy = inv_dir(dy)
+            iz = inv_dir(dz)
+
+            t_s[...] = t0_ref[gs].reshape(shape)
+            hit_s[...] = jnp.full(shape, -1, jnp.int32)
+            obj_s[...] = jnp.full(shape, -1, jnp.int32)
+
+            for j in range(ROWS):
+                entry_ref[j] = roots[0]
+                if frame_stack:
+                    nroots = len(roots) - 1
+                    nf = 0
+                    pos = 0
+                    while pos < nroots:
+                        cnt = min(8, nroots - pos)
+                        for i in range(cnt):
+                            stack_ref[j, 9 * nf + i] = roots[1 + pos + i]
+                        stack_ref[j, 9 * nf + 8] = (1 << cnt) - 1
+                        nf += 1
+                        pos += cnt
+                    sptr_ref[j] = 9 * nf
+                else:
+                    sptr_ref[j] = len(roots) - 1
+                    for i, r in enumerate(roots[1:]):
+                        stack_ref[j, i] = r
+            # prologue: the first current entry is the (static) primary
+            # root; its row matrix loads once before the loop
+            lmat0 = jnp.concatenate(
+                [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
+            )
+
+            def body(carry):
+                lmat, it, nl, _ = carry
+                m = act0
+                t = t_s[...]
+
+                # ---- (1) scalar: pop NEXT + issue its loads ----
+                entries, leaf_s, int_s = [], [], []
+                urows = []
+                nexts = []
+                for j in range(ROWS):
+                    e = entry_ref[j]
+                    entries.append(e)
+                    live = e != DONE
+                    leaf_s.append(live & (e >= nn))
+                    int_s.append(live & (e < nn))
+                    sp = sptr_ref[j]
+                    can = sp > 0
+                    if frame_stack:
+                        base = jnp.maximum(sp - 9, 0)
+                        mw = stack_ref[j, base + 8]
+                        ent = stack_ref[j, base + _ctz8(mw)]
+                        rem = mw & (mw - 1)
+                        stack_ref[j, base + 8] = jnp.where(can, rem, mw)
+                        sp2 = jnp.where(can & (rem == 0), base, sp)
+                    else:
+                        ent = stack_ref[j, jnp.maximum(sp - 1, 0)]
+                        sp2 = jnp.where(can, sp - 1, sp)
+                    nxt = jnp.where(can, ent, DONE)
+                    entry2_ref[j] = nxt
+                    sptr_ref[j] = sp2
+                    nexts.append(nxt)
+                    urows.append(
+                        nodes_ref[pl.ds(jnp.where(nxt != DONE, nxt, 0), 1), :]
+                    )
+                lmat_next = jnp.concatenate(urows, axis=0)
+
+                # ---- (2) vector: slab + leaf on CURRENT from carried lmat
+                nmat = lmat[:, :64]
+                imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
+                evec = jnp.concatenate(
+                    [jnp.full((1, 1), entries[j], jnp.int32) for j in range(ROWS)],
+                    axis=0,
+                )
+                live_v = evec != DONE
+                leaf_v = live_v & (evec >= nn)
+                int_v = live_v & (evec < nn)
+
+                R = range(WIDTH)
+                tx1 = [(nmat[:, 6 * k + 0 : 6 * k + 1] - ox) * ix for k in R]
+                ty1 = [(nmat[:, 6 * k + 1 : 6 * k + 2] - oy) * iy for k in R]
+                tz1 = [(nmat[:, 6 * k + 2 : 6 * k + 3] - oz) * iz for k in R]
+                tx2 = [(nmat[:, 6 * k + 3 : 6 * k + 4] - ox) * ix for k in R]
+                ty2 = [(nmat[:, 6 * k + 4 : 6 * k + 5] - oy) * iy for k in R]
+                tz2 = [(nmat[:, 6 * k + 5 : 6 * k + 6] - oz) * iz for k in R]
+                mnx = [jnp.minimum(tx1[k], tx2[k]) for k in R]
+                mny = [jnp.minimum(ty1[k], ty2[k]) for k in R]
+                mnz = [jnp.minimum(tz1[k], tz2[k]) for k in R]
+                mxx = [jnp.maximum(tx1[k], tx2[k]) for k in R]
+                mxy = [jnp.maximum(ty1[k], ty2[k]) for k in R]
+                mxz = [jnp.maximum(tz1[k], tz2[k]) for k in R]
+                tmin = [jnp.maximum(jnp.maximum(mnx[k], mny[k]), mnz[k]) for k in R]
+                tmax = [jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k]) for k in R]
+                valid = [imat[:, 48 + k : 49 + k] != SLIM_EMPTY for k in R]
+                bm = [
+                    (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
+                    & m & int_v & valid[k]
+                    for k in R
+                ]
+                fin = [
+                    jnp.min(jnp.where(bm[k], tmin[k], jnp.inf), axis=1,
+                            keepdims=True)
+                    for k in R
+                ]
+                D = jnp.concatenate(fin, axis=1)
+                fs_fin = jnp.isfinite(D)
+                fs_mask = jnp.zeros((ROWS, 1), jnp.int32)
+                for k in range(WIDTH):
+                    fs_mask = fs_mask | (
+                        fs_fin[:, k : k + 1].astype(jnp.int32) << k
+                    )
+
+                hit = hit_s[...]
+                obj = obj_s[...]
+                limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
+                for c in range(LEAF_TRIS):
+                    tm = lmat[:, 16 * c : 16 * c + 12]
+                    hx = dy * tm[:, 8:9] - dz * tm[:, 7:8]
+                    hy = dz * tm[:, 6:7] - dx * tm[:, 8:9]
+                    hz = dx * tm[:, 7:8] - dy * tm[:, 6:7]
+                    a = tm[:, 3:4] * hx + tm[:, 4:5] * hy + tm[:, 5:6] * hz
+                    det_ok = jnp.abs(a) >= TRI_DET_EPS
+                    f = 1.0 / jnp.where(det_ok, a, 1.0)
+                    sx = ox - tm[:, 0:1]
+                    sy = oy - tm[:, 1:2]
+                    sz = oz - tm[:, 2:3]
+                    u = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * tm[:, 5:6] - sz * tm[:, 4:5]
+                    qy = sz * tm[:, 3:4] - sx * tm[:, 5:6]
+                    qz = sx * tm[:, 4:5] - sy * tm[:, 3:4]
+                    vv = f * (dx * qx + dy * qy + dz * qz)
+                    tt = f * (tm[:, 6:7] * qx + tm[:, 7:8] * qy
+                              + tm[:, 8:9] * qz)
+                    ok = (
+                        det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
+                        & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
+                        & m & leaf_v
+                    )
+                    t = jnp.where(ok, tt, t)
+                    hit = jnp.where(ok, limat[:, 16 * c + 13 : 16 * c + 14], hit)
+                    obj = jnp.where(ok, limat[:, 16 * c + 12 : 16 * c + 13], obj)
+                t_s[...] = t
+                hit_s[...] = hit
+                obj_s[...] = obj
+
+                # ---- (3) scalar: push CURRENT's children; rotate ----
+                any_leaf = leaf_s[0]
+                for j in range(1, ROWS):
+                    any_leaf = any_leaf | leaf_s[j]
+                alive = jnp.int32(0)
+                for j in range(ROWS):
+                    sp = sptr_ref[j]
+                    w = fs_mask[j, 0]
+                    do_push = int_s[j] & (w != 0)
+                    if frame_stack:
+                        es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+                        base_p = jnp.minimum(sp, FSTACK - 9)
+                        for k in range(WIDTH):
+                            stack_ref[j, base_p + k] = es_[k]
+                        stack_ref[j, base_p + 8] = w
+                        sp = sp + jnp.where(do_push, 9, 0)
+                    else:
+                        es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+                        for k in range(WIDTH):
+                            push = (
+                                ((jax.lax.shift_right_logical(w, k) & 1) != 0)
+                                & int_s[j]
+                            )
+                            slot = jnp.where(
+                                push, jnp.minimum(sp, STACK - 1), STACK - 1
+                            )
+                            prev = stack_ref[j, slot]
+                            stack_ref[j, slot] = jnp.where(push, es_[k], prev)
+                            sp = sp + jnp.where(push, 1, 0)
+                    sptr_ref[j] = sp
+                    entry_ref[j] = entry2_ref[j]
+                    alive = alive + jnp.where(
+                        (nexts[j] != DONE) | (sp > 0), 1, 0
+                    )
+                return (lmat_next, it + 1,
+                        nl + jnp.where(any_leaf, 1, 0), alive)
+
+            out = jax.lax.while_loop(
+                lambda c: c[-1] > 0, body,
+                (lmat0, jnp.int32(0), jnp.int32(0), jnp.int32(1)),
+            )
+            t_out[gs] = t_s[...].reshape(-1)
+            hit_out[gs] = hit_s[...].reshape(-1)
+            obj_out[gs] = obj_s[...].reshape(-1)
+            iters_out[pid * GROUPS + g] = out[1]
+            leafs_out[pid * GROUPS + g] = out[2]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("roots", "nn", "frame_stack"),
+)
+def traverse_lab2p(origin, direction, t_init, nodes, ltris, roots, *, active,
+                   nn, frame_stack=True):
+    """Pipelined-body lab traversal (fused tables required)."""
+    ox_c, oy_c, oz_c = origin
+    dx_c, dy_c, dz_c = direction
+    n0 = ox_c.shape[0]
+    roots = tuple(int(r) for r in roots)
+    step = GROUPS * TILE
+    n = -(-n0 // step) * step
+    num_steps = n // step
+    num_tiles = n // TILE
+    act = active.astype(jnp.int32)
+    if n != n0:
+        pad = n - n0
+        pad1 = jnp.ones((pad,), jnp.float32)
+        ox_c = jnp.concatenate([ox_c, pad1])
+        oy_c = jnp.concatenate([oy_c, pad1])
+        oz_c = jnp.concatenate([oz_c, pad1])
+        dx_c = jnp.concatenate([dx_c, pad1])
+        dy_c = jnp.concatenate([dy_c, pad1])
+        dz_c = jnp.concatenate([dz_c, pad1])
+        t_init = jnp.concatenate([t_init, jnp.zeros((pad,), t_init.dtype)])
+        act = jnp.concatenate([act, jnp.zeros((pad,), jnp.int32)])
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 + [
+        pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
+    ] * 8
+    out_specs = [
+        pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
+    ] * 3 + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+    out_shape = [
+        jax.ShapeDtypeStruct((n,), jnp.float32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct((num_tiles,), jnp.int32),
+        jax.ShapeDtypeStruct((num_tiles,), jnp.int32),
+    ]
+    res = pl.pallas_call(
+        functools.partial(
+            _lab2p_kernel, roots=roots, nn=nn, frame_stack=frame_stack,
+            fused=True,
+        ),
+        grid=(num_steps,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((ROWS,), jnp.int32),
+            pltpu.SMEM((ROWS,), jnp.int32),
+            pltpu.SMEM((ROWS,), jnp.int32),
+            pltpu.SMEM((ROWS, FSTACK if frame_stack else STACK), jnp.int32),
+            pltpu.VMEM((ROWS, LANES), jnp.float32),
+            pltpu.VMEM((ROWS, LANES), jnp.int32),
+            pltpu.VMEM((ROWS, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(nodes, ltris, ox_c, oy_c, oz_c, dx_c, dy_c, dz_c, t_init, act)
+    t, hit, obj, iters, leafs = res
+    return t[:n0], hit[:n0], obj[:n0], iters, leafs
+
+
 def _selfcheck():
     """Interpret-mode hit-exactness vs brute force on a tiny scene."""
     import numpy as np
@@ -412,6 +719,16 @@ def _selfcheck():
                                            rtol=1e-5)
                 print(f"fs={fs} fused={fused} gate_leaf={gl}: hits OK",
                       flush=True)
+
+    for fs in (False, True):
+        t, hit, obj, it, _ = traverse_lab2p(
+            oc, dc, t0, jnp.asarray(un), dummy, (0,), active=act,
+            nn=nn, frame_stack=fs,
+        )
+        assert np.array_equal(np.asarray(hit), np.asarray(bidx)), ("pipe", fs)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
+        print(f"pipelined fs={fs}: hits OK ({int(np.asarray(it).sum())} iters)",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -27,7 +27,7 @@ from cpugpupathtracing_tpu.ops import sampling, traverse_packet_slim as pk
 from cpugpupathtracing_tpu.utils import rng as rnglib
 from cpugpupathtracing_tpu.utils.vecmath import RAY_NUDGE, RAY_TMAX
 from tools.kernel_lab import fuse_tables
-from tools.kernel_lab2 import traverse_lab2
+from tools.kernel_lab2 import traverse_lab2, traverse_lab2p
 
 
 def main():
@@ -79,6 +79,11 @@ def main():
                                        gate_leaf=True)),
         ("fused only", dict(fused=True)),
         ("gate only", dict(gate_leaf=True)),
+        # software-pipelined body (pop+load before slab): fused required
+        ("pipelined linear+fused", dict(pipelined=True, frame_stack=False,
+                                        fused=True)),
+        ("pipelined fs+fused", dict(pipelined=True, frame_stack=True,
+                                    fused=True)),
     ]
     only = os.environ.get("LAB2_ONLY", "")
     if only:
@@ -87,13 +92,22 @@ def main():
         fused = kw.get("fused", False)
         tn = un_j if fused else dev.pnodes
         tl = dummy if fused else dev.pltris
+        pipelined = kw.pop("pipelined", False)
         try:
-            f = jax.jit(
-                lambda o_, d_, a_, kw=kw, tn=tn, tl=tl: traverse_lab2(
-                    o_, d_, t0v, tn, tl, dev.proots, active=a_,
-                    nn=nn if kw.get("fused") else 0, **kw,
+            if pipelined:
+                f = jax.jit(
+                    lambda o_, d_, a_, kw=kw, tn=tn, tl=tl: traverse_lab2p(
+                        o_, d_, t0v, tn, tl, dev.proots, active=a_,
+                        nn=nn, frame_stack=kw["frame_stack"],
+                    )
                 )
-            )
+            else:
+                f = jax.jit(
+                    lambda o_, d_, a_, kw=kw, tn=tn, tl=tl: traverse_lab2(
+                        o_, d_, t0v, tn, tl, dev.proots, active=a_,
+                        nn=nn if kw.get("fused") else 0, **kw,
+                    )
+                )
             res = jax.block_until_ready(f(bo_c, bd_c, bact))
         except Exception as e:
             print(f"{label:26s} FAILED: {type(e).__name__}: {str(e)[:160]}",
