@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
 from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
-    RESTORE, FSTACK, FRAMESTACK_DEFAULT, _ctz8,
+    RESTORE, FSTACK, FRAMESTACK_DEFAULT, PIPELINED_DEFAULT, _ctz8,
 )
 
 TILE = 1024
@@ -133,6 +133,7 @@ def _emit_traversal(
     ox, oy, oz, dx, dy, dz, m_act, t_init, roots, *, any_hit,
     count_iters=False, num_inst=0, iid_ref=None, rays_ref=None,
     inst_inv_ref=None, inst_root_ref=None, frame_stack=False, fused_nn=0,
+    pipelined=False, entry2_ref=None,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
@@ -187,6 +188,187 @@ def _emit_traversal(
         # object space); component c's row j is rays_ref[c * ROWS + j]
         for c, v in enumerate((ox0, oy0, oz0, dx0, dy0, dz0, ix0, iy0, iz0)):
             rays_ref[c * ROWS : (c + 1) * ROWS, :] = v
+
+    if pipelined:
+        # software-pipelined body (fused tables, non-instanced): see
+        # ops/traverse_packet_slim.py pipe_body for the scheme and the
+        # exactness argument.  bvh_depth is not tracked here (the
+        # megakernels run with AOVs off by gate).
+        shape_ = (ROWS, LANES)
+        lmat0 = jnp.concatenate(
+            [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
+        )
+
+        def pipe_body(carry):
+            t, hit, obj, nx, ny, nz, lmat = carry[:7]
+            m = m_act
+            if any_hit:
+                m = m & (hit < 0)
+                row_live_v = jnp.max(m.astype(jnp.int32), axis=1,
+                                     keepdims=True)
+
+            entries, leaf_s, int_s, nexts = [], [], [], []
+            urows = []
+            for j in range(ROWS):
+                e = entry_ref[j]
+                entries.append(e)
+                live = e != DONE
+                rl = None
+                if any_hit:
+                    rl = row_live_v[j, 0] != 0
+                    live = live & rl
+                leaf_s.append(live & (e >= fused_nn))
+                int_s.append(live & (e < fused_nn))
+                sp = sptr_ref[j]
+                can = sp > 0
+                if any_hit:
+                    can = can & rl
+                if frame_stack:
+                    base = jnp.maximum(sp - 9, 0)
+                    mw = stack_ref[j, base + 8]
+                    ent = stack_ref[j, base + _ctz8(mw)]
+                    rem = mw & (mw - 1)
+                    stack_ref[j, base + 8] = jnp.where(can, rem, mw)
+                    sp2 = jnp.where(can & (rem == 0), base, sp)
+                else:
+                    ent = stack_ref[j, jnp.maximum(sp - 1, 0)]
+                    sp2 = jnp.where(can, sp - 1, sp)
+                nxt = jnp.where(can, ent, DONE)
+                entry2_ref[j] = nxt
+                sptr_ref[j] = sp2
+                nexts.append(nxt)
+                urows.append(
+                    nodes_ref[pl.ds(jnp.where(nxt != DONE, nxt, 0), 1), :]
+                )
+            lmat_next = jnp.concatenate(urows, axis=0)
+
+            nmat = lmat[:, :64]
+            imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
+            leaf_v = jnp.concatenate(
+                [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
+                axis=0,
+            ) != 0
+            int_v = jnp.concatenate(
+                [jnp.full((1, 1), int_s[j], jnp.int32) for j in range(ROWS)],
+                axis=0,
+            ) != 0
+
+            R = range(WIDTH)
+            tx1 = [(nmat[:, 6 * k + 0 : 6 * k + 1] - ox0) * ix0 for k in R]
+            ty1 = [(nmat[:, 6 * k + 1 : 6 * k + 2] - oy0) * iy0 for k in R]
+            tz1 = [(nmat[:, 6 * k + 2 : 6 * k + 3] - oz0) * iz0 for k in R]
+            tx2 = [(nmat[:, 6 * k + 3 : 6 * k + 4] - ox0) * ix0 for k in R]
+            ty2 = [(nmat[:, 6 * k + 4 : 6 * k + 5] - oy0) * iy0 for k in R]
+            tz2 = [(nmat[:, 6 * k + 5 : 6 * k + 6] - oz0) * iz0 for k in R]
+            mnx = [jnp.minimum(tx1[k], tx2[k]) for k in R]
+            mny = [jnp.minimum(ty1[k], ty2[k]) for k in R]
+            mnz = [jnp.minimum(tz1[k], tz2[k]) for k in R]
+            mxx = [jnp.maximum(tx1[k], tx2[k]) for k in R]
+            mxy = [jnp.maximum(ty1[k], ty2[k]) for k in R]
+            mxz = [jnp.maximum(tz1[k], tz2[k]) for k in R]
+            tmin = [jnp.maximum(jnp.maximum(mnx[k], mny[k]), mnz[k]) for k in R]
+            tmax = [jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k]) for k in R]
+            valid = [imat[:, 48 + k : 49 + k] != SLIM_EMPTY for k in R]
+            bm = [
+                (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
+                & m & int_v & valid[k]
+                for k in R
+            ]
+            fin = [
+                jnp.min(jnp.where(bm[k], tmin[k], jnp.inf), axis=1,
+                        keepdims=True)
+                for k in R
+            ]
+            D = jnp.concatenate(fin, axis=1)
+            fs_fin = jnp.isfinite(D)
+            fs_mask = jnp.zeros((ROWS, 1), jnp.int32)
+            for k in range(WIDTH):
+                fs_mask = fs_mask | (
+                    fs_fin[:, k : k + 1].astype(jnp.int32) << k
+                )
+
+            limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
+            for c in range(LEAF_TRIS):
+                tm = lmat[:, 16 * c : 16 * c + 12]
+                hx = dy0 * tm[:, 8:9] - dz0 * tm[:, 7:8]
+                hy = dz0 * tm[:, 6:7] - dx0 * tm[:, 8:9]
+                hz = dx0 * tm[:, 7:8] - dy0 * tm[:, 6:7]
+                a = tm[:, 3:4] * hx + tm[:, 4:5] * hy + tm[:, 5:6] * hz
+                det_ok = jnp.abs(a) >= TRI_DET_EPS
+                f = 1.0 / jnp.where(det_ok, a, 1.0)
+                sx = ox0 - tm[:, 0:1]
+                sy = oy0 - tm[:, 1:2]
+                sz = oz0 - tm[:, 2:3]
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * tm[:, 5:6] - sz * tm[:, 4:5]
+                qy = sz * tm[:, 3:4] - sx * tm[:, 5:6]
+                qz = sx * tm[:, 4:5] - sy * tm[:, 3:4]
+                vv = f * (dx0 * qx + dy0 * qy + dz0 * qz)
+                tt = f * (tm[:, 6:7] * qx + tm[:, 7:8] * qy + tm[:, 8:9] * qz)
+                ok = (
+                    det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
+                    & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
+                    & m & leaf_v
+                )
+                t = jnp.where(ok, tt, t)
+                hit = jnp.where(ok, limat[:, 16 * c + 13 : 16 * c + 14], hit)
+                obj = jnp.where(ok, limat[:, 16 * c + 12 : 16 * c + 13], obj)
+                nx = jnp.where(ok, tm[:, 9:10], nx)
+                ny = jnp.where(ok, tm[:, 10:11], ny)
+                nz = jnp.where(ok, tm[:, 11:12], nz)
+
+            alive = jnp.int32(0)
+            for j in range(ROWS):
+                sp = sptr_ref[j]
+                w = fs_mask[j, 0]
+                es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+                if frame_stack:
+                    base_p = jnp.minimum(sp, FSTACK - 9)
+                    for k in range(WIDTH):
+                        stack_ref[j, base_p + k] = es_[k]
+                    stack_ref[j, base_p + 8] = w
+                    sp = sp + jnp.where(int_s[j] & (w != 0), 9, 0)
+                else:
+                    for k in range(WIDTH):
+                        push = (
+                            ((jax.lax.shift_right_logical(w, k) & 1) != 0)
+                            & int_s[j]
+                        )
+                        slot = jnp.where(
+                            push, jnp.minimum(sp, STACK - 1), STACK - 1
+                        )
+                        prev = stack_ref[j, slot]
+                        stack_ref[j, slot] = jnp.where(push, es_[k], prev)
+                        sp = sp + jnp.where(push, 1, 0)
+                sptr_ref[j] = sp
+                entry_ref[j] = entry2_ref[j]
+                row_alive = (nexts[j] != DONE) | (sp > 0)
+                if any_hit:
+                    row_alive = row_alive & (row_live_v[j, 0] != 0)
+                alive = alive + jnp.where(row_alive, 1, 0)
+            out = (t, hit, obj, nx, ny, nz, lmat_next)
+            if count_iters:
+                return out + (carry[-2] + 1, alive)
+            return out + (alive,)
+
+        init_p = [
+            t_init,
+            jnp.full(shape_, -1, jnp.int32),
+            jnp.full(shape_, -1, jnp.int32),
+            jnp.zeros(shape_, jnp.float32),
+            jnp.zeros(shape_, jnp.float32),
+            jnp.zeros(shape_, jnp.float32),
+            lmat0,
+        ]
+        if count_iters:
+            init_p.append(jnp.int32(0))
+        init_p.append(jnp.int32(1))
+        out = jax.lax.while_loop(
+            lambda c: c[-1] > 0, pipe_body, tuple(init_p))
+        res = out[:6]
+        if count_iters:
+            res = res + (out[-2],)
+        return res
 
     def body(carry):
         if instanced:
@@ -576,7 +758,7 @@ def _shade_extend_kernel(
     *tail,
     roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, num_inst=0, count_iters=False,
-    frame_stack=False, fused_nn=0,
+    frame_stack=False, fused_nn=0, pipelined=False,
 ):
     """One integrator depth minus the shadow resolve: traversal + the
     full TracePathAdvanced shading body (Source/Main.cpp:396-579)."""
@@ -604,6 +786,11 @@ def _shade_extend_kernel(
         i += 1
     entry_ref, sptr_ref, stack_ref = tail[i : i + 3]
     i += 3
+    if pipelined:
+        entry2_ref = tail[i]
+        i += 1
+    else:
+        entry2_ref = None
     if num_inst:
         rays_ref, iid_ref = tail[i : i + 2]
     else:
@@ -678,6 +865,7 @@ def _shade_extend_kernel(
                 num_inst=num_inst, iid_ref=iid_ref, rays_ref=rays_ref,
                 inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
                 frame_stack=frame_stack, fused_nn=fused_nn,
+                pipelined=pipelined, entry2_ref=entry2_ref,
             )
             t, tri, obj, mnx, mny, mnz = trav[:6]
             if count_iters:
@@ -1023,7 +1211,7 @@ def _shadow_resolve_kernel(
     # columns, [iters_ref when count_iters], scratch
     *tail,
     roots, num_sph, num_pln, num_inst=0, count_iters=False,
-    frame_stack=False, fused_nn=0,
+    frame_stack=False, fused_nn=0, pipelined=False,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
     i = 0
@@ -1044,6 +1232,11 @@ def _shadow_resolve_kernel(
         i += 1
     entry_ref, sptr_ref, stack_ref = tail[i : i + 3]
     i += 3
+    if pipelined:
+        entry2_ref = tail[i]
+        i += 1
+    else:
+        entry2_ref = None
     if num_inst:
         rays_ref, iid_ref = tail[i : i + 2]
     else:
@@ -1080,6 +1273,7 @@ def _shadow_resolve_kernel(
                 num_inst=num_inst, iid_ref=iid_ref, rays_ref=rays_ref,
                 inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
                 frame_stack=frame_stack, fused_nn=fused_nn,
+                pipelined=pipelined, entry2_ref=entry2_ref,
             )
             t, tri = trav[0], trav[1]
             if count_iters:
@@ -1137,7 +1331,7 @@ def _pad_to(step, arrs, pad_vals):
     static_argnames=(
         "roots", "num_mats", "num_lights", "num_sph", "num_pln", "num_objs",
         "nee", "rr", "cosine", "ref_pdf", "interpret", "count_iters",
-        "frame_stack", "fused_nn",
+        "frame_stack", "fused_nn", "pipelined",
     ),
 )
 def shade_extend(
@@ -1146,7 +1340,7 @@ def shade_extend(
     *, roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, interpret=False, count_iters=False,
     inst_inv=None, inst_nrm=None, inst_root=None, frame_stack=None,
-    fused_nn=0,
+    fused_nn=0, pipelined=None,
 ):
     """One fused depth step (minus shadow resolve) over the wavefront.
 
@@ -1171,6 +1365,10 @@ def shade_extend(
                          "machinery (flattened scenes may fuse)")
     if frame_stack is None:
         frame_stack = FRAMESTACK_DEFAULT
+    if pipelined is None:
+        pipelined = PIPELINED_DEFAULT and fused_nn > 0
+    elif pipelined and not fused_nn:
+        raise ValueError("pipelined packet body requires fused tables")
 
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
@@ -1202,6 +1400,8 @@ def shade_extend(
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM((ROWS, FSTACK if frame_stack else STACK), jnp.int32),
     ]
+    if pipelined:
+        scratch.append(pltpu.SMEM((ROWS,), jnp.int32))  # entry2 (next)
     if num_inst:
         scratch += [
             pltpu.VMEM((9 * ROWS, LANES), jnp.float32),
@@ -1216,6 +1416,7 @@ def shade_extend(
             nee=nee, rr=rr, cosine=cosine, ref_pdf=ref_pdf,
             num_inst=num_inst, count_iters=count_iters,
             frame_stack=frame_stack, fused_nn=fused_nn,
+            pipelined=pipelined,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -1244,13 +1445,14 @@ def shade_extend(
 @functools.partial(
     jax.jit,
     static_argnames=("roots", "num_sph", "num_pln", "interpret",
-                     "count_iters", "frame_stack", "fused_nn"),
+                     "count_iters", "frame_stack", "fused_nn", "pipelined"),
 )
 def shadow_resolve(
     nodes, ltris, sph, pln,
     shadow_o, shadow_d, shadow_tmax, flags, energy, contrib,
     *, roots, num_sph, num_pln, interpret=False, count_iters=False,
     inst_inv=None, inst_root=None, frame_stack=None, fused_nn=0,
+    pipelined=None,
 ):
     """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)
     (plus per-sub-tile iteration counts when count_iters).  inst_inv /
@@ -1269,6 +1471,10 @@ def shadow_resolve(
                          "machinery (flattened scenes may fuse)")
     if frame_stack is None:
         frame_stack = FRAMESTACK_DEFAULT
+    if pipelined is None:
+        pipelined = PIPELINED_DEFAULT and fused_nn > 0
+    elif pipelined and not fused_nn:
+        raise ValueError("pipelined packet body requires fused tables")
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
@@ -1290,6 +1496,8 @@ def shadow_resolve(
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM((ROWS, FSTACK if frame_stack else STACK), jnp.int32),
     ]
+    if pipelined:
+        scratch.append(pltpu.SMEM((ROWS,), jnp.int32))  # entry2 (next)
     if num_inst:
         scratch += [
             pltpu.VMEM((9 * ROWS, LANES), jnp.float32),
@@ -1302,6 +1510,7 @@ def shadow_resolve(
             num_sph=num_sph, num_pln=num_pln,
             num_inst=num_inst, count_iters=count_iters,
             frame_stack=frame_stack, fused_nn=fused_nn,
+            pipelined=pipelined,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

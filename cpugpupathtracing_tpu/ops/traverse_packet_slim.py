@@ -84,6 +84,11 @@ FSTACK = 9 * FSTACK_FRAMES  # build validates tree depth + 1 frame headroom
 # read ONCE at import: flipping the env var later has no effect (jit
 # caches key on the resolved value's source argument, not the env)
 FRAMESTACK_DEFAULT = os.environ.get("CPUGPU_FRAMESTACK", "") == "1"
+# CPUGPU_PIPELINED=1: software-pipelined kernel body (pop + next-row
+# load issued before the current entry's slab/leaf so the scalar half
+# overlaps the VPU half).  Needs the fused table (CPUGPU_FUSED=1) and
+# no instance machinery; silently ignored otherwise.  Read at import.
+PIPELINED_DEFAULT = os.environ.get("CPUGPU_PIPELINED", "") == "1"
 # frame-stack pop uses scalar lax.population_count for ctz; if Mosaic
 # rejects it on some toolchain, CPUGPU_CTZ_CHAIN=1 swaps in an 8-way
 # compare chain (bit-identical result, read once at import like above)
@@ -112,6 +117,7 @@ def _traverse_kernel(
     *refs,
     roots: tuple, any_hit: bool, count_depth: bool, instanced: bool,
     count_iters: bool, frame_stack: bool = False, fused_nn: int = 0,
+    pipelined: bool = False,
 ):
     if count_iters:
         # the iters output ref sits after the 8 regular outputs, before
@@ -127,6 +133,14 @@ def _traverse_kernel(
             entry_ref, sptr_ref, stack_ref, iid_ref, rays_ref,
         ) = refs
         num_inst = inst_root_ref.shape[0]
+    elif pipelined:
+        (
+            nodes_ref, ltris_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref, act_ref,
+            t_out, hit_out, obj_out, nx_out, ny_out, nz_out, depth_out,
+            iid_out,
+            entry_ref, sptr_ref, stack_ref, entry2_ref,
+        ) = refs
     else:
         (
             nodes_ref, ltris_ref,
@@ -203,6 +217,216 @@ def _traverse_kernel(
                 # space); component c's row j lives at rays_ref[c * ROWS + j]
                 for c, v in enumerate((ox0, oy0, oz0, dx0, dy0, dz0, ix0, iy0, iz0)):
                     rays_ref[c * ROWS : (c + 1) * ROWS, :] = v
+
+            if pipelined:
+                # SOFTWARE-PIPELINED body (fused tables, no instance
+                # machinery): each iteration pops the NEXT entry and
+                # issues its row load BEFORE running slab+leaf on the
+                # CURRENT entry from the row matrix carried since last
+                # iteration, then pushes the current entry's children.
+                # The scalar pop + dynamic-load issue carry no data
+                # dependency on the VPU phases, so they overlap instead
+                # of serializing ahead of them.  A row that pops DONE
+                # while its push lands work runs one bubble iteration;
+                # hits are exact for any visit order (strict-< accepts
+                # bounded by per-lane t).
+                lmat0 = jnp.concatenate(
+                    [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
+                )
+
+                def pipe_body(carry):
+                    t, hit, obj, nx, ny, nz, depth, lmat = carry[:8]
+                    m = act0
+                    if any_hit:
+                        m = m & (hit < 0)
+                        row_live_v = jnp.max(m.astype(jnp.int32), axis=1,
+                                             keepdims=True)    # (8, 1)
+
+                    # ---- (1) scalar: pop NEXT + issue its loads ----
+                    entries, leaf_s, int_s, nexts, sps = [], [], [], [], []
+                    urows = []
+                    for j in range(ROWS):
+                        e = entry_ref[j]
+                        entries.append(e)
+                        live = e != DONE
+                        rl = None
+                        if any_hit:
+                            rl = row_live_v[j, 0] != 0
+                            live = live & rl
+                        leaf_s.append(live & (e >= fused_nn))
+                        int_s.append(live & (e < fused_nn))
+                        sp = sptr_ref[j]
+                        can = sp > 0
+                        if any_hit:
+                            can = can & rl
+                        if frame_stack:
+                            base = jnp.maximum(sp - 9, 0)
+                            mw = stack_ref[j, base + 8]
+                            ent = stack_ref[j, base + _ctz8(mw)]
+                            rem = mw & (mw - 1)
+                            stack_ref[j, base + 8] = jnp.where(can, rem, mw)
+                            sp2 = jnp.where(can & (rem == 0), base, sp)
+                        else:
+                            ent = stack_ref[j, jnp.maximum(sp - 1, 0)]
+                            sp2 = jnp.where(can, sp - 1, sp)
+                        nxt = jnp.where(can, ent, DONE)
+                        entry2_ref[j] = nxt
+                        sptr_ref[j] = sp2
+                        nexts.append(nxt)
+                        urows.append(
+                            nodes_ref[pl.ds(jnp.where(nxt != DONE, nxt, 0), 1), :]
+                        )
+                    lmat_next = jnp.concatenate(urows, axis=0)
+
+                    # ---- (2) vector: slab + leaf on CURRENT ----
+                    nmat = lmat[:, :64]
+                    imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
+                    leaf_v = jnp.concatenate(
+                        [jnp.full((1, 1), leaf_s[j], jnp.int32)
+                         for j in range(ROWS)], axis=0,
+                    ) != 0
+                    int_v = jnp.concatenate(
+                        [jnp.full((1, 1), int_s[j], jnp.int32)
+                         for j in range(ROWS)], axis=0,
+                    ) != 0
+
+                    R = range(WIDTH)
+                    tx1 = [(nmat[:, 6 * k + 0 : 6 * k + 1] - ox0) * ix0 for k in R]
+                    ty1 = [(nmat[:, 6 * k + 1 : 6 * k + 2] - oy0) * iy0 for k in R]
+                    tz1 = [(nmat[:, 6 * k + 2 : 6 * k + 3] - oz0) * iz0 for k in R]
+                    tx2 = [(nmat[:, 6 * k + 3 : 6 * k + 4] - ox0) * ix0 for k in R]
+                    ty2 = [(nmat[:, 6 * k + 4 : 6 * k + 5] - oy0) * iy0 for k in R]
+                    tz2 = [(nmat[:, 6 * k + 5 : 6 * k + 6] - oz0) * iz0 for k in R]
+                    mnx = [jnp.minimum(tx1[k], tx2[k]) for k in R]
+                    mny = [jnp.minimum(ty1[k], ty2[k]) for k in R]
+                    mnz = [jnp.minimum(tz1[k], tz2[k]) for k in R]
+                    mxx = [jnp.maximum(tx1[k], tx2[k]) for k in R]
+                    mxy = [jnp.maximum(ty1[k], ty2[k]) for k in R]
+                    mxz = [jnp.maximum(tz1[k], tz2[k]) for k in R]
+                    tmin = [jnp.maximum(jnp.maximum(mnx[k], mny[k]), mnz[k])
+                            for k in R]
+                    tmax = [jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k])
+                            for k in R]
+                    valid = [imat[:, 48 + k : 49 + k] != SLIM_EMPTY for k in R]
+                    bm = [
+                        (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
+                        & m & int_v & valid[k]
+                        for k in R
+                    ]
+                    fin = [
+                        jnp.min(jnp.where(bm[k], tmin[k], jnp.inf), axis=1,
+                                keepdims=True)
+                        for k in R
+                    ]
+                    if count_depth:
+                        lane_desc = bm[0]
+                        for k in range(1, WIDTH):
+                            lane_desc = lane_desc | bm[k]
+                        depth = depth + lane_desc.astype(jnp.int32)
+                    D = jnp.concatenate(fin, axis=1)
+                    fs_fin = jnp.isfinite(D)
+                    fs_mask = jnp.zeros((ROWS, 1), jnp.int32)
+                    for k in range(WIDTH):
+                        fs_mask = fs_mask | (
+                            fs_fin[:, k : k + 1].astype(jnp.int32) << k
+                        )
+
+                    limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
+                    for c in range(LEAF_TRIS):
+                        tm = lmat[:, 16 * c : 16 * c + 12]
+                        hx = dy0 * tm[:, 8:9] - dz0 * tm[:, 7:8]
+                        hy = dz0 * tm[:, 6:7] - dx0 * tm[:, 8:9]
+                        hz = dx0 * tm[:, 7:8] - dy0 * tm[:, 6:7]
+                        a = tm[:, 3:4] * hx + tm[:, 4:5] * hy + tm[:, 5:6] * hz
+                        det_ok = jnp.abs(a) >= TRI_DET_EPS
+                        f = 1.0 / jnp.where(det_ok, a, 1.0)
+                        sx = ox0 - tm[:, 0:1]
+                        sy = oy0 - tm[:, 1:2]
+                        sz = oz0 - tm[:, 2:3]
+                        u = f * (sx * hx + sy * hy + sz * hz)
+                        qx = sy * tm[:, 5:6] - sz * tm[:, 4:5]
+                        qy = sz * tm[:, 3:4] - sx * tm[:, 5:6]
+                        qz = sx * tm[:, 4:5] - sy * tm[:, 3:4]
+                        vv = f * (dx0 * qx + dy0 * qy + dz0 * qz)
+                        tt = f * (tm[:, 6:7] * qx + tm[:, 7:8] * qy
+                                  + tm[:, 8:9] * qz)
+                        ok = (
+                            det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
+                            & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
+                            & m & leaf_v
+                        )
+                        t = jnp.where(ok, tt, t)
+                        hit = jnp.where(
+                            ok, limat[:, 16 * c + 13 : 16 * c + 14], hit)
+                        obj = jnp.where(
+                            ok, limat[:, 16 * c + 12 : 16 * c + 13], obj)
+                        nx = jnp.where(ok, tm[:, 9:10], nx)
+                        ny = jnp.where(ok, tm[:, 10:11], ny)
+                        nz = jnp.where(ok, tm[:, 11:12], nz)
+
+                    # ---- (3) scalar: push CURRENT's children; rotate ----
+                    alive = jnp.int32(0)
+                    for j in range(ROWS):
+                        sp = sptr_ref[j]
+                        w = fs_mask[j, 0]
+                        es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+                        if frame_stack:
+                            base_p = jnp.minimum(sp, FSTACK - 9)
+                            for k in range(WIDTH):
+                                stack_ref[j, base_p + k] = es_[k]
+                            stack_ref[j, base_p + 8] = w
+                            sp = sp + jnp.where(int_s[j] & (w != 0), 9, 0)
+                        else:
+                            for k in range(WIDTH):
+                                push = (
+                                    ((jax.lax.shift_right_logical(w, k) & 1)
+                                     != 0) & int_s[j]
+                                )
+                                slot = jnp.where(
+                                    push, jnp.minimum(sp, STACK - 1), STACK - 1
+                                )
+                                prev = stack_ref[j, slot]
+                                stack_ref[j, slot] = jnp.where(
+                                    push, es_[k], prev)
+                                sp = sp + jnp.where(push, 1, 0)
+                        sptr_ref[j] = sp
+                        entry_ref[j] = entry2_ref[j]
+                        row_alive = (nexts[j] != DONE) | (sp > 0)
+                        if any_hit:
+                            row_alive = row_alive & (row_live_v[j, 0] != 0)
+                        alive = alive + jnp.where(row_alive, 1, 0)
+                    out = (t, hit, obj, nx, ny, nz, depth, lmat_next)
+                    if count_iters:
+                        return out + (carry[-2] + 1, alive)
+                    return out + (alive,)
+
+                init_p = [
+                    t0,
+                    jnp.full(shape, -1, jnp.int32),
+                    jnp.full(shape, -1, jnp.int32),
+                    jnp.zeros(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.int32),
+                    lmat0,
+                ]
+                if count_iters:
+                    init_p.append(jnp.int32(0))
+                init_p.append(jnp.int32(1))
+                out = jax.lax.while_loop(
+                    lambda c: c[-1] > 0, pipe_body, tuple(init_p))
+                t, hit, obj, nx, ny, nz, depth = out[:7]
+                t_out[gs] = t.reshape(-1)
+                hit_out[gs] = hit.reshape(-1)
+                obj_out[gs] = obj.reshape(-1)
+                nx_out[gs] = nx.reshape(-1)
+                ny_out[gs] = ny.reshape(-1)
+                nz_out[gs] = nz.reshape(-1)
+                depth_out[gs] = depth.reshape(-1)
+                iid_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+                if count_iters:
+                    iters_out[pl.program_id(0) * GROUPS + g] = out[-2]
+                return
 
             def body(carry):
                 if instanced:
@@ -596,14 +820,14 @@ def _traverse_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("roots", "interpret", "any_hit", "count_depth",
-                     "count_iters", "frame_stack", "fused_nn"),
+                     "count_iters", "frame_stack", "fused_nn", "pipelined"),
 )
 def traverse_packet_slim(
     origin, direction, t_init, nodes, ltris, roots,
     *, active=None, interpret: bool = False, any_hit: bool = False,
     count_depth: bool = True, inst_inv=None, inst_root=None,
     count_iters: bool = False, frame_stack: bool | None = None,
-    fused_nn: int = 0,
+    fused_nn: int = 0, pipelined: bool | None = None,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
@@ -641,6 +865,12 @@ def traverse_packet_slim(
         )
     if frame_stack is None:
         frame_stack = FRAMESTACK_DEFAULT
+    if pipelined is None:
+        # the pipelined body requires the fused table; degrade silently
+        # so the env default composes with non-fused scenes
+        pipelined = PIPELINED_DEFAULT and fused_nn > 0
+    elif pipelined and not fused_nn:
+        raise ValueError("pipelined packet body requires fused tables")
     step = GROUPS * TILE
     n = -(-n0 // step) * step
     num_steps = n // step
@@ -671,6 +901,8 @@ def traverse_packet_slim(
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM((ROWS, FSTACK if frame_stack else STACK), jnp.int32),
     ]
+    if pipelined:
+        scratch.append(pltpu.SMEM((ROWS,), jnp.int32))  # entry2 (next)
     if instanced:
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -714,6 +946,7 @@ def traverse_packet_slim(
             count_iters=count_iters,
             frame_stack=frame_stack,
             fused_nn=fused_nn,
+            pipelined=pipelined,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

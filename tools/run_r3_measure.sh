@@ -24,6 +24,12 @@ CPUGPU_FRAMESTACK=1 timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/benc
 echo "== 4b. production A/B: config 3, frame stack + fused tables =="
 CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/bench_c3_fs_fused.log
 
+echo "== 4c. production A/B: config 3, fused + pipelined body (linear stack) =="
+CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/bench_c3_pipe.log
+
+echo "== 4d. production A/B: config 3, frame stack + fused + pipelined =="
+CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/bench_c3_fs_pipe.log
+
 echo "== 5. census: per-depth iterations after the any-hit row flush =="
 timeout 3600 python tools/profile_mega_census.py 3 2>&1 | tee $OUT/census_c3.log
 
