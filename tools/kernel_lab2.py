@@ -364,7 +364,7 @@ def traverse_lab2(origin, direction, t_init, nodes, ltris, roots, *, active,
     return t[:n0], hit[:n0], obj[:n0], iters, leafs
 
 
-def _lab2p_kernel(*refs, roots, nn, frame_stack, fused):
+def _lab2p_kernel(*refs, roots, nn, frame_stack, fused, nearest=False):
     """SOFTWARE-PIPELINED body: each iteration (1) pops the NEXT entry
     and issues its row load, (2) runs slab+leaf on the CURRENT entry
     from the row matrix carried since last iteration, (3) pushes the
@@ -459,7 +459,20 @@ def _lab2p_kernel(*refs, roots, nn, frame_stack, fused):
                     int_s.append(live & (e < nn))
                     sp = sptr_ref[j]
                     can = sp > 0
-                    if frame_stack:
+                    if frame_stack and nearest:
+                        # frame word carries the argmin child in bits
+                        # 8-10: pop it first, then ctz the rest
+                        base = jnp.maximum(sp - 9, 0)
+                        mw = stack_ref[j, base + 8]
+                        bk = jax.lax.shift_right_logical(mw, 8) & 7
+                        bkbit = jax.lax.shift_left(jnp.int32(1), bk)
+                        use_bk = (mw & bkbit) != 0
+                        kk = jnp.where(use_bk, bk, _ctz8(mw & 0xFF))
+                        ent = stack_ref[j, base + kk]
+                        rem = mw & ~jax.lax.shift_left(jnp.int32(1), kk)
+                        stack_ref[j, base + 8] = jnp.where(can, rem, mw)
+                        sp2 = jnp.where(can & ((rem & 0xFF) == 0), base, sp)
+                    elif frame_stack:
                         base = jnp.maximum(sp - 9, 0)
                         mw = stack_ref[j, base + 8]
                         ent = stack_ref[j, base + _ctz8(mw)]
@@ -522,6 +535,14 @@ def _lab2p_kernel(*refs, roots, nn, frame_stack, fused):
                     fs_mask = fs_mask | (
                         fs_fin[:, k : k + 1].astype(jnp.int32) << k
                     )
+                if nearest:
+                    bd = D[:, 0:1]
+                    bkv = jnp.zeros((ROWS, 1), jnp.int32)
+                    for k in range(1, WIDTH):
+                        sw = D[:, k : k + 1] < bd
+                        bd = jnp.where(sw, D[:, k : k + 1], bd)
+                        bkv = jnp.where(sw, jnp.int32(k), bkv)
+                    fs_mask = fs_mask | (bkv << 8)
 
                 hit = hit_s[...]
                 obj = obj_s[...]
@@ -564,7 +585,7 @@ def _lab2p_kernel(*refs, roots, nn, frame_stack, fused):
                 for j in range(ROWS):
                     sp = sptr_ref[j]
                     w = fs_mask[j, 0]
-                    do_push = int_s[j] & (w != 0)
+                    do_push = int_s[j] & ((w & 0xFF) != 0)
                     if frame_stack:
                         es_ = [imat[j, 48 + k] for k in range(WIDTH)]
                         base_p = jnp.minimum(sp, FSTACK - 9)
@@ -605,10 +626,10 @@ def _lab2p_kernel(*refs, roots, nn, frame_stack, fused):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("roots", "nn", "frame_stack"),
+    jax.jit, static_argnames=("roots", "nn", "frame_stack", "nearest"),
 )
 def traverse_lab2p(origin, direction, t_init, nodes, ltris, roots, *, active,
-                   nn, frame_stack=True):
+                   nn, frame_stack=True, nearest=False):
     """Pipelined-body lab traversal (fused tables required)."""
     ox_c, oy_c, oz_c = origin
     dx_c, dy_c, dz_c = direction
@@ -647,7 +668,7 @@ def traverse_lab2p(origin, direction, t_init, nodes, ltris, roots, *, active,
     res = pl.pallas_call(
         functools.partial(
             _lab2p_kernel, roots=roots, nn=nn, frame_stack=frame_stack,
-            fused=True,
+            fused=True, nearest=nearest,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -729,6 +750,14 @@ def _selfcheck():
         np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
         print(f"pipelined fs={fs}: hits OK ({int(np.asarray(it).sum())} iters)",
               flush=True)
+    t, hit, obj, it, _ = traverse_lab2p(
+        oc, dc, t0, jnp.asarray(un), dummy, (0,), active=act,
+        nn=nn, frame_stack=True, nearest=True,
+    )
+    assert np.array_equal(np.asarray(hit), np.asarray(bidx)), "pipe-nearest"
+    np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
+    print(f"pipelined fs nearest: hits OK ({int(np.asarray(it).sum())} iters)",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -84,6 +84,8 @@ def main():
                                         fused=True)),
         ("pipelined fs+fused", dict(pipelined=True, frame_stack=True,
                                     fused=True)),
+        ("pipelined fs+fused+nearest", dict(pipelined=True, frame_stack=True,
+                                            fused=True, nearest=True)),
     ]
     only = os.environ.get("LAB2_ONLY", "")
     if only:
@@ -99,6 +101,7 @@ def main():
                     lambda o_, d_, a_, kw=kw, tn=tn, tl=tl: traverse_lab2p(
                         o_, d_, t0v, tn, tl, dev.proots, active=a_,
                         nn=nn, frame_stack=kw["frame_stack"],
+                        nearest=kw.get("nearest", False),
                     )
                 )
             else:
