@@ -1,39 +1,53 @@
 #!/bin/bash
 # Round-3 on-chip measurement queue (run when the TPU tunnel is back).
 # Outputs land in /tmp/r3_measure/. Each step is independently resumable.
+# DECISIVE production A/Bs run FIRST (they pick the default flags for
+# BENCH_r03); attribution labs follow.
 set -u
 OUT=/tmp/r3_measure
 mkdir -p $OUT
 cd /root/repo
 
-echo "== 1. floor probe (per-iteration attribution) =="
-timeout 3600 python tools/floor_probe.py 2>&1 | tee $OUT/floor_probe.log
+bench() {  # bench <logname> [env assignments...]
+  local log=$1; shift
+  echo "== bench: $log ($*) =="
+  if ! env "$@" timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/$log.log; then
+    echo "bench $log FAILED" | tee -a $OUT/failures.log
+  fi
+}
 
-echo "== 2. kernel lab2: framestack / fused decode / gated leaf on the bounce fan =="
-timeout 7200 python tools/profile_lab2.py 2>&1 | tee $OUT/lab2.log
+# 1. decisive production A/Bs on config 3
+bench c3_default      CPUGPU_NOOP=0
+bench c3_full         CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1
+# if the frame-stack compile failed (scalar popcount?), retry with the
+# compare-chain ctz before concluding anything
+if grep -q "FAILED\|Error" $OUT/c3_full.log 2>/dev/null; then
+  bench c3_full_ctzchain CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_CTZ_CHAIN=1
+fi
+bench c3_framestack   CPUGPU_FRAMESTACK=1
+bench c3_pipe         CPUGPU_FUSED=1 CPUGPU_PIPELINED=1
+bench c3_fs_fused     CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1
+bench c3_fused        CPUGPU_FUSED=1
 
-echo "== 2b. staging amortization: GROUPS=8 re-run, framestack variants only =="
-LAB2_GROUPS=8 LAB2_ONLY=framestack timeout 7200 python tools/profile_lab2.py 2>&1 | tee $OUT/lab2_g8.log
+# 2. config 5 (flattened instancing rides the same flags)
+echo "== bench: c5 default and full =="
+timeout 3600 python bench.py --config 5 2>&1 | tee $OUT/c5_default.log || true
+env CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 \
+  timeout 3600 python bench.py --config 5 2>&1 | tee $OUT/c5_full.log || true
 
-echo "== 3. production A/B: config 3, linear stack =="
-timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/bench_c3_linear.log
+# 3. per-iteration attribution
+echo "== floor probe (incl. fctrl frame-stack stage) =="
+timeout 3600 python tools/floor_probe.py 2>&1 | tee $OUT/floor_probe.log || true
 
-echo "== 4. production A/B: config 3, frame stack =="
-CPUGPU_FRAMESTACK=1 timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/bench_c3_framestack.log
+# 4. kernel lab2 matrix on the real bounce fan (iterations + leaf fraction)
+echo "== kernel lab2: framestack / fused / gated leaf / pipelined / nearest =="
+timeout 10800 python tools/profile_lab2.py 2>&1 | tee $OUT/lab2.log || true
 
-echo "== 4b. production A/B: config 3, frame stack + fused tables =="
-CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/bench_c3_fs_fused.log
+echo "== lab2 GROUPS=8 staging A/B (framestack variants only) =="
+LAB2_GROUPS=8 LAB2_ONLY=framestack timeout 7200 python tools/profile_lab2.py 2>&1 | tee $OUT/lab2_g8.log || true
 
-echo "== 4c. production A/B: config 3, fused + pipelined body (linear stack) =="
-CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/bench_c3_pipe.log
-
-echo "== 4d. production A/B: config 3, frame stack + fused + pipelined =="
-CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/bench_c3_fs_pipe.log
-
-echo "== 5. census: per-depth iterations after the any-hit row flush =="
-timeout 3600 python tools/profile_mega_census.py 3 2>&1 | tee $OUT/census_c3.log
-
-echo "== 6. config 5 bench (instanced/TLAS regression check) =="
-timeout 3600 python bench.py --config 5 2>&1 | tee $OUT/bench_c5.log
+# 5. census: per-depth iterations after the any-hit row flush
+echo "== census c3 =="
+timeout 3600 python tools/profile_mega_census.py 3 2>&1 | tee $OUT/census_c3.log || true
 
 echo "== done =="
