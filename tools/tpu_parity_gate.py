@@ -31,13 +31,16 @@ def check_parity(n_rays: int = 2048, chunk: int = 512, seed: int = 5) -> dict:
     Raises AssertionError on failure."""
     from cpugpupathtracing_tpu.config import CameraConfig
     from cpugpupathtracing_tpu.models import camera as camlib
-    from cpugpupathtracing_tpu.models.scene import make_reference_scene
+    from cpugpupathtracing_tpu.models.scene import make_reference_scene, packet_tables
     from cpugpupathtracing_tpu.ops import intersect
     from cpugpupathtracing_tpu.ops import traverse_packet_slim as tps
     from cpugpupathtracing_tpu.utils.vecmath import RAY_TMAX
 
     scene = make_reference_scene()
     dev = scene.device()
+    # route through the SAME table/flag selection the bench uses, so the
+    # gate proves the kernel variant actually being timed
+    p_nodes, p_ltris, p_fused_nn = packet_tables(dev)
 
     # triangle soup in GLOBAL order (matches the scene's tri offsets)
     v0s, e1s, e2s = [], [], []
@@ -66,10 +69,11 @@ def check_parity(n_rays: int = 2048, chunk: int = 512, seed: int = 5) -> dict:
     t0 = jnp.full((n_rays,), RAY_TMAX, jnp.float32)
 
     t, hit, obj, normal, depth, _iid = tps.traverse_packet_slim(
-        o, d, t0, dev.pnodes, dev.pltris, dev.proots
+        o, d, t0, p_nodes, p_ltris, dev.proots, fused_nn=p_fused_nn
     )
     _, hit_any, _, _, _, _ = tps.traverse_packet_slim(
-        o, d, t0, dev.pnodes, dev.pltris, dev.proots, any_hit=True
+        o, d, t0, p_nodes, p_ltris, dev.proots, any_hit=True,
+        fused_nn=p_fused_nn
     )
 
     bts, bidxs = [], []
