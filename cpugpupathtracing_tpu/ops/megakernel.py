@@ -53,7 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
 from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
-    RESTORE, FSTACK, FRAMESTACK_DEFAULT, PIPELINED_DEFAULT, _ctz8,
+    RESTORE, FSTACK, FRAMESTACK_DEFAULT, PIPELINED_DEFAULT, NEAREST_DEFAULT,
+    _ctz8, _frame_mask, _frame_pop,
 )
 
 TILE = 1024
@@ -133,7 +134,7 @@ def _emit_traversal(
     ox, oy, oz, dx, dy, dz, m_act, t_init, roots, *, any_hit,
     count_iters=False, num_inst=0, iid_ref=None, rays_ref=None,
     inst_inv_ref=None, inst_root_ref=None, frame_stack=False, fused_nn=0,
-    pipelined=False, entry2_ref=None,
+    pipelined=False, entry2_ref=None, nearest=False,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
@@ -226,10 +227,10 @@ def _emit_traversal(
                 if frame_stack:
                     base = jnp.maximum(sp - 9, 0)
                     mw = stack_ref[j, base + 8]
-                    ent = stack_ref[j, base + _ctz8(mw)]
-                    rem = mw & (mw - 1)
+                    kk, rem = _frame_pop(mw, nearest)
+                    ent = stack_ref[j, base + kk]
                     stack_ref[j, base + 8] = jnp.where(can, rem, mw)
-                    sp2 = jnp.where(can & (rem == 0), base, sp)
+                    sp2 = jnp.where(can & ((rem & 0xFF) == 0), base, sp)
                 else:
                     ent = stack_ref[j, jnp.maximum(sp - 1, 0)]
                     sp2 = jnp.where(can, sp - 1, sp)
@@ -279,13 +280,7 @@ def _emit_traversal(
                         keepdims=True)
                 for k in R
             ]
-            D = jnp.concatenate(fin, axis=1)
-            fs_fin = jnp.isfinite(D)
-            fs_mask = jnp.zeros((ROWS, 1), jnp.int32)
-            for k in range(WIDTH):
-                fs_mask = fs_mask | (
-                    fs_fin[:, k : k + 1].astype(jnp.int32) << k
-                )
+            fs_mask = _frame_mask(fin, nearest)
 
             limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
             for c in range(LEAF_TRIS):
@@ -327,7 +322,7 @@ def _emit_traversal(
                     for k in range(WIDTH):
                         stack_ref[j, base_p + k] = es_[k]
                     stack_ref[j, base_p + 8] = w
-                    sp = sp + jnp.where(int_s[j] & (w != 0), 9, 0)
+                    sp = sp + jnp.where(int_s[j] & ((w & 0xFF) != 0), 9, 0)
                 else:
                     for k in range(WIDTH):
                         push = (
@@ -509,13 +504,7 @@ def _emit_traversal(
         if frame_stack:
             # per-row pass masks built ONCE in the vector domain (see
             # ops/traverse_packet_slim.py's frame-stack scheme)
-            fs_d = jnp.concatenate(child_dmin, axis=1)      # (8, 8)
-            fs_fin = jnp.isfinite(fs_d)
-            fs_mask = jnp.zeros((ROWS, 1), jnp.int32)
-            for k in range(WIDTH):
-                fs_mask = fs_mask | (
-                    fs_fin[:, k : k + 1].astype(jnp.int32) << k
-                )
+            fs_mask = _frame_mask(child_dmin, nearest)
 
         alive = jnp.int32(0)
         for j in range(ROWS):
@@ -544,7 +533,7 @@ def _emit_traversal(
                 for k in range(1, WIDTH):
                     stack_ref[j, base_p + k] = es_[k]
                 stack_ref[j, base_p + 8] = w
-                sp = sp + jnp.where(w != 0, 9, 0)
+                sp = sp + jnp.where((w & 0xFF) != 0, 9, 0)
 
                 if instanced:
                     @pl.when(is_inst)
@@ -587,10 +576,10 @@ def _emit_traversal(
                     can = can & ~is_inst  # entering descends, not pops
                 base = jnp.maximum(sp - 9, 0)
                 mw = stack_ref[j, base + 8]
-                ent = stack_ref[j, base + _ctz8(mw)]
-                rem = mw & (mw - 1)
+                kk, rem = _frame_pop(mw, nearest)
+                ent = stack_ref[j, base + kk]
                 stack_ref[j, base + 8] = jnp.where(can, rem, mw)
-                sp = jnp.where(can & (rem == 0), base, sp)
+                sp = jnp.where(can & ((rem & 0xFF) == 0), base, sp)
                 nxt = jnp.where(can, ent, DONE)
                 if instanced:
                     blas_e = inst_root_ref[iid_c]
@@ -758,7 +747,7 @@ def _shade_extend_kernel(
     *tail,
     roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, num_inst=0, count_iters=False,
-    frame_stack=False, fused_nn=0, pipelined=False,
+    frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
 ):
     """One integrator depth minus the shadow resolve: traversal + the
     full TracePathAdvanced shading body (Source/Main.cpp:396-579)."""
@@ -866,6 +855,7 @@ def _shade_extend_kernel(
                 inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
                 frame_stack=frame_stack, fused_nn=fused_nn,
                 pipelined=pipelined, entry2_ref=entry2_ref,
+                nearest=nearest,
             )
             t, tri, obj, mnx, mny, mnz = trav[:6]
             if count_iters:
@@ -1211,7 +1201,7 @@ def _shadow_resolve_kernel(
     # columns, [iters_ref when count_iters], scratch
     *tail,
     roots, num_sph, num_pln, num_inst=0, count_iters=False,
-    frame_stack=False, fused_nn=0, pipelined=False,
+    frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
     i = 0
@@ -1274,6 +1264,7 @@ def _shadow_resolve_kernel(
                 inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
                 frame_stack=frame_stack, fused_nn=fused_nn,
                 pipelined=pipelined, entry2_ref=entry2_ref,
+                nearest=nearest,
             )
             t, tri = trav[0], trav[1]
             if count_iters:
@@ -1331,7 +1322,7 @@ def _pad_to(step, arrs, pad_vals):
     static_argnames=(
         "roots", "num_mats", "num_lights", "num_sph", "num_pln", "num_objs",
         "nee", "rr", "cosine", "ref_pdf", "interpret", "count_iters",
-        "frame_stack", "fused_nn", "pipelined",
+        "frame_stack", "fused_nn", "pipelined", "nearest",
     ),
 )
 def shade_extend(
@@ -1340,7 +1331,7 @@ def shade_extend(
     *, roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, interpret=False, count_iters=False,
     inst_inv=None, inst_nrm=None, inst_root=None, frame_stack=None,
-    fused_nn=0, pipelined=None,
+    fused_nn=0, pipelined=None, nearest=None,
 ):
     """One fused depth step (minus shadow resolve) over the wavefront.
 
@@ -1369,6 +1360,8 @@ def shade_extend(
         pipelined = PIPELINED_DEFAULT and fused_nn > 0
     elif pipelined and not fused_nn:
         raise ValueError("pipelined packet body requires fused tables")
+    if nearest is None:
+        nearest = NEAREST_DEFAULT and frame_stack
 
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
@@ -1416,7 +1409,7 @@ def shade_extend(
             nee=nee, rr=rr, cosine=cosine, ref_pdf=ref_pdf,
             num_inst=num_inst, count_iters=count_iters,
             frame_stack=frame_stack, fused_nn=fused_nn,
-            pipelined=pipelined,
+            pipelined=pipelined, nearest=nearest and frame_stack,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -1445,14 +1438,15 @@ def shade_extend(
 @functools.partial(
     jax.jit,
     static_argnames=("roots", "num_sph", "num_pln", "interpret",
-                     "count_iters", "frame_stack", "fused_nn", "pipelined"),
+                     "count_iters", "frame_stack", "fused_nn", "pipelined",
+                     "nearest"),
 )
 def shadow_resolve(
     nodes, ltris, sph, pln,
     shadow_o, shadow_d, shadow_tmax, flags, energy, contrib,
     *, roots, num_sph, num_pln, interpret=False, count_iters=False,
     inst_inv=None, inst_root=None, frame_stack=None, fused_nn=0,
-    pipelined=None,
+    pipelined=None, nearest=None,
 ):
     """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)
     (plus per-sub-tile iteration counts when count_iters).  inst_inv /
@@ -1475,6 +1469,8 @@ def shadow_resolve(
         pipelined = PIPELINED_DEFAULT and fused_nn > 0
     elif pipelined and not fused_nn:
         raise ValueError("pipelined packet body requires fused tables")
+    if nearest is None:
+        nearest = NEAREST_DEFAULT and frame_stack
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
@@ -1510,7 +1506,7 @@ def shadow_resolve(
             num_sph=num_sph, num_pln=num_pln,
             num_inst=num_inst, count_iters=count_iters,
             frame_stack=frame_stack, fused_nn=fused_nn,
-            pipelined=pipelined,
+            pipelined=pipelined, nearest=nearest and frame_stack,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

@@ -89,6 +89,46 @@ FRAMESTACK_DEFAULT = os.environ.get("CPUGPU_FRAMESTACK", "") == "1"
 # overlaps the VPU half).  Needs the fused table (CPUGPU_FUSED=1) and
 # no instance machinery; silently ignored otherwise.  Read at import.
 PIPELINED_DEFAULT = os.environ.get("CPUGPU_PIPELINED", "") == "1"
+# CPUGPU_NEAREST=1 (frame-stack modes only): the slab phase's argmin
+# child index rides bits 8-10 of the frame's pass-mask word and pops
+# FIRST, restoring nearest-child-first descent order (the round-3 lab
+# measured fixed order at +9% iterations; this buys the order back for
+# ~4 scalar ops/row instead of the 8-extract compare chain that made
+# the original argmin a net loss).  Hit results stay exact either way.
+NEAREST_DEFAULT = os.environ.get("CPUGPU_NEAREST", "") == "1"
+
+
+def _frame_mask(child_dmin, nearest: bool):
+    """Per-row frame word from the 8 per-child dmin columns: pass-mask
+    bits 0-7, plus the argmin child in bits 8-10 when `nearest`."""
+    fs_d = jnp.concatenate(child_dmin, axis=1)          # (8, 8)
+    fs_fin = jnp.isfinite(fs_d)
+    fs_mask = jnp.zeros((ROWS, 1), jnp.int32)
+    for k in range(WIDTH):
+        fs_mask = fs_mask | (fs_fin[:, k : k + 1].astype(jnp.int32) << k)
+    if nearest:
+        bd = fs_d[:, 0:1]
+        bkv = jnp.zeros((ROWS, 1), jnp.int32)
+        for k in range(1, WIDTH):
+            sw = fs_d[:, k : k + 1] < bd
+            bd = jnp.where(sw, fs_d[:, k : k + 1], bd)
+            bkv = jnp.where(sw, jnp.int32(k), bkv)
+        fs_mask = fs_mask | (bkv << 8)
+    return fs_mask
+
+
+def _frame_pop(mw, nearest: bool):
+    """(slot index, remaining word) for one pop from frame word `mw`.
+    With `nearest`, the stashed argmin child pops first (its bit then
+    clears, so later pops fall back to ctz of the remaining mask)."""
+    if nearest:
+        bk = jax.lax.shift_right_logical(mw, 8) & 7
+        bkbit = jax.lax.shift_left(jnp.int32(1), bk)
+        use_bk = (mw & bkbit) != 0
+        kk = jnp.where(use_bk, bk, _ctz8(mw & 0xFF))
+        rem = mw & ~jax.lax.shift_left(jnp.int32(1), kk)
+        return kk, rem
+    return _ctz8(mw), mw & (mw - 1)
 # frame-stack pop uses scalar lax.population_count for ctz; if Mosaic
 # rejects it on some toolchain, CPUGPU_CTZ_CHAIN=1 swaps in an 8-way
 # compare chain (bit-identical result, read once at import like above)
@@ -117,7 +157,7 @@ def _traverse_kernel(
     *refs,
     roots: tuple, any_hit: bool, count_depth: bool, instanced: bool,
     count_iters: bool, frame_stack: bool = False, fused_nn: int = 0,
-    pipelined: bool = False,
+    pipelined: bool = False, nearest: bool = False,
 ):
     if count_iters:
         # the iters output ref sits after the 8 regular outputs, before
@@ -262,10 +302,11 @@ def _traverse_kernel(
                         if frame_stack:
                             base = jnp.maximum(sp - 9, 0)
                             mw = stack_ref[j, base + 8]
-                            ent = stack_ref[j, base + _ctz8(mw)]
-                            rem = mw & (mw - 1)
+                            kk, rem = _frame_pop(mw, nearest)
+                            ent = stack_ref[j, base + kk]
                             stack_ref[j, base + 8] = jnp.where(can, rem, mw)
-                            sp2 = jnp.where(can & (rem == 0), base, sp)
+                            sp2 = jnp.where(
+                                can & ((rem & 0xFF) == 0), base, sp)
                         else:
                             ent = stack_ref[j, jnp.maximum(sp - 1, 0)]
                             sp2 = jnp.where(can, sp - 1, sp)
@@ -323,13 +364,7 @@ def _traverse_kernel(
                         for k in range(1, WIDTH):
                             lane_desc = lane_desc | bm[k]
                         depth = depth + lane_desc.astype(jnp.int32)
-                    D = jnp.concatenate(fin, axis=1)
-                    fs_fin = jnp.isfinite(D)
-                    fs_mask = jnp.zeros((ROWS, 1), jnp.int32)
-                    for k in range(WIDTH):
-                        fs_mask = fs_mask | (
-                            fs_fin[:, k : k + 1].astype(jnp.int32) << k
-                        )
+                    fs_mask = _frame_mask(fin, nearest)
 
                     limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
                     for c in range(LEAF_TRIS):
@@ -375,7 +410,8 @@ def _traverse_kernel(
                             for k in range(WIDTH):
                                 stack_ref[j, base_p + k] = es_[k]
                             stack_ref[j, base_p + 8] = w
-                            sp = sp + jnp.where(int_s[j] & (w != 0), 9, 0)
+                            sp = sp + jnp.where(
+                                int_s[j] & ((w & 0xFF) != 0), 9, 0)
                         else:
                             for k in range(WIDTH):
                                 push = (
@@ -599,13 +635,7 @@ def _traverse_kernel(
                     # dmin extracts of the linear scheme.  bm gates on
                     # int_v and m, so the mask is 0 for every non-live /
                     # non-interior row.
-                    fs_d = jnp.concatenate(child_dmin, axis=1)      # (8, 8)
-                    fs_fin = jnp.isfinite(fs_d)
-                    fs_mask = jnp.zeros((ROWS, 1), jnp.int32)
-                    for k in range(WIDTH):
-                        fs_mask = fs_mask | (
-                            fs_fin[:, k : k + 1].astype(jnp.int32) << k
-                        )
+                    fs_mask = _frame_mask(child_dmin, nearest)
 
                 alive = jnp.int32(0)
                 for j in range(ROWS):
@@ -641,7 +671,7 @@ def _traverse_kernel(
                         for k in range(1, WIDTH):
                             stack_ref[j, base_p + k] = es_[k]
                         stack_ref[j, base_p + 8] = w
-                        sp = sp + jnp.where(w != 0, 9, 0)
+                        sp = sp + jnp.where((w & 0xFF) != 0, 9, 0)
 
                         if instanced:
                             @pl.when(is_inst)
@@ -684,12 +714,12 @@ def _traverse_kernel(
                             can = can & ~is_inst  # entering descends, not pops
                         base = jnp.maximum(sp - 9, 0)
                         mw = stack_ref[j, base + 8]
-                        ent = stack_ref[j, base + _ctz8(mw)]
-                        rem = mw & (mw - 1)
+                        kk, rem = _frame_pop(mw, nearest)
+                        ent = stack_ref[j, base + kk]
                         # pop side effects gated on `can`: an entering row
                         # must leave its just-pushed RESTORE frame intact
                         stack_ref[j, base + 8] = jnp.where(can, rem, mw)
-                        sp = jnp.where(can & (rem == 0), base, sp)
+                        sp = jnp.where(can & ((rem & 0xFF) == 0), base, sp)
                         nxt = jnp.where(can, ent, DONE)
                         if instanced:
                             blas_e = inst_root_ref[iid_c]
@@ -820,7 +850,8 @@ def _traverse_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("roots", "interpret", "any_hit", "count_depth",
-                     "count_iters", "frame_stack", "fused_nn", "pipelined"),
+                     "count_iters", "frame_stack", "fused_nn", "pipelined",
+                     "nearest"),
 )
 def traverse_packet_slim(
     origin, direction, t_init, nodes, ltris, roots,
@@ -828,6 +859,7 @@ def traverse_packet_slim(
     count_depth: bool = True, inst_inv=None, inst_root=None,
     count_iters: bool = False, frame_stack: bool | None = None,
     fused_nn: int = 0, pipelined: bool | None = None,
+    nearest: bool | None = None,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
@@ -871,6 +903,8 @@ def traverse_packet_slim(
         pipelined = PIPELINED_DEFAULT and fused_nn > 0
     elif pipelined and not fused_nn:
         raise ValueError("pipelined packet body requires fused tables")
+    if nearest is None:
+        nearest = NEAREST_DEFAULT and frame_stack
     step = GROUPS * TILE
     n = -(-n0 // step) * step
     num_steps = n // step
@@ -947,6 +981,7 @@ def traverse_packet_slim(
             frame_stack=frame_stack,
             fused_nn=fused_nn,
             pipelined=pipelined,
+            nearest=nearest and frame_stack,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

@@ -374,3 +374,32 @@ def test_pipelined_body_matches_baseline(sphere_slim, rng_np):
         )
         np.testing.assert_array_equal(np.asarray(ra[1]) >= 0,
                                       np.asarray(refa[1]) >= 0)
+
+
+def test_nearest_frame_pop_matches_linear(sphere_slim, rng_np):
+    """CPUGPU_NEAREST frame-pop order (argmin child first, from the
+    frame word's spare bits) must keep hits bit-exact vs the linear
+    stack, standalone and on the pipelined body."""
+    from cpugpupathtracing_tpu.models.scene import _fuse_packet_tables
+
+    b, s = sphere_slim
+    nodes, ltris = _tables(s)
+    n = 2048
+    o, d = _rays(rng_np, n)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    ref = tps.traverse_packet_slim(o, d, t0, nodes, ltris, (0,),
+                                   interpret=True)
+    r = tps.traverse_packet_slim(
+        o, d, t0, nodes, ltris, (0,), interpret=True,
+        frame_stack=True, nearest=True,
+    )
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(r[i]), np.asarray(ref[i]))
+    fused = _fuse_packet_tables(nodes, ltris)
+    nn = int(nodes.shape[0])
+    rp = tps.traverse_packet_slim(
+        o, d, t0, fused, ltris, (0,), interpret=True,
+        fused_nn=nn, pipelined=True, frame_stack=True, nearest=True,
+    )
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(rp[i]), np.asarray(ref[i]))
