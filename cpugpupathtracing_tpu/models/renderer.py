@@ -71,9 +71,16 @@ def trace_sample(dev, settings, origin, direction, state, idx):
         else:
             fn = integrators.trace_advanced
     elif settings.render_mode == RenderMode.WHITTED:
-        from cpugpupathtracing_tpu.models.whitted import trace_whitted
+        from cpugpupathtracing_tpu.models.scene import whitted_kernel_active
+        from cpugpupathtracing_tpu.models.whitted import (
+            trace_whitted,
+            trace_whitted_kernel,
+        )
 
-        fn = trace_whitted
+        if whitted_kernel_active(dev, settings):
+            fn = trace_whitted_kernel
+        else:
+            fn = trace_whitted
     else:
         raise ValueError(f"unknown render mode {settings.render_mode}")
     return integrators.trace_chunked(

@@ -1285,6 +1285,33 @@ def megakernel_active(dev: DeviceScene, settings) -> bool:
     )
 
 
+def whitted_kernel_active(dev: DeviceScene, settings) -> bool:
+    """True when WHITTED mode should run the whole-frame analytic Pallas
+    kernel (ops/whitted_kernel.py) instead of the XLA wavefront loop.
+    The kernel statically unrolls the analytic prim tests, the material
+    select chains, and the per-light shadow loop, and keeps rays in
+    VMEM across every depth -- valid only for all-analytic scenes
+    (benchmark config 1's shape).  CPUGPU_FORCE_WHITTED_KERNEL=1 runs
+    it in interpret mode on CPU (test coverage off-chip);
+    CPUGPU_NO_WHITTED_KERNEL=1 opts out (A/B baseline)."""
+    return bool(
+        (
+            jax.default_backend() == "tpu"
+            or os.environ.get("CPUGPU_FORCE_WHITTED_KERNEL") == "1"
+        )
+        and os.environ.get("CPUGPU_NO_WHITTED_KERNEL") != "1"
+        and dev.num_triangles == 0
+        and dev.num_instances == 0
+        and not dev.has_mesh_lights
+        and dev.sph_center.shape[0] + dev.pln_point.shape[0]
+        <= ANALYTIC_UNROLL_MAX
+        and dev.num_lights <= 8
+        and dev.mk_mats.shape[0] <= ANALYTIC_UNROLL_MAX
+        and settings.max_ray_depth <= 32
+        and not settings.aovs_active
+    )
+
+
 def intersect_scene(
     dev: DeviceScene, origin, direction, t_init, *, any_hit: bool = False,
     active=None, count_depth: bool = True,

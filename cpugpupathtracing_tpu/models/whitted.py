@@ -314,6 +314,43 @@ def trace_whitted(
     )
 
 
+def trace_whitted_kernel(
+    dev: DeviceScene,
+    settings: RenderSettings,
+    origin,
+    direction,
+    state,
+    idx=None,
+):
+    """trace_whitted via the whole-frame analytic Pallas kernel
+    (ops/whitted_kernel.py): every depth, shadow test, and the
+    dielectric/mirror continuation run inside ONE launch with rays
+    resident in VMEM -- no HBM round trips between depths.  RNG state
+    and traced match trace_whitted exactly; energy up to codegen FMA
+    ulps + silhouette occlusion flips (tests/test_whitted_kernel pins
+    the contract); gate via scene.whitted_kernel_active.  `idx` is
+    unused (analytic scenes are not coherence-sorted)."""
+    from cpugpupathtracing_tpu.ops import whitted_kernel as wk
+
+    del idx
+    n = origin.shape[0]
+    energy, state, traced = wk.whitted_frame(
+        dev.mk_mats, dev.mk_lights, dev.mk_sph, dev.mk_pln,
+        dev.mk_sph_mat, dev.mk_pln_mat, dev.mk_objmat,
+        (origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2]),
+        state,
+        num_mats=int(dev.mk_mats.shape[0]),
+        num_lights=dev.num_lights,
+        num_sph=int(dev.sph_center.shape[0]),
+        num_pln=int(dev.pln_point.shape[0]),
+        depths=settings.max_ray_depth + 1,
+        interpret=jax.default_backend() != "tpu",
+    )
+    zeros = jnp.zeros((n,), jnp.int32)
+    return state, TraceResult(energy, traced, zeros, zeros)
+
+
 def make_whitted_scene():
     """Benchmark config 1 (BASELINE.md): spheres + plane, point lights,
     hard shadows."""
