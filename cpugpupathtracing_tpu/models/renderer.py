@@ -88,6 +88,37 @@ def trace_sample(dev, settings, origin, direction, state, idx):
     )
 
 
+def _guarded_frame_kernel(dev, *args):
+    """render_frame_kernel with a one-time fallback: if the whole-frame
+    Whitted kernel is what we are about to compile and Mosaic rejects
+    it, disable it process-wide (scene.disable_whitted_kernel) and
+    re-trace on the XLA wavefront path instead of failing every frame.
+    The kernel has interpret-mode coverage but compiles on the real
+    chip only in production; a new Mosaic version must never take the
+    renderer down."""
+    try:
+        return render_frame_kernel(dev, *args)
+    except Exception as exc:  # pragma: no cover - chip-compiler only
+        from cpugpupathtracing_tpu.models.scene import (
+            disable_whitted_kernel,
+            whitted_kernel_active,
+        )
+
+        settings = args[4]
+        if (
+            settings.render_mode != RenderMode.WHITTED
+            or not whitted_kernel_active(dev, settings)
+        ):
+            raise
+        log_warn(
+            "whole-frame Whitted kernel failed to compile; "
+            f"falling back to the XLA path: {exc}"
+        )
+        disable_whitted_kernel()
+        jax.clear_caches()
+        return render_frame_kernel(dev, *args)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("settings", "width", "height", "spp", "seed"),
@@ -247,7 +278,7 @@ class Renderer:
         w, h = self.config.width, self.config.height
         spp = self.config.samples_per_frame
         self.num_accumulated += spp
-        acc, pixels, traced, esum = render_frame_kernel(
+        acc, pixels, traced, esum = _guarded_frame_kernel(
             self.scene.device(),
             camlib.to_arrays(self.camera),
             self._accumulator,
@@ -298,7 +329,7 @@ class Renderer:
         esum_t = None
         for _ in range(frames):
             self.num_accumulated += spp
-            acc, pixels, traced, esum = render_frame_kernel(
+            acc, pixels, traced, esum = _guarded_frame_kernel(
                 self.scene.device(),
                 camlib.to_arrays(self.camera),
                 self._accumulator,

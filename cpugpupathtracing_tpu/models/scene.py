@@ -1285,6 +1285,17 @@ def megakernel_active(dev: DeviceScene, settings) -> bool:
     )
 
 
+# runtime kill switch: flipped by the renderer's compile-failure
+# fallback so one Mosaic rejection downgrades to the XLA path for the
+# rest of the process instead of failing every subsequent frame
+_whitted_kernel_disabled = False
+
+
+def disable_whitted_kernel() -> None:
+    global _whitted_kernel_disabled
+    _whitted_kernel_disabled = True
+
+
 def whitted_kernel_active(dev: DeviceScene, settings) -> bool:
     """True when WHITTED mode should run the whole-frame analytic Pallas
     kernel (ops/whitted_kernel.py) instead of the XLA wavefront loop.
@@ -1295,7 +1306,8 @@ def whitted_kernel_active(dev: DeviceScene, settings) -> bool:
     it in interpret mode on CPU (test coverage off-chip);
     CPUGPU_NO_WHITTED_KERNEL=1 opts out (A/B baseline)."""
     return bool(
-        (
+        not _whitted_kernel_disabled
+        and (
             jax.default_backend() == "tpu"
             or os.environ.get("CPUGPU_FORCE_WHITTED_KERNEL") == "1"
         )

@@ -30,6 +30,15 @@ bench c3_pipe         CPUGPU_FUSED=1 CPUGPU_PIPELINED=1
 bench c3_fs_fused     CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1
 bench c3_fused        CPUGPU_FUSED=1
 
+# 1b. whole-frame Whitted kernel on config 1 (Mosaic compile risk:
+# first time this kernel meets the real compiler; NO_WHITTED_KERNEL is
+# the baseline). If the kernel run fails, record it -- the TPU gate in
+# scene.whitted_kernel_active must then grow a compile-tested guard.
+echo "== bench: c1 whitted kernel A/B =="
+timeout 3600 python bench.py --config 1 2>&1 | tee $OUT/c1_wkernel.log || true
+env CPUGPU_NO_WHITTED_KERNEL=1 timeout 3600 python bench.py --config 1 2>&1 \
+  | tee $OUT/c1_nokernel.log || true
+
 # 2. config 5 (flattened instancing rides the same flags)
 echo "== bench: c5 default and full =="
 timeout 3600 python bench.py --config 5 2>&1 | tee $OUT/c5_default.log || true
