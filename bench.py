@@ -28,7 +28,30 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
+def apply_bench_flags():
+    """Apply the on-chip-proven kernel flag combo selected by
+    tools/pick_bench_flags.py (bench_flags.json at the repo root), if
+    present.  setdefault: explicit env vars still win.  Must run before
+    the package imports -- the kernel flags are read once at import."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_flags.json")
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    env = rec.get("env", {})
+    for k, v in env.items():
+        os.environ.setdefault(k, str(v))
+    return env
+
+
 def main():
+    flags_env = apply_bench_flags()
     p = argparse.ArgumentParser()
     p.add_argument("size", nargs="*", type=int, help="width height [frames]")
     p.add_argument("--config", type=int, default=3, choices=[1, 2, 3, 4, 5])
@@ -129,6 +152,7 @@ def main():
             "compiled_parity_ok": parity,
             "compiled_parity_instanced_ok": parity_instanced,
             "device": str(jax.devices()[0]),
+            "bench_flags": flags_env,
         },
     }
     print(json.dumps(result))

@@ -16,8 +16,13 @@ bench() {  # bench <logname> [env assignments...]
   fi
 }
 
+# NOTE: bench.py applies bench_flags.json (written by pick_bench_flags
+# below) via setdefault, so every baseline run here pins the kernel
+# flags EMPTY explicitly to stay a true default.
+NOFLAGS="CPUGPU_FRAMESTACK= CPUGPU_FUSED= CPUGPU_PIPELINED= CPUGPU_NEAREST= CPUGPU_CTZ_CHAIN="
+
 # 1. decisive production A/Bs on config 3
-bench c3_default      CPUGPU_NOOP=0
+bench c3_default      $NOFLAGS
 bench c3_full         CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1
 # if the frame-stack compile failed (scalar popcount?), retry with the
 # compare-chain ctz before concluding anything
@@ -30,19 +35,26 @@ bench c3_pipe         CPUGPU_FUSED=1 CPUGPU_PIPELINED=1
 bench c3_fs_fused     CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1
 bench c3_fused        CPUGPU_FUSED=1
 
+# pick the fastest parity-proven combo NOW (the queue may be cut short
+# if the tunnel drops again): bench.py and the driver's end-of-round
+# bench will apply it from bench_flags.json
+python tools/pick_bench_flags.py $OUT 2>&1 | tee $OUT/pick_flags.log || true
+
 # 1b. whole-frame Whitted kernel on config 1 (Mosaic compile risk:
 # first time this kernel meets the real compiler; NO_WHITTED_KERNEL is
 # the baseline). If the kernel run fails, record it -- the TPU gate in
 # scene.whitted_kernel_active must then grow a compile-tested guard.
 echo "== bench: c1 whitted kernel A/B =="
-timeout 3600 python bench.py --config 1 2>&1 | tee $OUT/c1_wkernel.log || true
-env CPUGPU_NO_WHITTED_KERNEL=1 timeout 3600 python bench.py --config 1 2>&1 \
+env $NOFLAGS timeout 3600 python bench.py --config 1 2>&1 \
+  | tee $OUT/c1_wkernel.log || true
+env $NOFLAGS CPUGPU_NO_WHITTED_KERNEL=1 timeout 3600 python bench.py --config 1 2>&1 \
   | tee $OUT/c1_nokernel.log || true
 
 # 2. config 5 (flattened instancing rides the same flags)
 echo "== bench: c5 default and full =="
-timeout 3600 python bench.py --config 5 2>&1 | tee $OUT/c5_default.log || true
-env CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 \
+env $NOFLAGS timeout 3600 python bench.py --config 5 2>&1 \
+  | tee $OUT/c5_default.log || true
+env CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_NEAREST= CPUGPU_CTZ_CHAIN= \
   timeout 3600 python bench.py --config 5 2>&1 | tee $OUT/c5_full.log || true
 
 # 3. per-iteration attribution
