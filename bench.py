@@ -124,15 +124,27 @@ def main():
     # compiled-kernel parity gates (tools/tpu_parity_gate.py): every
     # recorded perf number re-proves hit correctness on the same binary,
     # for BOTH the plain and the instanced (TLAS) packet kernel
-    parity = parity_instanced = None
+    parity = parity_instanced = parity_whitted = None
     if jax.default_backend() == "tpu":
         import sys as _sys
 
         _sys.path.insert(0, "tools")
-        from tpu_parity_gate import check_parity, check_parity_instanced
+        from tpu_parity_gate import (
+            check_parity,
+            check_parity_instanced,
+            check_parity_whitted,
+        )
 
         parity = check_parity()["ok"]
         parity_instanced = check_parity_instanced()["ok"]
+        if args.config == 1:
+            # config 1 is the whole-frame Whitted kernel's bench: the
+            # recorded number must re-prove it on the same binary
+            # (falls back + records False if Mosaic rejects it)
+            try:
+                parity_whitted = check_parity_whitted()["ok"]
+            except Exception:
+                parity_whitted = False
 
     mrays = rays / wall / 1e6
     frame_ms = wall / frames * 1000.0
@@ -151,6 +163,7 @@ def main():
             "first_frame_s": round(compile_s, 1),
             "compiled_parity_ok": parity,
             "compiled_parity_instanced_ok": parity_instanced,
+            "compiled_parity_whitted_ok": parity_whitted,
             "device": str(jax.devices()[0]),
             "bench_flags": flags_env,
         },

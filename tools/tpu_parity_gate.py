@@ -229,8 +229,53 @@ def check_parity_instanced(n_rays: int = 2048, chunk: int = 512, seed: int = 9) 
     }
 
 
+def check_parity_whitted(w: int = 64, h: int = 32, seed: int = 0x1CE) -> dict:
+    """Compiled parity for the whole-frame Whitted kernel
+    (ops/whitted_kernel.py) vs the XLA wavefront loop, on the chip.
+    Contract per tests/test_whitted_kernel.py: traced and rng state
+    exact; energy within codegen-FMA ulps outside a small set of
+    silhouette occlusion flips, each bounded by one light's attenuated
+    contribution.  Raises AssertionError on failure."""
+    from cpugpupathtracing_tpu.config import CameraConfig, RenderSettings, RenderMode
+    from cpugpupathtracing_tpu.models import camera as camlib
+    from cpugpupathtracing_tpu.models.whitted import (
+        make_whitted_scene,
+        trace_whitted,
+        trace_whitted_kernel,
+    )
+    from cpugpupathtracing_tpu.utils import rng as rnglib
+
+    dev = make_whitted_scene().device()
+    settings = RenderSettings(render_mode=RenderMode.WHITTED)
+    n = w * h
+    cam = camlib.to_arrays(CameraConfig(pos=(0.0, 0.5, 8.0), aspect=w / h))
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    o, d = camlib.lane_rays(cam, lane, w, h)
+    state = rnglib.seed_lanes(lane, jnp.uint32(0), salt=seed)
+
+    st_ref, ref = trace_whitted(dev, settings, o, d, state, idx=None)
+    st_got, got = trace_whitted_kernel(dev, settings, o, d, state, idx=None)
+    assert int(ref.traced_rays) == int(got.traced_rays), "traced mismatch"
+    assert np.array_equal(np.asarray(st_ref), np.asarray(st_got)), "rng state"
+    ea = np.asarray(ref.energy)
+    em = np.asarray(got.energy)
+    diff = np.abs(ea - em)
+    flips = (diff > 3e-6 + 3e-5 * np.abs(ea)).any(axis=1)
+    assert flips.mean() < 0.01, f"{int(flips.sum())} lanes beyond boundary flips"
+    assert diff.max() < 0.05, f"flip magnitude {diff.max():.4f}"
+    return {
+        "ok": True,
+        "checked": n,
+        "backend": jax.default_backend(),
+        "flip_lanes": int(flips.sum()),
+        "max_energy_diff": float(diff.max()),
+    }
+
+
 if __name__ == "__main__":
     out = check_parity()
     print(f"TPU parity gate OK: {out}")
     out2 = check_parity_instanced()
     print(f"TPU instanced parity gate OK: {out2}")
+    out3 = check_parity_whitted()
+    print(f"TPU whitted kernel parity gate OK: {out3}")
