@@ -66,8 +66,12 @@ from cpugpupathtracing_tpu.ops.megakernel import (
     _xs32,
 )
 
-BLOCK = 1024
-ROWS = 8
+# (64, 128) per grid step: 8 vregs per vector op gives the VPU
+# instruction-level parallelism a (8, 128) single-vreg body lacks
+# (every op would chain on the previous one's latency); the whole
+# 15-array carry is still only ~0.5 MB of VMEM
+BLOCK = 8192
+ROWS = 64
 LANES = 128
 
 
