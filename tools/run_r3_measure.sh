@@ -57,6 +57,17 @@ env $NOFLAGS timeout 3600 python bench.py --config 5 2>&1 \
 env CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_NEAREST= CPUGPU_CTZ_CHAIN= \
   timeout 3600 python bench.py --config 5 2>&1 | tee $OUT/c5_full.log || true
 
+# 2b. final numbers: all five configs under the PICKED flags
+# (bench.py reads bench_flags.json; config 4 = config 3 at 8 spp).
+# These are the round-end README numbers -- run them before the long
+# attribution labs in case the tunnel drops again.
+for c in 1 2 3 5; do
+  echo "== final bench: config $c (picked flags) =="
+  timeout 3600 python bench.py --config $c 2>&1 | tee $OUT/final_c$c.log || true
+done
+echo "== final bench: config 4 (picked flags, 8 spp) =="
+timeout 3600 python bench.py --config 4 --spp 8 2>&1 | tee $OUT/final_c4.log || true
+
 # 3. per-iteration attribution
 echo "== floor probe (incl. fctrl frame-stack stage) =="
 timeout 3600 python tools/floor_probe.py 2>&1 | tee $OUT/floor_probe.log || true
