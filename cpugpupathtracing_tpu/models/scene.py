@@ -58,6 +58,50 @@ ANALYTIC_UNROLL_MAX = 16
 # instancing qualifies).  Read ONCE at import, like CPUGPU_FRAMESTACK.
 PACKET_FUSED = os.environ.get("CPUGPU_FUSED", "") == "1"
 
+# CPUGPU_PACKET_TREE selects how the DEVICE-SIDE slim packet tree is
+# constructed from each mesh.  The binary BVH the user sees (rebuild
+# panel, heatmaps, the wide/skip/binary paths) always follows the
+# object's reference build_option; this flag only reshapes the internal
+# 8-wide restructure the packet kernels traverse -- hits are exact for
+# any valid tree (oracle-pinned), so this is purely an iteration-count
+# lever.  Variants (tools/tree_lab.py measures exact per-fan iteration
+# counts for each):
+#   ""/"fat"   fat-leaf binary (leaf_stop=8) + greedy collapse (default)
+#   "dp"       natural-leaf binary + SAH-cost DP collapse (bvh8.collapse_sah)
+#   "sweep"    full-sweep SAH binary (SAH_SPLIT_PRIMITIVES) + greedy
+#   "sweep_dp" full-sweep SAH binary + DP collapse
+# Read ONCE at import (obj._wide_cache is keyed on the binary BVH
+# identity, so a mid-process flip would serve stale trees).
+PACKET_TREE = os.environ.get("CPUGPU_PACKET_TREE", "")
+
+
+def _build_wide_cache(obj) -> tuple:
+    """(binary bvh, 8-wide tree for the wide path, slim packet tables)
+    for one mesh object; the slim tree honors CPUGPU_PACKET_TREE."""
+    from cpugpupathtracing_tpu.models import bvh8 as bvh8lib
+
+    b = obj.bvh
+    mode = PACKET_TREE
+    if mode in ("", "fat"):
+        # fat leaves (leaf_stop=8): a slim leaf is ONE row, so
+        # under-filled SAH leaves would waste 7/8 of every leaf iteration
+        pb = b.rebuild(obj.build_option, max_leaf_size=8, leaf_stop=8)
+        w8 = bvh8lib.collapse(pb, leaf_max=8)
+    elif mode == "dp":
+        pb = b.rebuild(obj.build_option, max_leaf_size=8)
+        w8 = bvh8lib.collapse_sah(pb, leaf_max=8)
+    elif mode == "sweep":
+        pb = b.rebuild(
+            BuildOption.SAH_SPLIT_PRIMITIVES, max_leaf_size=8, leaf_stop=8
+        )
+        w8 = bvh8lib.collapse(pb, leaf_max=8)
+    elif mode == "sweep_dp":
+        pb = b.rebuild(BuildOption.SAH_SPLIT_PRIMITIVES, max_leaf_size=8)
+        w8 = bvh8lib.collapse_sah(pb, leaf_max=8)
+    else:
+        except_error("Scene", "unknown CPUGPU_PACKET_TREE '{}'", mode)
+    return (b, bvh8lib.collapse(b), bvh8lib.to_slim(w8, pb.tri_normal))
+
 
 @jax.jit
 def _fuse_packet_tables(pnodes, pltris):
@@ -665,8 +709,6 @@ class Scene:
         )
 
     def _build_device(self) -> DeviceScene:
-        from cpugpupathtracing_tpu.models import bvh8 as bvh8lib
-
         f32, i32 = np.float32, np.int32
         nodes, perms, tris, tnrm, tobj = [], [], [], [], []
         wnodes, wtris, wleaf = [], [], []
@@ -700,16 +742,7 @@ class Scene:
             for obj in self.objects:
                 if obj.kind == PRIM_MESH and obj.instances is not None:
                     if obj._wide_cache is None or obj._wide_cache[0] is not obj.bvh:
-                        pb = obj.bvh.rebuild(
-                            obj.build_option, max_leaf_size=8, leaf_stop=8
-                        )
-                        obj._wide_cache = (
-                            obj.bvh,
-                            bvh8lib.collapse(obj.bvh),
-                            bvh8lib.to_slim(
-                                bvh8lib.collapse(pb, leaf_max=8), pb.tri_normal
-                            ),
-                        )
+                        obj._wide_cache = _build_wide_cache(obj)
                     pw = obj._wide_cache[2]
                     flat_bytes += len(obj.instances) * (
                         pw.nodes.nbytes + pw.ltris.nbytes
@@ -748,17 +781,7 @@ class Scene:
 
                 if self.use_wide:
                     if obj._wide_cache is None or obj._wide_cache[0] is not b:
-                        # packet tree: fat leaves (leaf_stop=8) -- a slim
-                        # leaf is ONE row, so under-filled SAH leaves would
-                        # waste 7/8 of every leaf iteration
-                        pb = b.rebuild(obj.build_option, max_leaf_size=8, leaf_stop=8)
-                        obj._wide_cache = (
-                            b,
-                            bvh8lib.collapse(b),
-                            bvh8lib.to_slim(
-                                bvh8lib.collapse(pb, leaf_max=8), pb.tri_normal
-                            ),
-                        )
+                        obj._wide_cache = _build_wide_cache(obj)
                     w = obj._wide_cache[1]
                     pw = obj._wide_cache[2]
                     # stamp object index + globalize triangle ids in

@@ -748,6 +748,7 @@ def _shade_extend_kernel(
     roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
+    interp=False,
 ):
     """One integrator depth minus the shadow resolve: traversal + the
     full TracePathAdvanced shading body (Source/Main.cpp:396-579)."""
@@ -790,7 +791,9 @@ def _shade_extend_kernel(
         act_i = fl_ref[gs] & 1
         any_act = jnp.sum(act_i) > 0
         if count_iters:
-            iters_ref[pl.program_id(0) * GROUPS + g] = 0
+            # interpret mode blocks the iters output per grid step (its
+            # CPU lowering lacks program_id; see traverse_packet_slim)
+            iters_ref[g if interp else pl.program_id(0) * GROUPS + g] = 0
 
         @pl.when(jnp.logical_not(any_act))
         def _dead(gs=gs):
@@ -859,7 +862,9 @@ def _shade_extend_kernel(
             )
             t, tri, obj, mnx, mny, mnz = trav[:6]
             if count_iters:
-                iters_ref[pl.program_id(0) * GROUPS + g] = trav[-1]
+                iters_ref[
+                    g if interp else pl.program_id(0) * GROUPS + g
+                ] = trav[-1]
             if num_inst:
                 # world normal = (inv M)^T @ n_object, normalized --
                 # the same explicit arithmetic as hit_surface
@@ -1202,6 +1207,7 @@ def _shadow_resolve_kernel(
     *tail,
     roots, num_sph, num_pln, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
+    interp=False,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
     i = 0
@@ -1237,7 +1243,8 @@ def _shadow_resolve_kernel(
         sneed_i = (fl_ref[gs] >> 2) & 1
         any_s = jnp.sum(sneed_i) > 0
         if count_iters:
-            iters_ref[pl.program_id(0) * GROUPS + g] = 0
+            # interpret mode: per-step blocked (see traverse_packet_slim)
+            iters_ref[g if interp else pl.program_id(0) * GROUPS + g] = 0
 
         @pl.when(jnp.logical_not(any_s))
         def _dead(gs=gs):
@@ -1268,7 +1275,9 @@ def _shadow_resolve_kernel(
             )
             t, tri = trav[0], trav[1]
             if count_iters:
-                iters_ref[pl.program_id(0) * GROUPS + g] = trav[-1]
+                iters_ref[
+                    g if interp else pl.program_id(0) * GROUPS + g
+                ] = trav[-1]
             occluded = tri >= 0
             for s in range(num_sph):
                 cxs, cys, czs = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]
@@ -1383,8 +1392,13 @@ def shade_extend(
     )
     if count_iters:
         # whole array per step (rank-1 SMEM blocks can't be tile-blocked
-        # on compiled TPU); each step writes its GROUPS slots
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        # on compiled TPU); each step writes its GROUPS slots.  Interpret
+        # mode must block it per step (no program_id on CPU).
+        if interpret:
+            out_specs.append(pl.BlockSpec(
+                (GROUPS,), lambda i: (i,), memory_space=pltpu.SMEM))
+        else:
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         out_shape.append(
             jax.ShapeDtypeStruct((num_steps * GROUPS,), jnp.int32)
         )
@@ -1410,6 +1424,7 @@ def shade_extend(
             num_inst=num_inst, count_iters=count_iters,
             frame_stack=frame_stack, fused_nn=fused_nn,
             pipelined=pipelined, nearest=nearest and frame_stack,
+            interp=interpret,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -1483,7 +1498,11 @@ def shadow_resolve(
     ] * 3
     out_shape = [jax.ShapeDtypeStruct((n,), jnp.float32)] * 3
     if count_iters:
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        if interpret:  # see the shade kernel's note
+            out_specs.append(pl.BlockSpec(
+                (GROUPS,), lambda i: (i,), memory_space=pltpu.SMEM))
+        else:
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         out_shape.append(
             jax.ShapeDtypeStruct((num_steps * GROUPS,), jnp.int32)
         )
@@ -1507,6 +1526,7 @@ def shadow_resolve(
             num_inst=num_inst, count_iters=count_iters,
             frame_stack=frame_stack, fused_nn=fused_nn,
             pipelined=pipelined, nearest=nearest and frame_stack,
+            interp=interpret,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

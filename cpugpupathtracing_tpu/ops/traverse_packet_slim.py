@@ -157,8 +157,14 @@ def _traverse_kernel(
     *refs,
     roots: tuple, any_hit: bool, count_depth: bool, instanced: bool,
     count_iters: bool, frame_stack: bool = False, fused_nn: int = 0,
-    pipelined: bool = False, nearest: bool = False,
+    pipelined: bool = False, nearest: bool = False, interp: bool = False,
 ):
+    def iters_slot(g):
+        # interpret mode blocks the iters output per grid step (and its
+        # CPU lowering lacks program_id); compiled TPU passes the whole
+        # array (rank-1 SMEM outputs can't be tile-blocked) and indexes
+        # it absolutely
+        return g if interp else pl.program_id(0) * GROUPS + g
     if count_iters:
         # the iters output ref sits after the 8 regular outputs, before
         # the scratch refs; inputs = nodes, ltris [, inst x2] + 8 ray ops
@@ -197,7 +203,7 @@ def _traverse_kernel(
         # (the Hit contract leaves inactive rows unspecified)
         any_act = jnp.sum(act_ref[gs]) > 0
         if count_iters:
-            iters_out[pl.program_id(0) * GROUPS + g] = 0
+            iters_out[iters_slot(g)] = 0
 
         @pl.when(jnp.logical_not(any_act))
         def _dead(gs=gs):
@@ -461,7 +467,7 @@ def _traverse_kernel(
                 depth_out[gs] = depth.reshape(-1)
                 iid_out[gs] = jnp.full((TILE,), -1, jnp.int32)
                 if count_iters:
-                    iters_out[pl.program_id(0) * GROUPS + g] = out[-2]
+                    iters_out[iters_slot(g)] = out[-2]
                 return
 
             def body(carry):
@@ -844,7 +850,7 @@ def _traverse_kernel(
             else:
                 iid_out[gs] = jnp.full((TILE,), -1, jnp.int32)
             if count_iters:
-                iters_out[pl.program_id(0) * GROUPS + g] = out[-2]
+                iters_out[iters_slot(g)] = out[-2]
 
 
 @functools.partial(
@@ -966,8 +972,14 @@ def traverse_packet_slim(
     ]
     if count_iters:
         # whole array per step (rank-1 SMEM blocks can't be tile-blocked
-        # on compiled TPU); the kernel writes its program_id slot
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        # on compiled TPU); the kernel writes its program_id slot.
+        # Interpret mode CAN block it -- and must (its CPU lowering has
+        # no program_id), so the kernel indexes within the step there.
+        if interpret:
+            out_specs.append(pl.BlockSpec(
+                (GROUPS,), lambda i: (i,), memory_space=pltpu.SMEM))
+        else:
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         out_shape.append(jax.ShapeDtypeStruct((num_tiles,), jnp.int32))
 
     res = pl.pallas_call(
@@ -982,6 +994,7 @@ def traverse_packet_slim(
             fused_nn=fused_nn,
             pipelined=pipelined,
             nearest=nearest and frame_stack,
+            interp=interpret,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

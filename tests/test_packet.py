@@ -403,3 +403,60 @@ def test_nearest_frame_pop_matches_linear(sphere_slim, rng_np):
     )
     for i in range(3):
         np.testing.assert_array_equal(np.asarray(rp[i]), np.asarray(ref[i]))
+
+
+def test_interpret_count_iters(sphere_slim, rng_np):
+    """count_iters must work in interpret mode (the tree lab's metric:
+    tools/tree_lab.py): per-sub-tile counts land in the right slots
+    across MULTIPLE grid steps (the interpret path blocks the SMEM
+    output per step -- its CPU lowering has no program_id), and
+    requesting counts must not perturb hits."""
+    b, s = sphere_slim
+    n = 2 * tps.GROUPS * tps.TILE  # two grid steps
+    o, d = _rays(rng_np, n)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    ref = tps.traverse_packet_slim(
+        o, d, t0, *_tables(s), (0,), interpret=True,
+    )
+    res = tps.traverse_packet_slim(
+        o, d, t0, *_tables(s), (0,), interpret=True, count_iters=True,
+    )
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(res[i]), np.asarray(ref[i]))
+    iters = np.asarray(res[-1])
+    assert iters.shape == (n // tps.TILE,)
+    # every sub-tile is fully active, so every slot (both grid steps)
+    # must record at least one iteration
+    assert (iters >= 1).all()
+
+
+@pytest.mark.parametrize("mode", ["fat", "dp", "sweep", "sweep_dp"])
+def test_packet_tree_variants_match_oracle(mode, rng_np, monkeypatch):
+    """Every CPUGPU_PACKET_TREE device-tree variant (models/scene.py
+    _build_wide_cache) must return brute-force-exact hits -- the tree
+    reshape is an iteration-count lever only."""
+    from cpugpupathtracing_tpu.models import materials as matlib
+    from cpugpupathtracing_tpu.models import scene as scenelib
+
+    monkeypatch.setattr(scenelib, "PACKET_TREE", mode)
+    sc = scenelib.Scene()
+    sc.add_material(matlib.Material.diffuse((1.0, 1.0, 1.0)))
+    m = mesh.icosphere(subdivisions=2)
+    sc.add_mesh("ball", m, 0, BuildOption.SAH_SPLIT_INTERVALS)
+    obj = sc.objects[0]
+    cache = scenelib._build_wide_cache(obj)
+    slim = cache[2]
+    n = 2048
+    o, d = _rays(rng_np, n)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    t, hit, _obj, _nrm, _depth, _iid = tps.traverse_packet_slim(
+        o, d, t0, jnp.asarray(slim.nodes), jnp.asarray(slim.ltris), (0,),
+        interpret=True,
+    )
+    b = obj.bvh
+    bt, bidx = intersect.brute_force_nearest_triangle(
+        o, d, jnp.asarray(b.tri_v0), jnp.asarray(b.tri_v1 - b.tri_v0),
+        jnp.asarray(b.tri_v2 - b.tri_v0), t0,
+    )
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(bidx))
+    np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
