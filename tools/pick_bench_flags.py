@@ -40,6 +40,11 @@ COMBOS = {
     "c3_pipe": {"CPUGPU_FUSED": "1", "CPUGPU_PIPELINED": "1"},
     "c3_fs_fused": {"CPUGPU_FRAMESTACK": "1", "CPUGPU_FUSED": "1"},
     "c3_fused": {"CPUGPU_FUSED": "1"},
+    "c3_tree": {"CPUGPU_PACKET_TREE": "sweep_dp"},
+    "c3_tree_full": {
+        "CPUGPU_FRAMESTACK": "1", "CPUGPU_FUSED": "1", "CPUGPU_PIPELINED": "1",
+        "CPUGPU_PACKET_TREE": "sweep_dp",
+    },
 }
 
 
