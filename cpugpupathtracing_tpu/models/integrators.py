@@ -725,6 +725,7 @@ def trace_advanced_mega(
     state,
     idx=None,
     frame_stack=None,
+    cond_push=None,
 ) -> tuple[jnp.ndarray, TraceResult]:
     """TracePathAdvanced via the fused per-depth megakernels
     (ops/megakernel.py): per depth, ONE closest-hit+shading launch and
@@ -761,6 +762,7 @@ def trace_advanced_mega(
         ref_pdf=settings.diffuse_pdf_mode == DiffusePdfMode.REFERENCE,
         interpret=interpret,
         frame_stack=frame_stack,
+        cond_push=cond_push,
         fused_nn=fused_nn,
     )
     if instanced:
@@ -815,7 +817,7 @@ def trace_advanced_mega(
             shadow_static = dict(
                 roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
                 interpret=interpret, frame_stack=frame_stack,
-                fused_nn=fused_nn,
+                cond_push=cond_push, fused_nn=fused_nn,
             )
             if instanced:
                 shadow_static.update(

@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
 from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
     RESTORE, FSTACK, FRAMESTACK_DEFAULT, PIPELINED_DEFAULT, NEAREST_DEFAULT,
-    _ctz8, _frame_mask, _frame_pop,
+    CONDPUSH_DEFAULT, _ctz8, _frame_mask, _frame_pop,
 )
 
 TILE = 1024
@@ -134,7 +134,7 @@ def _emit_traversal(
     ox, oy, oz, dx, dy, dz, m_act, t_init, roots, *, any_hit,
     count_iters=False, num_inst=0, iid_ref=None, rays_ref=None,
     inst_inv_ref=None, inst_root_ref=None, frame_stack=False, fused_nn=0,
-    pipelined=False, entry2_ref=None, nearest=False,
+    pipelined=False, entry2_ref=None, nearest=False, cond_push=False,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
@@ -319,10 +319,20 @@ def _emit_traversal(
                 es_ = [imat[j, 48 + k] for k in range(WIDTH)]
                 if frame_stack:
                     base_p = jnp.minimum(sp, FSTACK - 9)
-                    for k in range(WIDTH):
-                        stack_ref[j, base_p + k] = es_[k]
-                    stack_ref[j, base_p + 8] = w
-                    sp = sp + jnp.where(int_s[j] & ((w & 0xFF) != 0), 9, 0)
+                    pushc = int_s[j] & ((w & 0xFF) != 0)
+                    if cond_push:
+                        # CPUGPU_CONDPUSH: skip the 9 stores when nothing
+                        # passed (see traverse_packet_slim; exact)
+                        @pl.when(pushc)
+                        def _push(j=j, base_p=base_p, w=w, es_=es_):
+                            for k in range(WIDTH):
+                                stack_ref[j, base_p + k] = es_[k]
+                            stack_ref[j, base_p + 8] = w
+                    else:
+                        for k in range(WIDTH):
+                            stack_ref[j, base_p + k] = es_[k]
+                        stack_ref[j, base_p + 8] = w
+                    sp = sp + jnp.where(pushc, 9, 0)
                 else:
                     for k in range(WIDTH):
                         push = (
@@ -529,11 +539,20 @@ def _emit_traversal(
                     slot0 = jnp.where(is_inst, RESTORE, slot0)
                     w = jnp.where(is_inst, jnp.int32(1), w)
                 base_p = jnp.minimum(sp, FSTACK - 9)
-                stack_ref[j, base_p] = slot0
-                for k in range(1, WIDTH):
-                    stack_ref[j, base_p + k] = es_[k]
-                stack_ref[j, base_p + 8] = w
-                sp = sp + jnp.where((w & 0xFF) != 0, 9, 0)
+                pushc = (w & 0xFF) != 0
+                if cond_push:
+                    @pl.when(pushc)
+                    def _push(j=j, base_p=base_p, slot0=slot0, w=w, es_=es_):
+                        stack_ref[j, base_p] = slot0
+                        for k in range(1, WIDTH):
+                            stack_ref[j, base_p + k] = es_[k]
+                        stack_ref[j, base_p + 8] = w
+                else:
+                    stack_ref[j, base_p] = slot0
+                    for k in range(1, WIDTH):
+                        stack_ref[j, base_p + k] = es_[k]
+                    stack_ref[j, base_p + 8] = w
+                sp = sp + jnp.where(pushc, 9, 0)
 
                 if instanced:
                     @pl.when(is_inst)
@@ -748,7 +767,7 @@ def _shade_extend_kernel(
     roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
-    interp=False,
+    interp=False, cond_push=False,
 ):
     """One integrator depth minus the shadow resolve: traversal + the
     full TracePathAdvanced shading body (Source/Main.cpp:396-579)."""
@@ -858,7 +877,7 @@ def _shade_extend_kernel(
                 inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
                 frame_stack=frame_stack, fused_nn=fused_nn,
                 pipelined=pipelined, entry2_ref=entry2_ref,
-                nearest=nearest,
+                nearest=nearest, cond_push=cond_push,
             )
             t, tri, obj, mnx, mny, mnz = trav[:6]
             if count_iters:
@@ -1207,7 +1226,7 @@ def _shadow_resolve_kernel(
     *tail,
     roots, num_sph, num_pln, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
-    interp=False,
+    interp=False, cond_push=False,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
     i = 0
@@ -1271,7 +1290,7 @@ def _shadow_resolve_kernel(
                 inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
                 frame_stack=frame_stack, fused_nn=fused_nn,
                 pipelined=pipelined, entry2_ref=entry2_ref,
-                nearest=nearest,
+                nearest=nearest, cond_push=cond_push,
             )
             t, tri = trav[0], trav[1]
             if count_iters:
@@ -1331,7 +1350,7 @@ def _pad_to(step, arrs, pad_vals):
     static_argnames=(
         "roots", "num_mats", "num_lights", "num_sph", "num_pln", "num_objs",
         "nee", "rr", "cosine", "ref_pdf", "interpret", "count_iters",
-        "frame_stack", "fused_nn", "pipelined", "nearest",
+        "frame_stack", "fused_nn", "pipelined", "nearest", "cond_push",
     ),
 )
 def shade_extend(
@@ -1340,7 +1359,7 @@ def shade_extend(
     *, roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, interpret=False, count_iters=False,
     inst_inv=None, inst_nrm=None, inst_root=None, frame_stack=None,
-    fused_nn=0, pipelined=None, nearest=None,
+    fused_nn=0, pipelined=None, nearest=None, cond_push=None,
 ):
     """One fused depth step (minus shadow resolve) over the wavefront.
 
@@ -1371,6 +1390,8 @@ def shade_extend(
         raise ValueError("pipelined packet body requires fused tables")
     if nearest is None:
         nearest = NEAREST_DEFAULT and frame_stack
+    if cond_push is None:
+        cond_push = CONDPUSH_DEFAULT and frame_stack
 
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
@@ -1424,7 +1445,7 @@ def shade_extend(
             num_inst=num_inst, count_iters=count_iters,
             frame_stack=frame_stack, fused_nn=fused_nn,
             pipelined=pipelined, nearest=nearest and frame_stack,
-            interp=interpret,
+            interp=interpret, cond_push=cond_push and frame_stack,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -1454,6 +1475,7 @@ def shade_extend(
     jax.jit,
     static_argnames=("roots", "num_sph", "num_pln", "interpret",
                      "count_iters", "frame_stack", "fused_nn", "pipelined",
+                     "cond_push",
                      "nearest"),
 )
 def shadow_resolve(
@@ -1461,7 +1483,7 @@ def shadow_resolve(
     shadow_o, shadow_d, shadow_tmax, flags, energy, contrib,
     *, roots, num_sph, num_pln, interpret=False, count_iters=False,
     inst_inv=None, inst_root=None, frame_stack=None, fused_nn=0,
-    pipelined=None, nearest=None,
+    pipelined=None, nearest=None, cond_push=None,
 ):
     """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)
     (plus per-sub-tile iteration counts when count_iters).  inst_inv /
@@ -1486,6 +1508,8 @@ def shadow_resolve(
         raise ValueError("pipelined packet body requires fused tables")
     if nearest is None:
         nearest = NEAREST_DEFAULT and frame_stack
+    if cond_push is None:
+        cond_push = CONDPUSH_DEFAULT and frame_stack
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
@@ -1526,7 +1550,7 @@ def shadow_resolve(
             num_inst=num_inst, count_iters=count_iters,
             frame_stack=frame_stack, fused_nn=fused_nn,
             pipelined=pipelined, nearest=nearest and frame_stack,
-            interp=interpret,
+            interp=interpret, cond_push=cond_push and frame_stack,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

@@ -96,6 +96,12 @@ PIPELINED_DEFAULT = os.environ.get("CPUGPU_PIPELINED", "") == "1"
 # ~4 scalar ops/row instead of the 8-extract compare chain that made
 # the original argmin a net loss).  Hit results stay exact either way.
 NEAREST_DEFAULT = os.environ.get("CPUGPU_NEAREST", "") == "1"
+# CPUGPU_CONDPUSH=1 (frame-stack modes): gate the 9 frame stores per
+# row on the scalar pass mask instead of storing unconditionally --
+# leaf-pop / dead-row iterations (~60% of the bounce fan) skip them.
+# Exact: an un-pushed frame sits above the live top (sp only advances
+# when the mask is non-zero) and is never observed.  Read at import.
+CONDPUSH_DEFAULT = os.environ.get("CPUGPU_CONDPUSH", "") == "1"
 
 
 def _frame_mask(child_dmin, nearest: bool):
@@ -158,6 +164,7 @@ def _traverse_kernel(
     roots: tuple, any_hit: bool, count_depth: bool, instanced: bool,
     count_iters: bool, frame_stack: bool = False, fused_nn: int = 0,
     pipelined: bool = False, nearest: bool = False, interp: bool = False,
+    cond_push: bool = False,
 ):
     def iters_slot(g):
         # interpret mode blocks the iters output per grid step (and its
@@ -413,11 +420,18 @@ def _traverse_kernel(
                         es_ = [imat[j, 48 + k] for k in range(WIDTH)]
                         if frame_stack:
                             base_p = jnp.minimum(sp, FSTACK - 9)
-                            for k in range(WIDTH):
-                                stack_ref[j, base_p + k] = es_[k]
-                            stack_ref[j, base_p + 8] = w
-                            sp = sp + jnp.where(
-                                int_s[j] & ((w & 0xFF) != 0), 9, 0)
+                            pushc = int_s[j] & ((w & 0xFF) != 0)
+                            if cond_push:
+                                @pl.when(pushc)
+                                def _push(j=j, base_p=base_p, w=w, es_=es_):
+                                    for k in range(WIDTH):
+                                        stack_ref[j, base_p + k] = es_[k]
+                                    stack_ref[j, base_p + 8] = w
+                            else:
+                                for k in range(WIDTH):
+                                    stack_ref[j, base_p + k] = es_[k]
+                                stack_ref[j, base_p + 8] = w
+                            sp = sp + jnp.where(pushc, 9, 0)
                         else:
                             for k in range(WIDTH):
                                 push = (
@@ -673,11 +687,21 @@ def _traverse_kernel(
                             slot0 = jnp.where(is_inst, RESTORE, slot0)
                             w = jnp.where(is_inst, jnp.int32(1), w)
                         base_p = jnp.minimum(sp, FSTACK - 9)
-                        stack_ref[j, base_p] = slot0
-                        for k in range(1, WIDTH):
-                            stack_ref[j, base_p + k] = es_[k]
-                        stack_ref[j, base_p + 8] = w
-                        sp = sp + jnp.where((w & 0xFF) != 0, 9, 0)
+                        pushc = (w & 0xFF) != 0
+                        if cond_push:
+                            @pl.when(pushc)
+                            def _push(j=j, base_p=base_p, slot0=slot0,
+                                      w=w, es_=es_):
+                                stack_ref[j, base_p] = slot0
+                                for k in range(1, WIDTH):
+                                    stack_ref[j, base_p + k] = es_[k]
+                                stack_ref[j, base_p + 8] = w
+                        else:
+                            stack_ref[j, base_p] = slot0
+                            for k in range(1, WIDTH):
+                                stack_ref[j, base_p + k] = es_[k]
+                            stack_ref[j, base_p + 8] = w
+                        sp = sp + jnp.where(pushc, 9, 0)
 
                         if instanced:
                             @pl.when(is_inst)
@@ -857,7 +881,7 @@ def _traverse_kernel(
     jax.jit,
     static_argnames=("roots", "interpret", "any_hit", "count_depth",
                      "count_iters", "frame_stack", "fused_nn", "pipelined",
-                     "nearest"),
+                     "nearest", "cond_push"),
 )
 def traverse_packet_slim(
     origin, direction, t_init, nodes, ltris, roots,
@@ -865,7 +889,7 @@ def traverse_packet_slim(
     count_depth: bool = True, inst_inv=None, inst_root=None,
     count_iters: bool = False, frame_stack: bool | None = None,
     fused_nn: int = 0, pipelined: bool | None = None,
-    nearest: bool | None = None,
+    nearest: bool | None = None, cond_push: bool | None = None,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
@@ -911,6 +935,8 @@ def traverse_packet_slim(
         raise ValueError("pipelined packet body requires fused tables")
     if nearest is None:
         nearest = NEAREST_DEFAULT and frame_stack
+    if cond_push is None:
+        cond_push = CONDPUSH_DEFAULT and frame_stack
     step = GROUPS * TILE
     n = -(-n0 // step) * step
     num_steps = n // step
@@ -995,6 +1021,7 @@ def traverse_packet_slim(
             pipelined=pipelined,
             nearest=nearest and frame_stack,
             interp=interpret,
+            cond_push=cond_push and frame_stack,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

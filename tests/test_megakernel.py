@@ -120,12 +120,23 @@ def test_megakernel_frame_stack_bitwise(force_packet):
             d_, s_, o_, dir_, st_, idx=idx, frame_stack=True
         )
 
+    def mega_fs_cp(d_, s_, o_, dir_, st_, idx=None):
+        return integrators.trace_advanced_mega(
+            d_, s_, o_, dir_, st_, idx=idx, frame_stack=True, cond_push=True
+        )
+
     _, lin = _trace(dev, settings, integrators.trace_advanced_mega, idx=idx)
     _, frm = _trace(dev, settings, mega_fs, idx=idx)
+    _, fcp = _trace(dev, settings, mega_fs_cp, idx=idx)
     np.testing.assert_array_equal(
         np.asarray(lin.energy), np.asarray(frm.energy)
     )
+    # CPUGPU_CONDPUSH gates only never-observed stores: bitwise too
+    np.testing.assert_array_equal(
+        np.asarray(lin.energy), np.asarray(fcp.energy)
+    )
     assert int(lin.traced_rays) == int(frm.traced_rays)
+    assert int(lin.traced_rays) == int(fcp.traced_rays)
 
 
 def test_gate_rejects_unsupported(force_packet):

@@ -460,3 +460,42 @@ def test_packet_tree_variants_match_oracle(mode, rng_np, monkeypatch):
     )
     np.testing.assert_array_equal(np.asarray(hit), np.asarray(bidx))
     np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
+
+
+def test_cond_push_matches_linear(sphere_slim, rng_np):
+    """CPUGPU_CONDPUSH (frame stores gated on the scalar pass mask)
+    must keep hits bit-exact vs the linear stack, on the plain
+    frame-stack body and on the pipelined one."""
+    from cpugpupathtracing_tpu.models.scene import _fuse_packet_tables
+
+    b, s = sphere_slim
+    nodes, ltris = _tables(s)
+    n = 2048
+    o, d = _rays(rng_np, n)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    ref = tps.traverse_packet_slim(o, d, t0, nodes, ltris, (0,),
+                                   interpret=True)
+    r = tps.traverse_packet_slim(
+        o, d, t0, nodes, ltris, (0,), interpret=True,
+        frame_stack=True, cond_push=True,
+    )
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(r[i]), np.asarray(ref[i]))
+    fused = _fuse_packet_tables(nodes, ltris)
+    nn = int(nodes.shape[0])
+    rp = tps.traverse_packet_slim(
+        o, d, t0, fused, ltris, (0,), interpret=True,
+        fused_nn=nn, pipelined=True, frame_stack=True, cond_push=True,
+    )
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(rp[i]), np.asarray(ref[i]))
+    # any-hit occlusion contract under the flag
+    ra = tps.traverse_packet_slim(
+        o, d, t0, nodes, ltris, (0,), interpret=True, any_hit=True,
+        frame_stack=True, cond_push=True,
+    )
+    refa = tps.traverse_packet_slim(
+        o, d, t0, nodes, ltris, (0,), interpret=True, any_hit=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ra[1]) >= 0,
+                                  np.asarray(refa[1]) >= 0)

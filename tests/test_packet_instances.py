@@ -145,14 +145,19 @@ def test_instanced_frame_stack_matches_linear(force_packet):
     tmax = jnp.full((n,), RAY_TMAX, jnp.float32)
     act = jnp.ones((n,), jnp.int32)
     outs = []
-    for fs in (False, True):
+    for fs, cp in ((False, False), (True, False), (True, True)):
         res = tps.traverse_packet_slim(
             o, d, tmax, dev.pnodes, dev.pltris, dev.proots, active=act,
-            interpret=True, frame_stack=fs,
+            interpret=True, frame_stack=fs, cond_push=cp,
             inst_inv=dev.inst_inv, inst_root=dev.inst_blas_root_packet,
         )
         outs.append(res)
-    lin, frm = outs
+    lin, frm, frm_cp = outs
+    # CPUGPU_CONDPUSH: gating the frame stores on the pass mask must be
+    # a pure no-op on results, RESTORE frames included
+    for i in (0, 1, 2, 5):
+        np.testing.assert_array_equal(np.asarray(frm_cp[i]),
+                                      np.asarray(frm[i]))
     np.testing.assert_array_equal(np.asarray(frm[0]), np.asarray(lin[0]))  # t
     np.testing.assert_array_equal(np.asarray(frm[1]), np.asarray(lin[1]))  # tri
     np.testing.assert_array_equal(np.asarray(frm[2]), np.asarray(lin[2]))  # obj

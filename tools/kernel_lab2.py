@@ -51,7 +51,8 @@ DONE = 0x7FFFFFFF
 BIG = 1e30
 
 
-def _lab2_kernel(*refs, roots, nn, frame_stack, fused, gate_leaf):
+def _lab2_kernel(*refs, roots, nn, frame_stack, fused, gate_leaf,
+                 cond_push=False):
     (
         nodes_ref, ltris_ref,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref, act_ref,
@@ -252,9 +253,21 @@ def _lab2_kernel(*refs, roots, nn, frame_stack, fused, gate_leaf):
                     if frame_stack:
                         w = fs_mask[j, 0]
                         base_p = jnp.minimum(sp, FSTACK - 9)
-                        for k in range(WIDTH):
-                            stack_ref[j, base_p + k] = es_[k]
-                        stack_ref[j, base_p + 8] = w
+                        if cond_push:
+                            # gate the 9 frame stores on the scalar pass
+                            # mask: leaf/dead-row iterations (w == 0,
+                            # ~60% of a bounce-fan frame) skip them
+                            # entirely.  Exact: un-pushed frames sit
+                            # above the live top and are never observed.
+                            @pl.when(w != 0)
+                            def _push(j=j, base_p=base_p, w=w, es_=es_):
+                                for k in range(WIDTH):
+                                    stack_ref[j, base_p + k] = es_[k]
+                                stack_ref[j, base_p + 8] = w
+                        else:
+                            for k in range(WIDTH):
+                                stack_ref[j, base_p + k] = es_[k]
+                            stack_ref[j, base_p + 8] = w
                         sp = sp + jnp.where(w != 0, 9, 0)
                         can = live & (sp > 0)
                         base = jnp.maximum(sp - 9, 0)
@@ -300,10 +313,12 @@ def _lab2_kernel(*refs, roots, nn, frame_stack, fused, gate_leaf):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("roots", "nn", "frame_stack", "fused", "gate_leaf"),
+    static_argnames=("roots", "nn", "frame_stack", "fused", "gate_leaf",
+                     "cond_push"),
 )
 def traverse_lab2(origin, direction, t_init, nodes, ltris, roots, *, active,
-                  nn=0, frame_stack=False, fused=False, gate_leaf=False):
+                  nn=0, frame_stack=False, fused=False, gate_leaf=False,
+                  cond_push=False):
     ox_c, oy_c, oz_c = origin
     dx_c, dy_c, dz_c = direction
     n0 = ox_c.shape[0]
@@ -341,7 +356,7 @@ def traverse_lab2(origin, direction, t_init, nodes, ltris, roots, *, active,
     res = pl.pallas_call(
         functools.partial(
             _lab2_kernel, roots=roots, nn=nn, frame_stack=frame_stack,
-            fused=fused, gate_leaf=gate_leaf,
+            fused=fused, gate_leaf=gate_leaf, cond_push=cond_push,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -727,19 +742,20 @@ def _selfcheck():
     for fs in (False, True):
         for fused in (False, True):
             for gl in (False, True):
-                tn = jnp.asarray(un) if fused else jnp.asarray(s.nodes)
-                tl = dummy if fused else jnp.asarray(s.ltris)
-                t, hit, obj, _, _ = traverse_lab2(
-                    oc, dc, t0, tn, tl, (0,), active=act,
-                    nn=nn if fused else 0, frame_stack=fs, fused=fused,
-                    gate_leaf=gl,
-                )
-                assert np.array_equal(np.asarray(hit), np.asarray(bidx)), (
-                    fs, fused, gl)
-                np.testing.assert_allclose(np.asarray(t), np.asarray(bt),
-                                           rtol=1e-5)
-                print(f"fs={fs} fused={fused} gate_leaf={gl}: hits OK",
-                      flush=True)
+                for cp in ((False, True) if fs else (False,)):
+                    tn = jnp.asarray(un) if fused else jnp.asarray(s.nodes)
+                    tl = dummy if fused else jnp.asarray(s.ltris)
+                    t, hit, obj, _, _ = traverse_lab2(
+                        oc, dc, t0, tn, tl, (0,), active=act,
+                        nn=nn if fused else 0, frame_stack=fs, fused=fused,
+                        gate_leaf=gl, cond_push=cp,
+                    )
+                    assert np.array_equal(np.asarray(hit), np.asarray(bidx)), (
+                        fs, fused, gl, cp)
+                    np.testing.assert_allclose(np.asarray(t), np.asarray(bt),
+                                               rtol=1e-5)
+                    print(f"fs={fs} fused={fused} gate_leaf={gl} cond_push={cp}"
+                          ": hits OK", flush=True)
 
     for fs in (False, True):
         t, hit, obj, it, _ = traverse_lab2p(

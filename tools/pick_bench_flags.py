@@ -36,6 +36,10 @@ COMBOS = {
         "CPUGPU_FRAMESTACK": "1", "CPUGPU_FUSED": "1", "CPUGPU_PIPELINED": "1",
         "CPUGPU_NEAREST": "1",
     },
+    "c3_full_cp": {
+        "CPUGPU_FRAMESTACK": "1", "CPUGPU_FUSED": "1", "CPUGPU_PIPELINED": "1",
+        "CPUGPU_CONDPUSH": "1",
+    },
     "c3_framestack": {"CPUGPU_FRAMESTACK": "1"},
     "c3_pipe": {"CPUGPU_FUSED": "1", "CPUGPU_PIPELINED": "1"},
     "c3_fs_fused": {"CPUGPU_FRAMESTACK": "1", "CPUGPU_FUSED": "1"},

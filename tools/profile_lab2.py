@@ -74,9 +74,12 @@ def main():
     variants = [
         ("linear baseline", dict()),
         ("framestack", dict(frame_stack=True)),
+        ("framestack+condpush", dict(frame_stack=True, cond_push=True)),
         ("framestack+fused", dict(frame_stack=True, fused=True)),
         ("framestack+fused+gate", dict(frame_stack=True, fused=True,
                                        gate_leaf=True)),
+        ("fs+fused+gate+condpush", dict(frame_stack=True, fused=True,
+                                        gate_leaf=True, cond_push=True)),
         ("fused only", dict(fused=True)),
         ("gate only", dict(gate_leaf=True)),
         # software-pipelined body (pop+load before slab): fused required

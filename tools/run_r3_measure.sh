@@ -30,6 +30,7 @@ if grep -q "FAILED\|Error" $OUT/c3_full.log 2>/dev/null; then
   bench c3_full_ctzchain CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_CTZ_CHAIN=1
 fi
 bench c3_full_near    CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_NEAREST=1
+bench c3_full_cp      CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_CONDPUSH=1
 bench c3_framestack   CPUGPU_FRAMESTACK=1
 bench c3_pipe         CPUGPU_FUSED=1 CPUGPU_PIPELINED=1
 bench c3_fs_fused     CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1
