@@ -85,6 +85,12 @@ timeout 10800 python tools/profile_lab2.py 2>&1 | tee $OUT/lab2.log || true
 echo "== lab2 GROUPS=8 staging A/B (framestack variants only) =="
 LAB2_GROUPS=8 LAB2_ONLY=framestack timeout 7200 python tools/profile_lab2.py 2>&1 | tee $OUT/lab2_g8.log || true
 
+# 4b. 16-wide lab kernel: the one number that needs the chip is
+# ns/iteration (tools/tree_lab16.py already proved parity + counted
+# iterations offline: W16 tables, doubled slab, same scalar chain)
+echo "== lab3: 16-wide kernel ns/iter =="
+timeout 7200 python tools/profile_lab3.py 2>&1 | tee $OUT/lab3.log || true
+
 # 5. census: per-depth iterations after the any-hit row flush
 echo "== census c3 =="
 timeout 3600 python tools/profile_mega_census.py 3 2>&1 | tee $OUT/census_c3.log || true
