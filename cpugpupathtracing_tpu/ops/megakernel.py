@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
 from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
     RESTORE, FSTACK, FRAMESTACK_DEFAULT, PIPELINED_DEFAULT, NEAREST_DEFAULT,
-    CONDPUSH_DEFAULT, _ctz8, _frame_mask, _frame_pop,
+    CONDPUSH_DEFAULT, _ctz8, _frame_mask, _frame_pop, _frame_push,
 )
 
 TILE = 1024
@@ -320,18 +320,8 @@ def _emit_traversal(
                 if frame_stack:
                     base_p = jnp.minimum(sp, FSTACK - 9)
                     pushc = int_s[j] & ((w & 0xFF) != 0)
-                    if cond_push:
-                        # CPUGPU_CONDPUSH: skip the 9 stores when nothing
-                        # passed (see traverse_packet_slim; exact)
-                        @pl.when(pushc)
-                        def _push(j=j, base_p=base_p, w=w, es_=es_):
-                            for k in range(WIDTH):
-                                stack_ref[j, base_p + k] = es_[k]
-                            stack_ref[j, base_p + 8] = w
-                    else:
-                        for k in range(WIDTH):
-                            stack_ref[j, base_p + k] = es_[k]
-                        stack_ref[j, base_p + 8] = w
+                    _frame_push(stack_ref, j, base_p, es_, w,
+                                pushc, cond_push)
                     sp = sp + jnp.where(pushc, 9, 0)
                 else:
                     for k in range(WIDTH):
@@ -540,18 +530,8 @@ def _emit_traversal(
                     w = jnp.where(is_inst, jnp.int32(1), w)
                 base_p = jnp.minimum(sp, FSTACK - 9)
                 pushc = (w & 0xFF) != 0
-                if cond_push:
-                    @pl.when(pushc)
-                    def _push(j=j, base_p=base_p, slot0=slot0, w=w, es_=es_):
-                        stack_ref[j, base_p] = slot0
-                        for k in range(1, WIDTH):
-                            stack_ref[j, base_p + k] = es_[k]
-                        stack_ref[j, base_p + 8] = w
-                else:
-                    stack_ref[j, base_p] = slot0
-                    for k in range(1, WIDTH):
-                        stack_ref[j, base_p + k] = es_[k]
-                    stack_ref[j, base_p + 8] = w
+                _frame_push(stack_ref, j, base_p, [slot0] + es_[1:], w,
+                            pushc, cond_push)
                 sp = sp + jnp.where(pushc, 9, 0)
 
                 if instanced:

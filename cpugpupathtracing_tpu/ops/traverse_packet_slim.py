@@ -141,6 +141,21 @@ def _frame_pop(mw, nearest: bool):
 CTZ_CHAIN = os.environ.get("CPUGPU_CTZ_CHAIN", "") == "1"
 
 
+def _frame_push(stack_ref, j, base_p, slots, w, pushc, cond_push):
+    """One 9-slot frame store (8 entries + mask word) for row `j` at
+    `base_p`.  With `cond_push` the stores sit under pl.when(pushc) --
+    a skipped frame sits above the live top (the caller advances sp on
+    `pushc` either way) and is never observed, so hits are exact."""
+    def _do():
+        for k, v in enumerate(slots):
+            stack_ref[j, base_p + k] = v
+        stack_ref[j, base_p + 8] = w
+    if cond_push:
+        pl.when(pushc)(_do)
+    else:
+        _do()
+
+
 def _ctz8(mw, chain: bool | None = None):
     """Slot index of the lowest set bit of the 8-bit frame mask `mw`
     (scalar i32).  Returns 7 when mw == 0 (callers gate on the mask, so
@@ -421,16 +436,8 @@ def _traverse_kernel(
                         if frame_stack:
                             base_p = jnp.minimum(sp, FSTACK - 9)
                             pushc = int_s[j] & ((w & 0xFF) != 0)
-                            if cond_push:
-                                @pl.when(pushc)
-                                def _push(j=j, base_p=base_p, w=w, es_=es_):
-                                    for k in range(WIDTH):
-                                        stack_ref[j, base_p + k] = es_[k]
-                                    stack_ref[j, base_p + 8] = w
-                            else:
-                                for k in range(WIDTH):
-                                    stack_ref[j, base_p + k] = es_[k]
-                                stack_ref[j, base_p + 8] = w
+                            _frame_push(stack_ref, j, base_p, es_, w,
+                                        pushc, cond_push)
                             sp = sp + jnp.where(pushc, 9, 0)
                         else:
                             for k in range(WIDTH):
@@ -688,19 +695,8 @@ def _traverse_kernel(
                             w = jnp.where(is_inst, jnp.int32(1), w)
                         base_p = jnp.minimum(sp, FSTACK - 9)
                         pushc = (w & 0xFF) != 0
-                        if cond_push:
-                            @pl.when(pushc)
-                            def _push(j=j, base_p=base_p, slot0=slot0,
-                                      w=w, es_=es_):
-                                stack_ref[j, base_p] = slot0
-                                for k in range(1, WIDTH):
-                                    stack_ref[j, base_p + k] = es_[k]
-                                stack_ref[j, base_p + 8] = w
-                        else:
-                            stack_ref[j, base_p] = slot0
-                            for k in range(1, WIDTH):
-                                stack_ref[j, base_p + k] = es_[k]
-                            stack_ref[j, base_p + 8] = w
+                        _frame_push(stack_ref, j, base_p,
+                                    [slot0] + es_[1:], w, pushc, cond_push)
                         sp = sp + jnp.where(pushc, 9, 0)
 
                         if instanced:

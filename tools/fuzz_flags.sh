@@ -13,6 +13,7 @@ for combo in \
   "CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_NEAREST=1" \
   "CPUGPU_FRAMESTACK=1 CPUGPU_CTZ_CHAIN=1" \
   "CPUGPU_FRAMESTACK=1 CPUGPU_CONDPUSH=1" \
+  "CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_CONDPUSH=1" \
   "CPUGPU_PACKET_TREE=sweep_dp" \
   "CPUGPU_PACKET_TREE=sweep_dp CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1"; do
   echo "=== $combo ==="

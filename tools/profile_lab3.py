@@ -97,11 +97,23 @@ def main():
     except Exception as e:
         print(f"W16 FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
         return
-    # sanity: same hits
-    same = np.array_equal(
-        np.asarray(r16[1])[np.asarray(bact) != 0],
-        np.asarray(r8[1])[np.asarray(bact) != 0],
-    )
+    # sanity: same hits.  W16 leaf records carry per-object-LOCAL tri
+    # ids (scene_tables16 stamps only the obj column) while production
+    # W8 records are globalized with each mesh's tri offset -- map via
+    # the hit object before comparing.
+    tri_off = {}
+    off = 0
+    for oi, obj_ in enumerate(scene.objects):
+        if obj_.kind == scenelib.PRIM_MESH:
+            tri_off[oi] = off
+            off += obj_.bvh.num_triangles
+    live = np.asarray(bact) != 0
+    t16 = np.asarray(r16[1])[live]
+    o16 = np.asarray(r16[2])[live]
+    glob16 = t16.copy()
+    for oi, toff in tri_off.items():
+        glob16[(o16 == oi) & (t16 >= 0)] += toff
+    same = np.array_equal(glob16, np.asarray(r8[1])[live])
     print(f"hit parity W16 vs W8: {same}", flush=True)
 
 

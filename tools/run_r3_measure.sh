@@ -8,18 +8,20 @@ OUT=/tmp/r3_measure
 mkdir -p $OUT
 cd /root/repo
 
+# NOTE: bench.py applies bench_flags.json (written by pick_bench_flags
+# below) via setdefault.  The script is resumable, so a bench_flags.json
+# from an earlier pass could otherwise leak into these A/Bs via the
+# setdefault: bench() pins EVERY known flag empty first, then the
+# per-run assignments override (later `env` assignments win).
+NOFLAGS="CPUGPU_FRAMESTACK= CPUGPU_FUSED= CPUGPU_PIPELINED= CPUGPU_NEAREST= CPUGPU_CTZ_CHAIN= CPUGPU_CONDPUSH= CPUGPU_PACKET_TREE="
+
 bench() {  # bench <logname> [env assignments...]
   local log=$1; shift
   echo "== bench: $log ($*) =="
-  if ! env "$@" timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/$log.log; then
+  if ! env $NOFLAGS "$@" timeout 3600 python bench.py --config 3 2>&1 | tee $OUT/$log.log; then
     echo "bench $log FAILED" | tee -a $OUT/failures.log
   fi
 }
-
-# NOTE: bench.py applies bench_flags.json (written by pick_bench_flags
-# below) via setdefault, so every baseline run here pins the kernel
-# flags EMPTY explicitly to stay a true default.
-NOFLAGS="CPUGPU_FRAMESTACK= CPUGPU_FUSED= CPUGPU_PIPELINED= CPUGPU_NEAREST= CPUGPU_CTZ_CHAIN="
 
 # 1. decisive production A/Bs on config 3
 bench c3_default      $NOFLAGS
@@ -60,7 +62,7 @@ env $NOFLAGS CPUGPU_NO_WHITTED_KERNEL=1 timeout 3600 python bench.py --config 1 
 echo "== bench: c5 default and full =="
 env $NOFLAGS timeout 3600 python bench.py --config 5 2>&1 \
   | tee $OUT/c5_default.log || true
-env CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_NEAREST= CPUGPU_CTZ_CHAIN= \
+env $NOFLAGS CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 \
   timeout 3600 python bench.py --config 5 2>&1 | tee $OUT/c5_full.log || true
 
 # 2b. final numbers: all five configs under the PICKED flags

@@ -41,6 +41,7 @@ import numpy as np
 from cpugpupathtracing_tpu.config import CameraConfig
 from cpugpupathtracing_tpu.models import camera as camlib
 from cpugpupathtracing_tpu.models import scene as scenelib
+from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
 from cpugpupathtracing_tpu.ops import traverse_packet_slim as pk
 
 W = int(os.environ.get("TREELAB_W", "512"))
@@ -195,7 +196,7 @@ def main():
         dev = scenelib.make_reference_scene().device()
         pn = np.asarray(dev.pnodes)
         ci = pn[:, 48:56].view(np.int32)
-        fill = (ci != 0x40000000).sum() / pn.shape[0]
+        fill = (ci != SLIM_EMPTY).sum() / pn.shape[0]
         row = {}
         for name, (o, d, act, tmax, any_hit, sort) in fans.items():
             key = None

@@ -26,23 +26,9 @@ import numpy as np
 
 from cpugpupathtracing_tpu.config import BuildOption
 from cpugpupathtracing_tpu.models import scene as scenelib
-from cpugpupathtracing_tpu.ops import traverse_packet_slim as pk
 from tools.kernel_lab3 import scene_tables16, traverse16
 from tools.tree_lab import CENSUS, make_fans, morton8, W, H
-
-
-def run_w8(dev, o, d, act, tmax, any_hit, key):
-    if key is not None:
-        perm = jnp.argsort(key)
-        o, d, act, tmax = o[perm], d[perm], act[perm], tmax[perm]
-    res = jax.jit(lambda o, d, a, t0: pk.traverse_packet_slim(
-        (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]),
-        t0, dev.pnodes, dev.pltris, dev.proots,
-        active=a, any_hit=any_hit, count_depth=False, count_iters=True,
-        interpret=True,
-    ))(o, d, act, tmax)
-    jax.block_until_ready(res)
-    return int(np.asarray(res[-1]).sum())
+from tools.tree_lab import run_fan as run_w8  # same W8 measurement recipe
 
 
 def run_w16(fused, nn, roots, o, d, act, tmax, any_hit, key):

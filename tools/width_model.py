@@ -28,7 +28,7 @@ from cpugpupathtracing_tpu.models.mesh import dragon_standin
 def dp_cost(b, width: int, leaf_max: int = 8):
     """collapse_sah's DP cost (models/bvh8.py) generalized to `width`
     slots, returning (total emitted-entry SA, wide node count, leaf row
-    count) without reconstructing tables."""
+    count, mean slot fill) without reconstructing tables."""
     n_nodes = b.num_nodes
     lf = b.left_first.astype(np.int64)
     pc = b.prim_count.astype(np.int64)
