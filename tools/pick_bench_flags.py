@@ -49,6 +49,10 @@ COMBOS = {
         "CPUGPU_FRAMESTACK": "1", "CPUGPU_FUSED": "1", "CPUGPU_PIPELINED": "1",
         "CPUGPU_PACKET_TREE": "sweep_dp",
     },
+    "c3_tree_full_cp": {
+        "CPUGPU_FRAMESTACK": "1", "CPUGPU_FUSED": "1", "CPUGPU_PIPELINED": "1",
+        "CPUGPU_CONDPUSH": "1", "CPUGPU_PACKET_TREE": "sweep_dp",
+    },
 }
 
 

@@ -40,8 +40,9 @@ bench c3_fused        CPUGPU_FUSED=1
 # device-tree variant (tools/tree_lab.py: sweep_dp = -11% frame
 # iterations offline; DP fill 6.5/8 makes the linear push loop pricier,
 # which the frame stack makes fill-independent -- test both pairings)
-bench c3_tree         $NOFLAGS CPUGPU_PACKET_TREE=sweep_dp
+bench c3_tree         CPUGPU_PACKET_TREE=sweep_dp
 bench c3_tree_full    CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_PACKET_TREE=sweep_dp
+bench c3_tree_full_cp CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_CONDPUSH=1 CPUGPU_PACKET_TREE=sweep_dp
 
 # pick the fastest parity-proven combo NOW (the queue may be cut short
 # if the tunnel drops again): bench.py and the driver's end-of-round
