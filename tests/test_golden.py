@@ -145,3 +145,27 @@ if __name__ == "__main__":
         print("goldens regenerated")
     else:
         print("usage: python tests/test_golden.py regen")
+
+
+def test_golden_bitwise_under_tree_variants(monkeypatch):
+    """CPUGPU_PACKET_TREE reshapes only the device-side slim tree; hits
+    are exact and per-lane RNG order is untouched, so the rendered
+    image must be BITWISE identical to the stored golden under every
+    variant.  (Uses the 'advanced' case -- glass + mesh + plane + NEE
+    exercises closest-hit and shadow traversals through the variant
+    tables.)"""
+    import pytest
+
+    from cpugpupathtracing_tpu.models import scene as scenelib
+
+    path = os.path.join(GOLDEN_DIR, "frames.npz")
+    if not os.path.exists(path):
+        pytest.skip("no goldens recorded")
+    stored = np.load(path)["advanced"]
+    for mode in ("dp", "sweep_dp"):
+        monkeypatch.setattr(scenelib, "PACKET_TREE", mode)
+        np.testing.assert_array_equal(
+            _render("advanced"), stored,
+            err_msg=f"tree variant '{mode}' changed the image -- the "
+                    "hit-exactness contract is broken",
+        )
