@@ -192,7 +192,8 @@ def _ctz16(mw):
     return jnp.minimum(jax.lax.population_count(low - 1), jnp.int32(15))
 
 
-def _lab3_kernel(*refs, roots, nn, any_hit, count_iters, interp):
+def _lab3_kernel(*refs, roots, nn, any_hit, count_iters, interp,
+                 nearest=False):
     if count_iters:
         # refs = 9 inputs (nodes + 8 ray ops), 3 outputs, [iters], scratch
         refs = list(refs)
@@ -310,6 +311,16 @@ def _lab3_kernel(*refs, roots, nn, any_hit, count_iters, interp):
                 for k in R:
                     fs_mask = fs_mask | (
                         fs_fin[:, k : k + 1].astype(jnp.int32) << k)
+                if nearest:
+                    # argmin child rides bits 16-19 of the frame word
+                    # and pops first (cf. CPUGPU_NEAREST on the W8 path)
+                    bd = fs_d[:, 0:1]
+                    bkv = jnp.zeros((ROWS, 1), jnp.int32)
+                    for k in range(1, WIDTH):
+                        sw = fs_d[:, k : k + 1] < bd
+                        bd = jnp.where(sw, fs_d[:, k : k + 1], bd)
+                        bkv = jnp.where(sw, jnp.int32(k), bkv)
+                    fs_mask = fs_mask | (bkv << WIDTH)
 
                 # ---- leaf phase (identical record format to W8) ----
                 limat = imat
@@ -363,11 +374,20 @@ def _lab3_kernel(*refs, roots, nn, any_hit, count_iters, interp):
                     can = live & (sp > 0)
                     base = jnp.maximum(sp - FRAME, 0)
                     mw = stack_ref[j, base + WIDTH]
-                    kk = _ctz16(mw)
-                    rem = mw & (mw - 1)
+                    if nearest:
+                        bk = jax.lax.shift_right_logical(mw, WIDTH) & 15
+                        bkbit = jax.lax.shift_left(jnp.int32(1), bk)
+                        use_bk = (mw & bkbit) != 0
+                        kk = jnp.where(
+                            use_bk, bk, _ctz16(mw & ((1 << WIDTH) - 1)))
+                        rem = mw & ~jax.lax.shift_left(jnp.int32(1), kk)
+                    else:
+                        kk = _ctz16(mw)
+                        rem = mw & (mw - 1)
                     ent = stack_ref[j, base + kk]
                     stack_ref[j, base + WIDTH] = jnp.where(can, rem, mw)
-                    sp = jnp.where(can & (rem == 0), base, sp)
+                    sp = jnp.where(
+                        can & ((rem & ((1 << WIDTH) - 1)) == 0), base, sp)
                     nxt = jnp.where(can, ent, DONE)
                     sptr_ref[j] = sp
                     entry_ref[j] = nxt
@@ -397,10 +417,12 @@ def _lab3_kernel(*refs, roots, nn, any_hit, count_iters, interp):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("roots", "nn", "any_hit", "count_iters", "interpret"),
+    static_argnames=("roots", "nn", "any_hit", "count_iters", "interpret",
+                     "nearest"),
 )
 def traverse16(origin, direction, t_init, nodes, roots, *, active, nn,
-               any_hit=False, count_iters=False, interpret=None):
+               any_hit=False, count_iters=False, interpret=None,
+               nearest=False):
     """16-wide fused-table traversal; component-tuple rays like the
     production kernel.  Returns (t, tri, obj [, per-sub-tile iters])."""
     ox_c, oy_c, oz_c = origin
@@ -447,7 +469,7 @@ def traverse16(origin, direction, t_init, nodes, roots, *, active, nn,
     res = pl.pallas_call(
         functools.partial(
             _lab3_kernel, roots=roots, nn=nn, any_hit=any_hit,
-            count_iters=count_iters, interp=interpret,
+            count_iters=count_iters, interp=interpret, nearest=nearest,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -540,6 +562,14 @@ def _selfcheck():
     assert np.array_equal(np.asarray(tri), np.asarray(bidx))
     np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
     print(f"closest-hit: hits OK ({int(np.asarray(iters).sum())} iters)",
+          flush=True)
+    tn_, trin, objn, itn = traverse16(
+        oc, dc, t0, fused, roots, active=act, nn=nn, count_iters=True,
+        nearest=True,
+    )
+    assert np.array_equal(np.asarray(trin), np.asarray(bidx))
+    np.testing.assert_allclose(np.asarray(tn_), np.asarray(bt), rtol=1e-5)
+    print(f"nearest: hits OK ({int(np.asarray(itn).sum())} iters)",
           flush=True)
     ta, tria, obja, itersa = traverse16(
         oc, dc, t0, fused, roots, active=act, nn=nn, any_hit=True,

@@ -31,14 +31,15 @@ from tools.tree_lab import CENSUS, make_fans, morton8, W, H
 from tools.tree_lab import run_fan as run_w8  # same W8 measurement recipe
 
 
-def run_w16(fused, nn, roots, o, d, act, tmax, any_hit, key):
+def run_w16(fused, nn, roots, o, d, act, tmax, any_hit, key,
+            nearest=False):
     if key is not None:
         perm = jnp.argsort(key)
         o, d, act, tmax = o[perm], d[perm], act[perm], tmax[perm]
     res = jax.jit(lambda o, d, a, t0: traverse16(
         (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]),
         t0, fused, roots, active=a, nn=nn, any_hit=any_hit,
-        count_iters=True, interpret=True,
+        count_iters=True, interpret=True, nearest=nearest,
     ))(o, d, act, tmax)
     jax.block_until_ready(res)
     return int(np.asarray(res[-1]).sum())
@@ -66,6 +67,7 @@ def main():
     print(f"W16 tables: {nn} node rows, {fused.shape[0] - nn} leaf rows "
           f"({fused.nbytes / 1e6:.1f} MB)", flush=True)
 
+    do_near = os.environ.get("TREELAB16_NEAREST", "") == "1"
     base, w16 = {}, {}
     for name, (o, d, act, tmax, any_hit, sort) in fans.items():
         key = None
@@ -76,9 +78,14 @@ def main():
         t0 = time.time()
         base[name] = run_w8(dev8, o, d, act, tmax, any_hit, key)
         w16[name] = run_w16(fused, nn, roots, o, d, act, tmax, any_hit, key)
+        extra = ""
+        if do_near:
+            wn = run_w16(fused, nn, roots, o, d, act, tmax, any_hit, key,
+                         nearest=True)
+            extra = f"  W16near {wn:8d} ({wn / max(w16[name], 1):.3f})"
         print(f"  {name:9s} W8(sweep_dp) {base[name]:8d}  "
               f"W16 {w16[name]:8d}  ({w16[name] / max(base[name], 1):.3f})  "
-              f"[{time.time() - t0:.0f}s]", flush=True)
+              f"[{time.time() - t0:.0f}s]{extra}", flush=True)
 
     est = sum(CENSUS[k] * w16[k] / max(base[k], 1) for k in CENSUS)
     est0 = sum(CENSUS.values())
