@@ -49,6 +49,12 @@ class BVH8:
     def num_nodes(self) -> int:
         return len(self.nodes)
 
+    @property
+    def width(self) -> int:
+        """Node arity, encoded in the row size (64 cols = 8-wide,
+        128 cols = 16-wide; see collapse_sah(width=))."""
+        return self.nodes.shape[1] // 8
+
 
 def collapse(b: BVH, leaf_max: int = LEAF_MAX) -> BVH8:
     """Collapse a binary BVH into an 8-wide one.
@@ -148,9 +154,16 @@ def collapse(b: BVH, leaf_max: int = LEAF_MAX) -> BVH8:
     )
 
 
-def collapse_sah(b: BVH, leaf_max: int = 8) -> BVH8:
+def collapse_sah(b: BVH, leaf_max: int = 8, width: int = WIDTH) -> BVH8:
     """SAH-cost dynamic-programming collapse (the wide-BVH construction
     of Ylitie et al. 2017, adapted to this kernel's cost model).
+
+    `width` selects the node arity: 8 emits the classic (B, 64) row,
+    16 emits a full (B, 128) row -- 16x(min,max).xyz bounds in cols
+    0..95, child indices in 96..111, counts in 112..127 -- i.e. exactly
+    one 512-byte table row per node (the W16 scheme measured at ~85% of
+    the W8 sweep_dp frame iterations in tools/tree_lab16.py).  The DP
+    recurrence is identical; only the slot budget changes.
 
     The greedy `collapse` packs whatever the binary tree's leaves were;
     with fat-leaf binary builds that costs bottom-level SAH quality, and
@@ -200,7 +213,9 @@ def collapse_sah(b: BVH, leaf_max: int = 8) -> BVH8:
             ), "tri_indices not subtree-contiguous"
             t_first[n], t_count[n] = first, count
 
-    W1 = WIDTH  # slots per wide node
+    if width not in (8, 16):
+        raise ValueError(f"collapse width must be 8 or 16, got {width}")
+    W1 = width  # slots per wide node
     INF = np.float64(np.inf)
     # C[n, i-1]: min cost of subtree n distributed into i slots
     C = np.full((n_nodes, W1), INF)
@@ -256,17 +271,18 @@ def collapse_sah(b: BVH, leaf_max: int = 8) -> BVH8:
         l, r = int(lf[n]), int(lf[n]) + 1
         return decompose(l, j) + decompose(r, i - j)
 
-    rows.append(np.zeros(64, np.float32))
+    ncol = 8 * width
+    rows.append(np.zeros(ncol, np.float32))
     # root always emits a wide node (the kernel's entry is a node row)
     root_slots = [0] if is_leaf[0] else decompose(0, W1)
     stack = [(root_slots, 0, 0)]
     while stack:
         slots, row_idx, depth = stack.pop()
         max_depth = max(max_depth, depth)
-        bmin = np.full((WIDTH, 3), 1e30, np.float32)
-        bmax = np.full((WIDTH, 3), -1e30, np.float32)
-        cidx = np.zeros(WIDTH, np.int32)
-        ccnt = np.full(WIDTH, -1, np.int32)
+        bmin = np.full((width, 3), 1e30, np.float32)
+        bmax = np.full((width, 3), -1e30, np.float32)
+        cidx = np.zeros(width, np.int32)
+        ccnt = np.full(width, -1, np.int32)
         for k, s in enumerate(slots):
             bmin[k] = nmin[s]
             bmax[k] = nmax[s]
@@ -279,14 +295,14 @@ def collapse_sah(b: BVH, leaf_max: int = 8) -> BVH8:
                 leaf_cursor += cnt
             else:  # interior wide child
                 child_row = len(rows)
-                rows.append(np.zeros(64, np.float32))
+                rows.append(np.zeros(ncol, np.float32))
                 cidx[k] = child_row
                 ccnt[k] = 0
                 stack.append((decompose(s, W1), child_row, depth + 1))
-        row = np.empty(64, np.float32)
-        row[0:48] = np.concatenate([bmin, bmax], axis=1).reshape(-1)
-        row[48:56] = cidx.view(np.float32)
-        row[56:64] = ccnt.view(np.float32)
+        row = np.empty(ncol, np.float32)
+        row[0 : 6 * width] = np.concatenate([bmin, bmax], axis=1).reshape(-1)
+        row[6 * width : 7 * width] = cidx.view(np.float32)
+        row[7 * width : 8 * width] = ccnt.view(np.float32)
         rows[row_idx] = row
 
     leaf_ids = (
@@ -339,7 +355,7 @@ class BVH8Slim:
                    the instance hook; the kernel itself never reads it)
     """
 
-    nodes: np.ndarray     # (B, 64) f32
+    nodes: np.ndarray     # (B, 64) f32 -- (B, 128) at width 16
     ltris: np.ndarray     # (NL, 128) f32 leaf records
     max_depth: int
 
@@ -351,15 +367,24 @@ class BVH8Slim:
     def num_leaf_rows(self) -> int:
         return len(self.ltris)
 
+    @property
+    def width(self) -> int:
+        return self.nodes.shape[1] // 8
+
 
 def to_slim(w: BVH8, tri_normal: np.ndarray) -> BVH8Slim:
     """Re-encode a BVH8 (built with leaf_max=8) into leaf-blocked form.
 
     tri_normal: (T, 3) flat per-triangle normals in ORIGINAL order.
-    The object-index column is left 0; the scene build stamps it."""
+    The object-index column is left 0; the scene build stamps it.
+    Width follows the input tree: a width-16 BVH8 (collapse_sah
+    width=16) keeps its (B, 128) node rows -- bounds 0..95, entries
+    96..111 -- with the same leaf / EMPTY entry encoding; leaf records
+    are identical at both widths."""
+    width = w.width
     nodes = w.nodes.copy()
-    cidx = nodes[:, 48:56].view(np.int32)
-    ccnt = nodes[:, 56:64].view(np.int32)
+    cidx = nodes[:, 6 * width : 7 * width].view(np.int32)
+    ccnt = nodes[:, 7 * width : 8 * width].view(np.int32)
     is_leaf = ccnt > 0
     if is_leaf.any() and int(ccnt[is_leaf].max()) > 8:
         raise ValueError("slim tables need leaf_max <= 8")

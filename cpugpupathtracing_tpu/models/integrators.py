@@ -764,6 +764,7 @@ def trace_advanced_mega(
         frame_stack=frame_stack,
         cond_push=cond_push,
         fused_nn=fused_nn,
+        width=dev.packet_width,
     )
     if instanced:
         static.update(
@@ -818,6 +819,7 @@ def trace_advanced_mega(
                 roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
                 interpret=interpret, frame_stack=frame_stack,
                 cond_push=cond_push, fused_nn=fused_nn,
+                width=dev.packet_width,
             )
             if instanced:
                 shadow_static.update(

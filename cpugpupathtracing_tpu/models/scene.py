@@ -70,18 +70,31 @@ PACKET_FUSED = os.environ.get("CPUGPU_FUSED", "") == "1"
 #   "dp"       natural-leaf binary + SAH-cost DP collapse (bvh8.collapse_sah)
 #   "sweep"    full-sweep SAH binary (SAH_SPLIT_PRIMITIVES) + greedy
 #   "sweep_dp" full-sweep SAH binary + DP collapse
+#   "w16"      full-sweep SAH binary + WIDTH-16 DP collapse: one full
+#              (B, 128) row per node (16 slab tests/iteration, 17-slot
+#              frames; tools/tree_lab16.py measured ~85% of the W8
+#              sweep_dp frame iterations on the benchmark fans).
+#              Frame-stack only; scenes running the object-space
+#              instance machinery fall back to sweep_dp (the TLAS rows
+#              and kernel instance path are 8-wide).
 # Read ONCE at import (obj._wide_cache is keyed on the binary BVH
 # identity, so a mid-process flip would serve stale trees).
 PACKET_TREE = os.environ.get("CPUGPU_PACKET_TREE", "")
 
 
-def _build_wide_cache(obj) -> tuple:
+def _build_wide_cache(obj, mode: str | None = None) -> tuple:
     """(binary bvh, 8-wide tree for the wide path, slim packet tables)
-    for one mesh object; the slim tree honors CPUGPU_PACKET_TREE."""
+    for one mesh object; the slim tree honors CPUGPU_PACKET_TREE
+    (`mode` overrides it -- the W16 instanced fallback)."""
     from cpugpupathtracing_tpu.models import bvh8 as bvh8lib
 
     b = obj.bvh
-    mode = PACKET_TREE
+    if mode is None:
+        mode = PACKET_TREE
+    if mode == "w16":
+        pb = b.rebuild(BuildOption.SAH_SPLIT_PRIMITIVES, max_leaf_size=8)
+        w16 = bvh8lib.collapse_sah(pb, leaf_max=8, width=16)
+        return (b, bvh8lib.collapse(b), bvh8lib.to_slim(w16, pb.tri_normal))
     if mode in ("", "fat"):
         # fat leaves (leaf_stop=8): a slim leaf is ONE row, so
         # under-filled SAH leaves would waste 7/8 of every leaf iteration
@@ -108,19 +121,21 @@ def _fuse_packet_tables(pnodes, pltris):
     """Unified (node|leaf) table for the fused packet decode: entries
     that encode leaf rows as -(lrow+1) re-encode to nn + lrow; DONE /
     SLIM_EMPTY sentinels and root rows are unchanged.  Runs on device so
-    the TLAS refit path can rebuild it per frame without host copies."""
+    the TLAS refit path can rebuild it per frame without host copies.
+    Width-aware (static via the node-row shape): W8 rows pad from 64 to
+    128 cols; W16 rows are already one full 512-byte row."""
     nn = pnodes.shape[0]
-    ci = jax.lax.bitcast_convert_type(pnodes[:, 48:56], jnp.int32)
+    w = pnodes.shape[1] // 8
+    ci = jax.lax.bitcast_convert_type(pnodes[:, 6 * w : 7 * w], jnp.int32)
     ci = jnp.where(ci < 0, nn + (-ci - 1), ci)
-    head = jnp.concatenate(
-        [
-            pnodes[:, :48],
-            jax.lax.bitcast_convert_type(ci, jnp.float32),
-            pnodes[:, 56:64],
-            jnp.zeros((nn, 64), pnodes.dtype),
-        ],
-        axis=1,
-    )
+    parts = [
+        pnodes[:, : 6 * w],
+        jax.lax.bitcast_convert_type(ci, jnp.float32),
+        pnodes[:, 7 * w : 8 * w],
+    ]
+    if 8 * w < 128:
+        parts.append(jnp.zeros((nn, 128 - 8 * w), pnodes.dtype))
+    head = jnp.concatenate(parts, axis=1)
     return jnp.concatenate([head, pltris], axis=0)
 
 
@@ -211,6 +226,9 @@ class DeviceScene:
     packet_flattened: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # node-row count of pfused (0 = fused table unavailable)
     pfused_nn: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # packet node arity: 8 = (BP, 64) slim rows, 16 = (BP, 128) rows
+    # (CPUGPU_PACKET_TREE=w16; frame-stack traversal forced)
+    packet_width: int = dataclasses.field(metadata=dict(static=True), default=8)
 
     @property
     def num_triangles(self) -> int:
@@ -731,6 +749,23 @@ class Scene:
         if has_instances and not self.use_wide:
             except_error("Scene", "instanced meshes require use_wide=True")
 
+        # packet node width (CPUGPU_PACKET_TREE=w16): instanced scenes
+        # fall back to 8-wide tables -- the TLAS rows, the kernel's
+        # object-space machinery, and the flatten splice are all 8-wide
+        pkt_width = 8
+        pkt_mode = None
+        if PACKET_TREE == "w16":
+            if has_instances:
+                log_warn(
+                    "Scene",
+                    "CPUGPU_PACKET_TREE=w16 does not support instanced "
+                    "scenes; building sweep_dp 8-wide packet tables",
+                )
+                pkt_mode = "sweep_dp"
+            else:
+                pkt_width = 16
+        pw6, pw7, pw8 = 6 * pkt_width, 7 * pkt_width, 8 * pkt_width
+
         # instance FLATTENING decision (packet path): replicate each
         # instanced BLAS into world space when the flattened tables fit
         # the VMEM budget -- the hot kernels then run the plain
@@ -741,8 +776,12 @@ class Scene:
             flat_bytes = 0
             for obj in self.objects:
                 if obj.kind == PRIM_MESH and obj.instances is not None:
-                    if obj._wide_cache is None or obj._wide_cache[0] is not obj.bvh:
-                        obj._wide_cache = _build_wide_cache(obj)
+                    if (
+                        obj._wide_cache is None
+                        or obj._wide_cache[0] is not obj.bvh
+                        or obj._wide_cache[2].width != pkt_width
+                    ):
+                        obj._wide_cache = _build_wide_cache(obj, pkt_mode)
                     pw = obj._wide_cache[2]
                     flat_bytes += len(obj.instances) * (
                         pw.nodes.nbytes + pw.ltris.nbytes
@@ -780,8 +819,12 @@ class Scene:
                     except_error("Scene", "instanced mesh '{}' cannot be a light", obj.name)
 
                 if self.use_wide:
-                    if obj._wide_cache is None or obj._wide_cache[0] is not b:
-                        obj._wide_cache = _build_wide_cache(obj)
+                    if (
+                        obj._wide_cache is None
+                        or obj._wide_cache[0] is not b
+                        or obj._wide_cache[2].width != pkt_width
+                    ):
+                        obj._wide_cache = _build_wide_cache(obj, pkt_mode)
                     w = obj._wide_cache[1]
                     pw = obj._wide_cache[2]
                     # stamp object index + globalize triangle ids in
@@ -806,8 +849,8 @@ class Scene:
                         )
                         for _ in range(len(obj.instances)):
                             prow_i = pw.nodes.copy()
-                            ci = prow_i[:, 48:56].view(i32)
-                            cc = prow_i[:, 56:64].view(i32)
+                            ci = prow_i[:, pw6:pw7].view(i32)
+                            cc = prow_i[:, pw7:pw8].view(i32)
                             ci[cc == 0] += pnode_off
                             ci[cc > 0] -= pleaf_off
                             pnodes_l.append(prow_i)
@@ -819,8 +862,8 @@ class Scene:
                         p_blas_root_this = p_flat_roots[-len(obj.instances)]
                     else:
                         prow = pw.nodes.copy()
-                        pcidx = prow[:, 48:56].view(i32)
-                        pccnt = prow[:, 56:64].view(i32)
+                        pcidx = prow[:, pw6:pw7].view(i32)
+                        pccnt = prow[:, pw7:pw8].view(i32)
                         pcidx[pccnt == 0] += pnode_off
                         pcidx[pccnt > 0] -= pleaf_off  # leaf enc -(row+1)
                         pnodes_l.append(prow)
@@ -1053,12 +1096,15 @@ class Scene:
                 STACK as PACKET_STACK,
             )
 
-            if FRAMESTACK_DEFAULT:
-                # frame-stack scheme: one 9-slot frame per descent level
-                # (+1 RESTORE frame, + root frames), and ONE frame of
-                # headroom so the kernel's unconditional frame write at
-                # the clamped top can never land on live data
-                root_frames = (max(len(proots) - 1, 0) + 7) // 8
+            if FRAMESTACK_DEFAULT or pkt_width == 16:
+                # frame-stack scheme (FORCED at width 16): one frame per
+                # descent level (+1 RESTORE frame, + root frames), and
+                # ONE frame of headroom so the kernel's unconditional
+                # frame write at the clamped top can never land on live
+                # data
+                root_frames = (
+                    max(len(proots) - 1, 0) + pkt_width - 1
+                ) // pkt_width
                 need = tlas_depth + pdepth + 2 + root_frames + 1
                 bound = FSTACK_FRAMES
                 kind = "frame"
@@ -1110,7 +1156,7 @@ class Scene:
             mk_pln[pi, 3:6] = pln["normal"][pi]
             mk_pln[pi, 6] = self.objects[pln["obj"][pi]].mat_index
 
-        pnodes_j = cat(pnodes_l, 64)
+        pnodes_j = cat(pnodes_l, pw8)
         pltris_j = cat(ptris_l, 128)
         if flatten_packets:
             # fill the per-instance world-space floats (entries are
@@ -1197,6 +1243,7 @@ class Scene:
             sroot=sroot,
             proots=tuple(proots),
             packet_flattened=flatten_packets,
+            packet_width=pkt_width,
         )
         if (
             PACKET_FUSED
@@ -1393,6 +1440,7 @@ def intersect_scene(
             inst_inv=dev.inst_inv if machinery else None,
             inst_root=dev.inst_blas_root_packet if machinery else None,
             fused_nn=p_fused_nn,
+            width=dev.packet_width,
         )
         mesh_normal = jnp.stack(nrm_c, axis=1)
         mesh_hit = tri >= 0

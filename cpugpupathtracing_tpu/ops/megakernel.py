@@ -53,8 +53,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
 from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
-    RESTORE, FSTACK, FRAMESTACK_DEFAULT, PIPELINED_DEFAULT, NEAREST_DEFAULT,
-    CONDPUSH_DEFAULT, _ctz8, _frame_mask, _frame_pop, _frame_push,
+    RESTORE, FSTACK_FRAMES, FRAMESTACK_DEFAULT, PIPELINED_DEFAULT,
+    NEAREST_DEFAULT, CONDPUSH_DEFAULT, _ctz8, _frame_mask, _frame_pop,
+    _frame_push, _resolve_width_flags,
 )
 
 TILE = 1024
@@ -135,6 +136,7 @@ def _emit_traversal(
     count_iters=False, num_inst=0, iid_ref=None, rays_ref=None,
     inst_inv_ref=None, inst_root_ref=None, frame_stack=False, fused_nn=0,
     pipelined=False, entry2_ref=None, nearest=False, cond_push=False,
+    width=WIDTH,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
@@ -154,6 +156,13 @@ def _emit_traversal(
     """
     shape = (ROWS, LANES)
     instanced = num_inst > 0
+    # node-arity locals (see ops/traverse_packet_slim.py): width 16 =
+    # one full (B, 128) row, entries at col 96, 17-slot frames
+    EO = 6 * width
+    NC = 8 * width
+    FR = width + 1
+    LM = (1 << width) - 1
+    FSTK = FR * FSTACK_FRAMES
 
     def inv_dir(d):
         return jnp.where(d == 0.0, BIG, 1.0 / d)
@@ -165,19 +174,19 @@ def _emit_traversal(
     for j in range(ROWS):
         entry_ref[j] = roots[0]
         if frame_stack:
-            # remaining roots seed whole 9-slot frames (8 + mask); see
-            # ops/traverse_packet_slim.py FSTACK for the frame scheme
+            # remaining roots seed whole frames (width entries + mask);
+            # see ops/traverse_packet_slim.py for the frame scheme
             nroots = len(roots) - 1
             nf = 0
             pos = 0
             while pos < nroots:
-                cnt = min(8, nroots - pos)
+                cnt = min(width, nroots - pos)
                 for i in range(cnt):
-                    stack_ref[j, 9 * nf + i] = roots[1 + pos + i]
-                stack_ref[j, 9 * nf + 8] = (1 << cnt) - 1
+                    stack_ref[j, FR * nf + i] = roots[1 + pos + i]
+                stack_ref[j, FR * nf + width] = (1 << cnt) - 1
                 nf += 1
                 pos += cnt
-            sptr_ref[j] = 9 * nf
+            sptr_ref[j] = FR * nf
         else:
             sptr_ref[j] = len(roots) - 1
             for i, r in enumerate(roots[1:]):
@@ -225,12 +234,12 @@ def _emit_traversal(
                 if any_hit:
                     can = can & rl
                 if frame_stack:
-                    base = jnp.maximum(sp - 9, 0)
-                    mw = stack_ref[j, base + 8]
-                    kk, rem = _frame_pop(mw, nearest)
+                    base = jnp.maximum(sp - FR, 0)
+                    mw = stack_ref[j, base + width]
+                    kk, rem = _frame_pop(mw, nearest, width)
                     ent = stack_ref[j, base + kk]
-                    stack_ref[j, base + 8] = jnp.where(can, rem, mw)
-                    sp2 = jnp.where(can & ((rem & 0xFF) == 0), base, sp)
+                    stack_ref[j, base + width] = jnp.where(can, rem, mw)
+                    sp2 = jnp.where(can & ((rem & LM) == 0), base, sp)
                 else:
                     ent = stack_ref[j, jnp.maximum(sp - 1, 0)]
                     sp2 = jnp.where(can, sp - 1, sp)
@@ -243,7 +252,7 @@ def _emit_traversal(
                 )
             lmat_next = jnp.concatenate(urows, axis=0)
 
-            nmat = lmat[:, :64]
+            nmat = lmat[:, :NC]
             imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
             leaf_v = jnp.concatenate(
                 [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
@@ -254,7 +263,7 @@ def _emit_traversal(
                 axis=0,
             ) != 0
 
-            R = range(WIDTH)
+            R = range(width)
             tx1 = [(nmat[:, 6 * k + 0 : 6 * k + 1] - ox0) * ix0 for k in R]
             ty1 = [(nmat[:, 6 * k + 1 : 6 * k + 2] - oy0) * iy0 for k in R]
             tz1 = [(nmat[:, 6 * k + 2 : 6 * k + 3] - oz0) * iz0 for k in R]
@@ -269,7 +278,7 @@ def _emit_traversal(
             mxz = [jnp.maximum(tz1[k], tz2[k]) for k in R]
             tmin = [jnp.maximum(jnp.maximum(mnx[k], mny[k]), mnz[k]) for k in R]
             tmax = [jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k]) for k in R]
-            valid = [imat[:, 48 + k : 49 + k] != SLIM_EMPTY for k in R]
+            valid = [imat[:, EO + k : EO + k + 1] != SLIM_EMPTY for k in R]
             bm = [
                 (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
                 & m & int_v & valid[k]
@@ -280,7 +289,7 @@ def _emit_traversal(
                         keepdims=True)
                 for k in R
             ]
-            fs_mask = _frame_mask(fin, nearest)
+            fs_mask = _frame_mask(fin, nearest, width)
 
             limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
             for c in range(LEAF_TRIS):
@@ -316,15 +325,15 @@ def _emit_traversal(
             for j in range(ROWS):
                 sp = sptr_ref[j]
                 w = fs_mask[j, 0]
-                es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+                es_ = [imat[j, EO + k] for k in range(width)]
                 if frame_stack:
-                    base_p = jnp.minimum(sp, FSTACK - 9)
-                    pushc = int_s[j] & ((w & 0xFF) != 0)
+                    base_p = jnp.minimum(sp, FSTK - FR)
+                    pushc = int_s[j] & ((w & LM) != 0)
                     _frame_push(stack_ref, j, base_p, es_, w,
                                 pushc, cond_push)
-                    sp = sp + jnp.where(pushc, 9, 0)
+                    sp = sp + jnp.where(pushc, FR, 0)
                 else:
-                    for k in range(WIDTH):
+                    for k in range(width):
                         push = (
                             ((jax.lax.shift_right_logical(w, k) & 1) != 0)
                             & int_s[j]
@@ -405,7 +414,7 @@ def _emit_traversal(
                 int_s.append(live & (e < fused_nn))
                 urows.append(nodes_ref[pl.ds(jnp.where(live, e, 0), 1), :])
             lmat = jnp.concatenate(urows, axis=0)
-            nmat = lmat[:, :64]
+            nmat = lmat[:, :NC]
         else:
             for j in range(ROWS):
                 e = entry_ref[j]
@@ -440,8 +449,8 @@ def _emit_traversal(
                 axis=0,
             )
 
-        # ---- slab phase, op-stage-major over the 8 children ----
-        R = range(WIDTH)
+        # ---- slab phase, op-stage-major over the children ----
+        R = range(width)
         tx1 = [(nmat[:, 6 * k + 0 : 6 * k + 1] - ox) * ix for k in R]
         ty1 = [(nmat[:, 6 * k + 1 : 6 * k + 2] - oy) * iy for k in R]
         tz1 = [(nmat[:, 6 * k + 2 : 6 * k + 3] - oz) * iz for k in R]
@@ -456,7 +465,7 @@ def _emit_traversal(
         mxz = [jnp.maximum(tz1[k], tz2[k]) for k in R]
         tmin = [jnp.maximum(jnp.maximum(mnx[k], mny[k]), mnz[k]) for k in R]
         tmax = [jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k]) for k in R]
-        valid = [imat[:, 48 + k : 49 + k] != SLIM_EMPTY for k in R]
+        valid = [imat[:, EO + k : EO + k + 1] != SLIM_EMPTY for k in R]
         bm = [
             (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
             & m & int_v & valid[k]
@@ -504,7 +513,7 @@ def _emit_traversal(
         if frame_stack:
             # per-row pass masks built ONCE in the vector domain (see
             # ops/traverse_packet_slim.py's frame-stack scheme)
-            fs_mask = _frame_mask(child_dmin, nearest)
+            fs_mask = _frame_mask(child_dmin, nearest, width)
 
         alive = jnp.int32(0)
         for j in range(ROWS):
@@ -514,7 +523,7 @@ def _emit_traversal(
                 live = live & (row_live_v[j, 0] != 0)
             interior = int_s[j]
             sp = sptr_ref[j]
-            es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+            es_ = [imat[j, EO + k] for k in range(width)]
 
             if frame_stack:
                 # 9-slot frame push (8 unconditional stores + pass mask),
@@ -528,11 +537,11 @@ def _emit_traversal(
                     iid_c = jnp.clip(iid_e, 0, num_inst - 1)
                     slot0 = jnp.where(is_inst, RESTORE, slot0)
                     w = jnp.where(is_inst, jnp.int32(1), w)
-                base_p = jnp.minimum(sp, FSTACK - 9)
-                pushc = (w & 0xFF) != 0
+                base_p = jnp.minimum(sp, FSTK - FR)
+                pushc = (w & LM) != 0
                 _frame_push(stack_ref, j, base_p, [slot0] + es_[1:], w,
                             pushc, cond_push)
-                sp = sp + jnp.where(pushc, 9, 0)
+                sp = sp + jnp.where(pushc, FR, 0)
 
                 if instanced:
                     @pl.when(is_inst)
@@ -573,12 +582,12 @@ def _emit_traversal(
                 can = live & (sp > 0)
                 if instanced:
                     can = can & ~is_inst  # entering descends, not pops
-                base = jnp.maximum(sp - 9, 0)
-                mw = stack_ref[j, base + 8]
-                kk, rem = _frame_pop(mw, nearest)
+                base = jnp.maximum(sp - FR, 0)
+                mw = stack_ref[j, base + width]
+                kk, rem = _frame_pop(mw, nearest, width)
                 ent = stack_ref[j, base + kk]
-                stack_ref[j, base + 8] = jnp.where(can, rem, mw)
-                sp = jnp.where(can & ((rem & 0xFF) == 0), base, sp)
+                stack_ref[j, base + width] = jnp.where(can, rem, mw)
+                sp = jnp.where(can & ((rem & LM) == 0), base, sp)
                 nxt = jnp.where(can, ent, DONE)
                 if instanced:
                     blas_e = inst_root_ref[iid_c]
@@ -588,9 +597,9 @@ def _emit_traversal(
                 alive = alive + jnp.where(nxt != DONE, 1, 0)
                 continue
 
-            ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
+            ds_ = [child_dmin[k][j, 0] for k in range(width)]
             # fixed push order for both modes (see traverse_packet_slim)
-            for k in range(WIDTH):
+            for k in range(width):
                 push = jnp.isfinite(ds_[k]) & interior
                 slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
                 prev = stack_ref[j, slot]
@@ -747,7 +756,7 @@ def _shade_extend_kernel(
     roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
-    interp=False, cond_push=False,
+    interp=False, cond_push=False, width=WIDTH,
 ):
     """One integrator depth minus the shadow resolve: traversal + the
     full TracePathAdvanced shading body (Source/Main.cpp:396-579)."""
@@ -857,7 +866,7 @@ def _shade_extend_kernel(
                 inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
                 frame_stack=frame_stack, fused_nn=fused_nn,
                 pipelined=pipelined, entry2_ref=entry2_ref,
-                nearest=nearest, cond_push=cond_push,
+                nearest=nearest, cond_push=cond_push, width=width,
             )
             t, tri, obj, mnx, mny, mnz = trav[:6]
             if count_iters:
@@ -1206,7 +1215,7 @@ def _shadow_resolve_kernel(
     *tail,
     roots, num_sph, num_pln, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
-    interp=False, cond_push=False,
+    interp=False, cond_push=False, width=WIDTH,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
     i = 0
@@ -1270,7 +1279,7 @@ def _shadow_resolve_kernel(
                 inst_inv_ref=inst_inv_ref, inst_root_ref=inst_root_ref,
                 frame_stack=frame_stack, fused_nn=fused_nn,
                 pipelined=pipelined, entry2_ref=entry2_ref,
-                nearest=nearest, cond_push=cond_push,
+                nearest=nearest, cond_push=cond_push, width=width,
             )
             t, tri = trav[0], trav[1]
             if count_iters:
@@ -1331,6 +1340,7 @@ def _pad_to(step, arrs, pad_vals):
         "roots", "num_mats", "num_lights", "num_sph", "num_pln", "num_objs",
         "nee", "rr", "cosine", "ref_pdf", "interpret", "count_iters",
         "frame_stack", "fused_nn", "pipelined", "nearest", "cond_push",
+        "width",
     ),
 )
 def shade_extend(
@@ -1339,7 +1349,7 @@ def shade_extend(
     *, roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, interpret=False, count_iters=False,
     inst_inv=None, inst_nrm=None, inst_root=None, frame_stack=None,
-    fused_nn=0, pipelined=None, nearest=None, cond_push=None,
+    fused_nn=0, pipelined=None, nearest=None, cond_push=None, width=8,
 ):
     """One fused depth step (minus shadow resolve) over the wavefront.
 
@@ -1362,14 +1372,12 @@ def shade_extend(
     if num_inst and fused_nn:
         raise ValueError("fused packet tables do not support the instance "
                          "machinery (flattened scenes may fuse)")
-    if frame_stack is None:
-        frame_stack = FRAMESTACK_DEFAULT
+    frame_stack, nearest = _resolve_width_flags(
+        width, num_inst, frame_stack, nearest, any_hit=False)
     if pipelined is None:
         pipelined = PIPELINED_DEFAULT and fused_nn > 0
     elif pipelined and not fused_nn:
         raise ValueError("pipelined packet body requires fused tables")
-    if nearest is None:
-        nearest = NEAREST_DEFAULT and frame_stack
     if cond_push is None:
         cond_push = CONDPUSH_DEFAULT and frame_stack
 
@@ -1406,7 +1414,11 @@ def shade_extend(
     scratch = [
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM((ROWS,), jnp.int32),
-        pltpu.SMEM((ROWS, FSTACK if frame_stack else STACK), jnp.int32),
+        pltpu.SMEM(
+            (ROWS,
+             (width + 1) * FSTACK_FRAMES if frame_stack else STACK),
+            jnp.int32,
+        ),
     ]
     if pipelined:
         scratch.append(pltpu.SMEM((ROWS,), jnp.int32))  # entry2 (next)
@@ -1426,6 +1438,7 @@ def shade_extend(
             frame_stack=frame_stack, fused_nn=fused_nn,
             pipelined=pipelined, nearest=nearest and frame_stack,
             interp=interpret, cond_push=cond_push and frame_stack,
+            width=width,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -1456,14 +1469,14 @@ def shade_extend(
     static_argnames=("roots", "num_sph", "num_pln", "interpret",
                      "count_iters", "frame_stack", "fused_nn", "pipelined",
                      "cond_push",
-                     "nearest"),
+                     "nearest", "width"),
 )
 def shadow_resolve(
     nodes, ltris, sph, pln,
     shadow_o, shadow_d, shadow_tmax, flags, energy, contrib,
     *, roots, num_sph, num_pln, interpret=False, count_iters=False,
     inst_inv=None, inst_root=None, frame_stack=None, fused_nn=0,
-    pipelined=None, nearest=None, cond_push=None,
+    pipelined=None, nearest=None, cond_push=None, width=8,
 ):
     """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)
     (plus per-sub-tile iteration counts when count_iters).  inst_inv /
@@ -1480,14 +1493,12 @@ def shadow_resolve(
     if num_inst and fused_nn:
         raise ValueError("fused packet tables do not support the instance "
                          "machinery (flattened scenes may fuse)")
-    if frame_stack is None:
-        frame_stack = FRAMESTACK_DEFAULT
+    frame_stack, nearest = _resolve_width_flags(
+        width, num_inst, frame_stack, nearest, any_hit=True)
     if pipelined is None:
         pipelined = PIPELINED_DEFAULT and fused_nn > 0
     elif pipelined and not fused_nn:
         raise ValueError("pipelined packet body requires fused tables")
-    if nearest is None:
-        nearest = NEAREST_DEFAULT and frame_stack
     if cond_push is None:
         cond_push = CONDPUSH_DEFAULT and frame_stack
     in_specs = (
@@ -1513,7 +1524,11 @@ def shadow_resolve(
     scratch = [
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM((ROWS,), jnp.int32),
-        pltpu.SMEM((ROWS, FSTACK if frame_stack else STACK), jnp.int32),
+        pltpu.SMEM(
+            (ROWS,
+             (width + 1) * FSTACK_FRAMES if frame_stack else STACK),
+            jnp.int32,
+        ),
     ]
     if pipelined:
         scratch.append(pltpu.SMEM((ROWS,), jnp.int32))  # entry2 (next)
@@ -1531,6 +1546,7 @@ def shadow_resolve(
             frame_stack=frame_stack, fused_nn=fused_nn,
             pipelined=pipelined, nearest=nearest and frame_stack,
             interp=interpret, cond_push=cond_push and frame_stack,
+            width=width,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

@@ -104,37 +104,39 @@ NEAREST_DEFAULT = os.environ.get("CPUGPU_NEAREST", "") == "1"
 CONDPUSH_DEFAULT = os.environ.get("CPUGPU_CONDPUSH", "") == "1"
 
 
-def _frame_mask(child_dmin, nearest: bool):
-    """Per-row frame word from the 8 per-child dmin columns: pass-mask
-    bits 0-7, plus the argmin child in bits 8-10 when `nearest`."""
-    fs_d = jnp.concatenate(child_dmin, axis=1)          # (8, 8)
+def _frame_mask(child_dmin, nearest: bool, width: int = WIDTH):
+    """Per-row frame word from the per-child dmin columns: pass-mask
+    bits 0..width-1, plus the argmin child in the bits just above when
+    `nearest` (8-10 at width 8, 16-19 at width 16)."""
+    fs_d = jnp.concatenate(child_dmin, axis=1)          # (8, width)
     fs_fin = jnp.isfinite(fs_d)
     fs_mask = jnp.zeros((ROWS, 1), jnp.int32)
-    for k in range(WIDTH):
+    for k in range(width):
         fs_mask = fs_mask | (fs_fin[:, k : k + 1].astype(jnp.int32) << k)
     if nearest:
         bd = fs_d[:, 0:1]
         bkv = jnp.zeros((ROWS, 1), jnp.int32)
-        for k in range(1, WIDTH):
+        for k in range(1, width):
             sw = fs_d[:, k : k + 1] < bd
             bd = jnp.where(sw, fs_d[:, k : k + 1], bd)
             bkv = jnp.where(sw, jnp.int32(k), bkv)
-        fs_mask = fs_mask | (bkv << 8)
+        fs_mask = fs_mask | (bkv << width)
     return fs_mask
 
 
-def _frame_pop(mw, nearest: bool):
+def _frame_pop(mw, nearest: bool, width: int = WIDTH):
     """(slot index, remaining word) for one pop from frame word `mw`.
     With `nearest`, the stashed argmin child pops first (its bit then
     clears, so later pops fall back to ctz of the remaining mask)."""
     if nearest:
-        bk = jax.lax.shift_right_logical(mw, 8) & 7
+        bk = jax.lax.shift_right_logical(mw, width) & (width - 1)
         bkbit = jax.lax.shift_left(jnp.int32(1), bk)
         use_bk = (mw & bkbit) != 0
-        kk = jnp.where(use_bk, bk, _ctz8(mw & 0xFF))
+        kk = jnp.where(use_bk, bk, _ctz8(mw & ((1 << width) - 1),
+                                         width=width))
         rem = mw & ~jax.lax.shift_left(jnp.int32(1), kk)
         return kk, rem
-    return _ctz8(mw), mw & (mw - 1)
+    return _ctz8(mw, width=width), mw & (mw - 1)
 # frame-stack pop uses scalar lax.population_count for ctz; if Mosaic
 # rejects it on some toolchain, CPUGPU_CTZ_CHAIN=1 swaps in an 8-way
 # compare chain (bit-identical result, read once at import like above)
@@ -149,24 +151,54 @@ def _frame_push(stack_ref, j, base_p, slots, w, pushc, cond_push):
     def _do():
         for k, v in enumerate(slots):
             stack_ref[j, base_p + k] = v
-        stack_ref[j, base_p + 8] = w
+        stack_ref[j, base_p + len(slots)] = w
     if cond_push:
         pl.when(pushc)(_do)
     else:
         _do()
 
 
-def _ctz8(mw, chain: bool | None = None):
-    """Slot index of the lowest set bit of the 8-bit frame mask `mw`
-    (scalar i32).  Returns 7 when mw == 0 (callers gate on the mask, so
-    the popped junk entry is never observed)."""
+def _resolve_width_flags(width, num_inst, frame_stack, nearest, any_hit):
+    """Shared width flag resolution (slim kernel + the megakernels).
+
+    W16 is frame-stack only (a 16-slot conditional linear push would
+    double the measured scalar bottleneck), never runs the object-space
+    instance machinery (flattened scenes qualify for the plain kernel),
+    and defaults to nearest-child-first for closest-hit: the W16 lab
+    measured fixed push order at +17% primary-fan iterations, which the
+    frame-word argmin recovers for ~4 scalar ops (tools/kernel_lab3.py);
+    any-hit is visit-order insensitive, so it keeps the fixed order."""
+    if width not in (8, 16):
+        raise ValueError(f"packet node width must be 8 or 16, got {width}")
+    if width == 16:
+        if num_inst:
+            raise ValueError("16-wide packet tables do not support the "
+                             "instance machinery (flatten the scene)")
+        if frame_stack is None:
+            frame_stack = True
+        elif not frame_stack:
+            raise ValueError("width=16 requires the frame-stack scheme")
+        if nearest is None:
+            nearest = not any_hit
+    if frame_stack is None:
+        frame_stack = FRAMESTACK_DEFAULT
+    if nearest is None:
+        nearest = NEAREST_DEFAULT and frame_stack
+    return frame_stack, nearest
+
+
+def _ctz8(mw, chain: bool | None = None, width: int = WIDTH):
+    """Slot index of the lowest set bit of the width-bit frame mask
+    `mw` (scalar i32).  Returns width-1 when mw == 0 (callers gate on
+    the mask, so the popped junk entry is never observed)."""
     low = mw & (-mw)
     if CTZ_CHAIN if chain is None else chain:
-        kk = jnp.int32(7)
-        for k in range(6, -1, -1):
+        kk = jnp.int32(width - 1)
+        for k in range(width - 2, -1, -1):
             kk = jnp.where(low == (1 << k), jnp.int32(k), kk)
         return kk
-    return jnp.minimum(jax.lax.population_count(low - 1), jnp.int32(7))
+    return jnp.minimum(jax.lax.population_count(low - 1),
+                       jnp.int32(width - 1))
 TRI_DET_EPS = 0.001
 DONE = 0x7FFFFFFF
 RESTORE = 0x3FFFFFFF  # stack marker: leave instance space (< SLIM_EMPTY,
@@ -179,8 +211,16 @@ def _traverse_kernel(
     roots: tuple, any_hit: bool, count_depth: bool, instanced: bool,
     count_iters: bool, frame_stack: bool = False, fused_nn: int = 0,
     pipelined: bool = False, nearest: bool = False, interp: bool = False,
-    cond_push: bool = False,
+    cond_push: bool = False, width: int = WIDTH,
 ):
+    # node-arity locals: width 8 = the classic (B, 64) slim row, width
+    # 16 = one full (B, 128) row (16x6 bounds, entries at 96, counts at
+    # 112) -- the W16 layout of tools/kernel_lab3.py productionized
+    EO = 6 * width              # entry columns base (48 / 96)
+    NC = 8 * width              # node row width (64 / 128)
+    FR = width + 1              # frame stride (9 / 17)
+    LM = (1 << width) - 1       # pass-mask bits
+    FSTK = FR * FSTACK_FRAMES
     def iters_slot(g):
         # interpret mode blocks the iters output per grid step (and its
         # CPU lowering lacks program_id); compiled TPU passes the whole
@@ -267,13 +307,13 @@ def _traverse_kernel(
                     nf = 0
                     pos = 0
                     while pos < nroots:
-                        cnt = min(8, nroots - pos)
+                        cnt = min(width, nroots - pos)
                         for i in range(cnt):
-                            stack_ref[j, 9 * nf + i] = roots[1 + pos + i]
-                        stack_ref[j, 9 * nf + 8] = (1 << cnt) - 1
+                            stack_ref[j, FR * nf + i] = roots[1 + pos + i]
+                        stack_ref[j, FR * nf + width] = (1 << cnt) - 1
                         nf += 1
                         pos += cnt
-                    sptr_ref[j] = 9 * nf
+                    sptr_ref[j] = FR * nf
                 else:
                     sptr_ref[j] = len(roots) - 1
                     for i, r in enumerate(roots[1:]):
@@ -328,13 +368,14 @@ def _traverse_kernel(
                         if any_hit:
                             can = can & rl
                         if frame_stack:
-                            base = jnp.maximum(sp - 9, 0)
-                            mw = stack_ref[j, base + 8]
-                            kk, rem = _frame_pop(mw, nearest)
+                            base = jnp.maximum(sp - FR, 0)
+                            mw = stack_ref[j, base + width]
+                            kk, rem = _frame_pop(mw, nearest, width)
                             ent = stack_ref[j, base + kk]
-                            stack_ref[j, base + 8] = jnp.where(can, rem, mw)
+                            stack_ref[j, base + width] = jnp.where(
+                                can, rem, mw)
                             sp2 = jnp.where(
-                                can & ((rem & 0xFF) == 0), base, sp)
+                                can & ((rem & LM) == 0), base, sp)
                         else:
                             ent = stack_ref[j, jnp.maximum(sp - 1, 0)]
                             sp2 = jnp.where(can, sp - 1, sp)
@@ -348,7 +389,7 @@ def _traverse_kernel(
                     lmat_next = jnp.concatenate(urows, axis=0)
 
                     # ---- (2) vector: slab + leaf on CURRENT ----
-                    nmat = lmat[:, :64]
+                    nmat = lmat[:, :NC]
                     imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
                     leaf_v = jnp.concatenate(
                         [jnp.full((1, 1), leaf_s[j], jnp.int32)
@@ -359,7 +400,7 @@ def _traverse_kernel(
                          for j in range(ROWS)], axis=0,
                     ) != 0
 
-                    R = range(WIDTH)
+                    R = range(width)
                     tx1 = [(nmat[:, 6 * k + 0 : 6 * k + 1] - ox0) * ix0 for k in R]
                     ty1 = [(nmat[:, 6 * k + 1 : 6 * k + 2] - oy0) * iy0 for k in R]
                     tz1 = [(nmat[:, 6 * k + 2 : 6 * k + 3] - oz0) * iz0 for k in R]
@@ -376,7 +417,7 @@ def _traverse_kernel(
                             for k in R]
                     tmax = [jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k])
                             for k in R]
-                    valid = [imat[:, 48 + k : 49 + k] != SLIM_EMPTY for k in R]
+                    valid = [imat[:, EO + k : EO + k + 1] != SLIM_EMPTY for k in R]
                     bm = [
                         (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
                         & m & int_v & valid[k]
@@ -389,10 +430,10 @@ def _traverse_kernel(
                     ]
                     if count_depth:
                         lane_desc = bm[0]
-                        for k in range(1, WIDTH):
+                        for k in range(1, width):
                             lane_desc = lane_desc | bm[k]
                         depth = depth + lane_desc.astype(jnp.int32)
-                    fs_mask = _frame_mask(fin, nearest)
+                    fs_mask = _frame_mask(fin, nearest, width)
 
                     limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
                     for c in range(LEAF_TRIS):
@@ -432,15 +473,15 @@ def _traverse_kernel(
                     for j in range(ROWS):
                         sp = sptr_ref[j]
                         w = fs_mask[j, 0]
-                        es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+                        es_ = [imat[j, EO + k] for k in range(width)]
                         if frame_stack:
-                            base_p = jnp.minimum(sp, FSTACK - 9)
-                            pushc = int_s[j] & ((w & 0xFF) != 0)
+                            base_p = jnp.minimum(sp, FSTK - FR)
+                            pushc = int_s[j] & ((w & LM) != 0)
                             _frame_push(stack_ref, j, base_p, es_, w,
                                         pushc, cond_push)
-                            sp = sp + jnp.where(pushc, 9, 0)
+                            sp = sp + jnp.where(pushc, FR, 0)
                         else:
-                            for k in range(WIDTH):
+                            for k in range(width):
                                 push = (
                                     ((jax.lax.shift_right_logical(w, k) & 1)
                                      != 0) & int_s[j]
@@ -539,7 +580,7 @@ def _traverse_kernel(
                             nodes_ref[pl.ds(jnp.where(live, e, 0), 1), :]
                         )
                     lmat = jnp.concatenate(urows, axis=0)      # (8, 128)
-                    nmat = lmat[:, :64]
+                    nmat = lmat[:, :NC]
                 else:
                     for j in range(ROWS):
                         e = entry_ref[j]
@@ -582,7 +623,7 @@ def _traverse_kernel(
                 # data dependency, hiding the VPU chain latency that a
                 # child-major emission serializes (round-3 lab: slab
                 # phase 560 -> ~250 ns/iteration, -15% per entry) ----
-                R = range(WIDTH)
+                R = range(width)
                 tx1 = [(nmat[:, 6 * k + 0 : 6 * k + 1] - ox) * ix for k in R]
                 ty1 = [(nmat[:, 6 * k + 1 : 6 * k + 2] - oy) * iy for k in R]
                 tz1 = [(nmat[:, 6 * k + 2 : 6 * k + 3] - oz) * iz for k in R]
@@ -601,7 +642,8 @@ def _traverse_kernel(
                 tmax = [
                     jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k]) for k in R
                 ]
-                valid = [imat[:, 48 + k : 49 + k] != SLIM_EMPTY for k in R]
+                valid = [imat[:, EO + k : EO + k + 1] != SLIM_EMPTY
+                         for k in R]
                 bm = [
                     (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
                     & m & int_v & valid[k]
@@ -615,7 +657,7 @@ def _traverse_kernel(
                 ]
                 if count_depth:
                     lane_desc = bm[0]
-                    for k in range(1, WIDTH):
+                    for k in range(1, width):
                         lane_desc = lane_desc | bm[k]
                     depth = depth + lane_desc.astype(jnp.int32)
 
@@ -662,7 +704,7 @@ def _traverse_kernel(
                     # dmin extracts of the linear scheme.  bm gates on
                     # int_v and m, so the mask is 0 for every non-live /
                     # non-interior row.
-                    fs_mask = _frame_mask(child_dmin, nearest)
+                    fs_mask = _frame_mask(child_dmin, nearest, width)
 
                 alive = jnp.int32(0)
                 for j in range(ROWS):
@@ -673,7 +715,7 @@ def _traverse_kernel(
                     interior = int_s[j]
                     sp = sptr_ref[j]
 
-                    es_ = [imat[j, 48 + k] for k in range(WIDTH)]
+                    es_ = [imat[j, EO + k] for k in range(width)]
 
                     if frame_stack:
                         # 9-slot frame push: 8 UNCONDITIONAL stores + the
@@ -693,11 +735,11 @@ def _traverse_kernel(
                             # frame under the BLAS walk
                             slot0 = jnp.where(is_inst, RESTORE, slot0)
                             w = jnp.where(is_inst, jnp.int32(1), w)
-                        base_p = jnp.minimum(sp, FSTACK - 9)
-                        pushc = (w & 0xFF) != 0
+                        base_p = jnp.minimum(sp, FSTK - FR)
+                        pushc = (w & LM) != 0
                         _frame_push(stack_ref, j, base_p,
                                     [slot0] + es_[1:], w, pushc, cond_push)
-                        sp = sp + jnp.where(pushc, 9, 0)
+                        sp = sp + jnp.where(pushc, FR, 0)
 
                         if instanced:
                             @pl.when(is_inst)
@@ -738,14 +780,14 @@ def _traverse_kernel(
                         can = live & (sp > 0)
                         if instanced:
                             can = can & ~is_inst  # entering descends, not pops
-                        base = jnp.maximum(sp - 9, 0)
-                        mw = stack_ref[j, base + 8]
-                        kk, rem = _frame_pop(mw, nearest)
+                        base = jnp.maximum(sp - FR, 0)
+                        mw = stack_ref[j, base + width]
+                        kk, rem = _frame_pop(mw, nearest, width)
                         ent = stack_ref[j, base + kk]
                         # pop side effects gated on `can`: an entering row
                         # must leave its just-pushed RESTORE frame intact
-                        stack_ref[j, base + 8] = jnp.where(can, rem, mw)
-                        sp = jnp.where(can & ((rem & 0xFF) == 0), base, sp)
+                        stack_ref[j, base + width] = jnp.where(can, rem, mw)
+                        sp = jnp.where(can & ((rem & LM) == 0), base, sp)
                         nxt = jnp.where(can, ent, DONE)
                         if instanced:
                             blas_e = inst_root_ref[iid_c]
@@ -755,14 +797,14 @@ def _traverse_kernel(
                         alive = alive + jnp.where(nxt != DONE, 1, 0)
                         continue
 
-                    ds_ = [child_dmin[k][j, 0] for k in range(WIDTH)]
+                    ds_ = [child_dmin[k][j, 0] for k in range(width)]
                     # FIXED push order for closest-hit too: the nearest-
                     # child argmin bought ~9% fewer iterations but its
                     # extract/compare/select chain cost ~19% per
                     # iteration (round-3 lab: bounce fan 1321 -> 1117
                     # ns/iter, primaries 2485 -> 2111); hits stay exact
                     # (t-pruning still bounds every accept)
-                    for k in range(WIDTH):
+                    for k in range(width):
                         push = jnp.isfinite(ds_[k]) & interior
                         slot = jnp.where(push, jnp.minimum(sp, STACK - 1), STACK - 1)
                         prev = stack_ref[j, slot]
@@ -877,7 +919,7 @@ def _traverse_kernel(
     jax.jit,
     static_argnames=("roots", "interpret", "any_hit", "count_depth",
                      "count_iters", "frame_stack", "fused_nn", "pipelined",
-                     "nearest", "cond_push"),
+                     "nearest", "cond_push", "width"),
 )
 def traverse_packet_slim(
     origin, direction, t_init, nodes, ltris, roots,
@@ -886,6 +928,7 @@ def traverse_packet_slim(
     count_iters: bool = False, frame_stack: bool | None = None,
     fused_nn: int = 0, pipelined: bool | None = None,
     nearest: bool | None = None, cond_push: bool | None = None,
+    width: int = 8,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
@@ -921,16 +964,14 @@ def traverse_packet_slim(
             "fused packet tables do not support the instance machinery "
             "(flattened scenes run the plain kernel and may fuse)"
         )
-    if frame_stack is None:
-        frame_stack = FRAMESTACK_DEFAULT
+    frame_stack, nearest = _resolve_width_flags(
+        width, 1 if instanced else 0, frame_stack, nearest, any_hit)
     if pipelined is None:
         # the pipelined body requires the fused table; degrade silently
         # so the env default composes with non-fused scenes
         pipelined = PIPELINED_DEFAULT and fused_nn > 0
     elif pipelined and not fused_nn:
         raise ValueError("pipelined packet body requires fused tables")
-    if nearest is None:
-        nearest = NEAREST_DEFAULT and frame_stack
     if cond_push is None:
         cond_push = CONDPUSH_DEFAULT and frame_stack
     step = GROUPS * TILE
@@ -961,7 +1002,11 @@ def traverse_packet_slim(
     scratch = [
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM((ROWS,), jnp.int32),
-        pltpu.SMEM((ROWS, FSTACK if frame_stack else STACK), jnp.int32),
+        pltpu.SMEM(
+            (ROWS,
+             (width + 1) * FSTACK_FRAMES if frame_stack else STACK),
+            jnp.int32,
+        ),
     ]
     if pipelined:
         scratch.append(pltpu.SMEM((ROWS,), jnp.int32))  # entry2 (next)
@@ -1018,6 +1063,7 @@ def traverse_packet_slim(
             nearest=nearest and frame_stack,
             interp=interpret,
             cond_push=cond_push and frame_stack,
+            width=width,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

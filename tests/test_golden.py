@@ -150,22 +150,37 @@ if __name__ == "__main__":
 def test_golden_bitwise_under_tree_variants(monkeypatch):
     """CPUGPU_PACKET_TREE reshapes only the device-side slim tree; hits
     are exact and per-lane RNG order is untouched, so the rendered
-    image must be BITWISE identical to the stored golden under every
-    variant.  (Uses the 'advanced' case -- glass + mesh + plane + NEE
-    exercises closest-hit and shadow traversals through the variant
-    tables.)"""
-    import pytest
-
+    image must be BITWISE identical across every variant -- including
+    the width-16 tables.  The packet path must be FORCED on (interpret
+    mode): without it the CPU render falls back to the wide traversal
+    and never touches the variant tables (the original version of this
+    test compared wide-path renders and was vacuous).  The baseline is
+    a same-process default-tree render through the same forced path, so
+    the assert isolates exactly the tree reshape.  Advanced case:
+    glass + mesh + plane + NEE exercises closest-hit and shadow
+    traversals through the variant tables."""
     from cpugpupathtracing_tpu.models import scene as scenelib
 
-    path = os.path.join(GOLDEN_DIR, "frames.npz")
-    if not os.path.exists(path):
-        pytest.skip("no goldens recorded")
-    stored = np.load(path)["advanced"]
-    for mode in ("dp", "sweep_dp"):
+    monkeypatch.setenv("CPUGPU_TPU_FORCE_PACKET", "1")
+
+    def render():
+        r = Renderer(
+            _scene(),
+            camera=CameraConfig(pos=(0.0, 0.5, 7.0)),
+            config=RenderConfig(width=64, height=36, seed=0x12345678),
+            settings=CASES["advanced"],
+        )
+        r.render(2)
+        return r.image_u32(), r.scene.device().packet_width
+
+    base, w0 = render()
+    assert w0 == 8
+    for mode, want_w in (("dp", 8), ("sweep_dp", 8), ("w16", 16)):
         monkeypatch.setattr(scenelib, "PACKET_TREE", mode)
+        img, w = render()
+        assert w == want_w
         np.testing.assert_array_equal(
-            _render("advanced"), stored,
+            img, base,
             err_msg=f"tree variant '{mode}' changed the image -- the "
                     "hit-exactness contract is broken",
         )

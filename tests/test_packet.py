@@ -235,6 +235,18 @@ def test_stack_bound_falls_back_to_wide(monkeypatch, rng_np):
     monkeypatch.setattr(tps, "FSTACK_FRAMES", 2)
     dev_frm = build().device()
     assert dev_frm.traversal == "wide"
+    monkeypatch.undo()
+
+    # w16 forces the frame scheme even with FRAMESTACK_DEFAULT off;
+    # the same frame bound guards it
+    from cpugpupathtracing_tpu.models import scene as scenelib
+
+    monkeypatch.setattr(scenelib, "PACKET_TREE", "w16")
+    dev16 = build().device()
+    assert dev16.traversal == "packet" and dev16.packet_width == 16
+    monkeypatch.setattr(tps, "FSTACK_FRAMES", 2)
+    dev_frm = build().device()
+    assert dev_frm.traversal == "wide"
 
     # the fallback snapshot still intersects correctly
     n = 1024
@@ -430,11 +442,13 @@ def test_interpret_count_iters(sphere_slim, rng_np):
     assert (iters >= 1).all()
 
 
-@pytest.mark.parametrize("mode", ["fat", "dp", "sweep", "sweep_dp"])
+@pytest.mark.parametrize("mode", ["fat", "dp", "sweep", "sweep_dp", "w16"])
 def test_packet_tree_variants_match_oracle(mode, rng_np, monkeypatch):
     """Every CPUGPU_PACKET_TREE device-tree variant (models/scene.py
     _build_wide_cache) must return brute-force-exact hits -- the tree
-    reshape is an iteration-count lever only."""
+    reshape is an iteration-count lever only.  "w16" additionally
+    exercises the width-16 node rows (entries at col 96, 17-slot
+    frames, nearest-first pop default)."""
     from cpugpupathtracing_tpu.models import materials as matlib
     from cpugpupathtracing_tpu.models import scene as scenelib
 
@@ -446,12 +460,13 @@ def test_packet_tree_variants_match_oracle(mode, rng_np, monkeypatch):
     obj = sc.objects[0]
     cache = scenelib._build_wide_cache(obj)
     slim = cache[2]
+    assert slim.width == (16 if mode == "w16" else 8)
     n = 2048
     o, d = _rays(rng_np, n)
     t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
     t, hit, _obj, _nrm, _depth, _iid = tps.traverse_packet_slim(
         o, d, t0, jnp.asarray(slim.nodes), jnp.asarray(slim.ltris), (0,),
-        interpret=True,
+        interpret=True, width=slim.width,
     )
     b = obj.bvh
     bt, bidx = intersect.brute_force_nearest_triangle(

@@ -215,3 +215,21 @@ def test_refit_matches_full_rebuild(force_packet):
     np.testing.assert_array_equal(np.asarray(hr.prim), np.asarray(hf.prim))
     np.testing.assert_array_equal(np.asarray(hr.inst), np.asarray(hf.inst))
     np.testing.assert_array_equal(np.asarray(hr.t), np.asarray(hf.t))
+
+
+def test_w16_instanced_falls_back_to_w8(force_packet, monkeypatch):
+    """CPUGPU_PACKET_TREE=w16 on an instanced scene must fall back to
+    8-wide sweep_dp tables (the TLAS rows, the kernel instance
+    machinery, and the flatten splice are all 8-wide) and still
+    intersect correctly through the machinery path."""
+    from cpugpupathtracing_tpu.models import scene as scenelib
+
+    monkeypatch.setattr(scenelib, "PACKET_TREE", "w16")
+    dev = _instanced_scene().device()
+    assert dev.packet_width == 8
+    assert dev.traversal == "packet"
+    assert dev.pnodes.shape[1] == 64
+    o, d = _rays(2048)
+    tmax = jnp.full((2048,), RAY_TMAX, jnp.float32)
+    h = intersect_scene(dev, o, d, tmax)
+    assert int((np.asarray(h.inst) >= 0).sum()) > 0

@@ -16,7 +16,10 @@ for combo in \
   "CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_CONDPUSH=1" \
   "CPUGPU_PACKET_TREE=sweep_dp" \
   "CPUGPU_PACKET_TREE=sweep_dp CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1" \
-  "CPUGPU_PACKET_TREE=sweep_dp CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_CONDPUSH=1"; do
+  "CPUGPU_PACKET_TREE=sweep_dp CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_CONDPUSH=1" \
+  "CPUGPU_PACKET_TREE=w16" \
+  "CPUGPU_PACKET_TREE=w16 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1" \
+  "CPUGPU_PACKET_TREE=w16 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_CONDPUSH=1"; do
   echo "=== $combo ==="
   env PYTHONPATH= JAX_PLATFORMS=cpu $combo \
     python -m pytest tests/test_fuzz_scenes.py -q 2>&1 | tail -1

@@ -53,6 +53,17 @@ COMBOS = {
         "CPUGPU_FRAMESTACK": "1", "CPUGPU_FUSED": "1", "CPUGPU_PIPELINED": "1",
         "CPUGPU_CONDPUSH": "1", "CPUGPU_PACKET_TREE": "sweep_dp",
     },
+    # width-16 node rows (frame-stack + nearest are implied by the
+    # width; fused/pipelined/condpush compose as usual)
+    "c3_w16": {"CPUGPU_PACKET_TREE": "w16"},
+    "c3_w16_full": {
+        "CPUGPU_PACKET_TREE": "w16", "CPUGPU_FUSED": "1",
+        "CPUGPU_PIPELINED": "1",
+    },
+    "c3_w16_full_cp": {
+        "CPUGPU_PACKET_TREE": "w16", "CPUGPU_FUSED": "1",
+        "CPUGPU_PIPELINED": "1", "CPUGPU_CONDPUSH": "1",
+    },
 }
 
 

@@ -43,6 +43,13 @@ bench c3_fused        CPUGPU_FUSED=1
 bench c3_tree         CPUGPU_PACKET_TREE=sweep_dp
 bench c3_tree_full    CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_PACKET_TREE=sweep_dp
 bench c3_tree_full_cp CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_CONDPUSH=1 CPUGPU_PACKET_TREE=sweep_dp
+# width-16 production tables (tools/tree_lab16.py: ~85% of sweep_dp
+# frame iterations offline; frame-stack + nearest implied by the width;
+# Mosaic compile time of the 16-child slab unroll is itself a risk --
+# a FAILED line here means the doubled body blew the compiler budget)
+bench c3_w16          CPUGPU_PACKET_TREE=w16
+bench c3_w16_full     CPUGPU_PACKET_TREE=w16 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1
+bench c3_w16_full_cp  CPUGPU_PACKET_TREE=w16 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 CPUGPU_CONDPUSH=1
 
 # pick the fastest parity-proven combo NOW (the queue may be cut short
 # if the tunnel drops again): bench.py and the driver's end-of-round

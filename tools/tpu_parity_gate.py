@@ -69,11 +69,12 @@ def check_parity(n_rays: int = 2048, chunk: int = 512, seed: int = 5) -> dict:
     t0 = jnp.full((n_rays,), RAY_TMAX, jnp.float32)
 
     t, hit, obj, normal, depth, _iid = tps.traverse_packet_slim(
-        o, d, t0, p_nodes, p_ltris, dev.proots, fused_nn=p_fused_nn
+        o, d, t0, p_nodes, p_ltris, dev.proots, fused_nn=p_fused_nn,
+        width=dev.packet_width,
     )
     _, hit_any, _, _, _, _ = tps.traverse_packet_slim(
         o, d, t0, p_nodes, p_ltris, dev.proots, any_hit=True,
-        fused_nn=p_fused_nn
+        fused_nn=p_fused_nn, width=dev.packet_width,
     )
 
     bts, bidxs = [], []
