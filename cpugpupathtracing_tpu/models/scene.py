@@ -74,9 +74,11 @@ PACKET_FUSED = os.environ.get("CPUGPU_FUSED", "") == "1"
 #              (B, 128) row per node (16 slab tests/iteration, 17-slot
 #              frames; tools/tree_lab16.py measured ~85% of the W8
 #              sweep_dp frame iterations on the benchmark fans).
-#              Frame-stack only; scenes running the object-space
-#              instance machinery fall back to sweep_dp (the TLAS rows
-#              and kernel instance path are 8-wide).
+#              Frame-stack only.  FLATTENED instanced scenes keep width
+#              16 (the 8-wide TLAS rows re-layout to 16-wide on splice,
+#              _widen_slim_rows); only scenes forced onto the
+#              object-space instance machinery fall back to sweep_dp
+#              (the kernel instance path is 8-wide).
 # Read ONCE at import (obj._wide_cache is keyed on the binary BVH
 # identity, so a mid-process flip would serve stale trees).
 PACKET_TREE = os.environ.get("CPUGPU_PACKET_TREE", "")
@@ -340,11 +342,12 @@ def _refit_apply(wnodes, pnodes, snodes12, wrow, prow, srow, w_off, p_off, s_off
 def _flatten_tables(src_bounds, src_ltris, A, b, nrmM):
     """World-space instance tables for the flattened packet path.
 
-    src_bounds (B, 48) object-space child boxes (8 x [min3 max3]),
-    src_ltris (Lr, 128) object-space leaf records with id columns
-    stamped, A (I, 3, 3) object->world linear part, b (I, 3)
-    translation, nrmM (I, 3, 3) normal matrix (inverse transpose).
-    Returns ((I*B, 48) world bounds, (I*Lr, 128) world records).
+    src_bounds (B, 6*W) object-space child boxes (W x [min3 max3],
+    W = 8 or 16 -- the packet node width), src_ltris (Lr, 128)
+    object-space leaf records with id columns stamped, A (I, 3, 3)
+    object->world linear part, b (I, 3) translation, nrmM (I, 3, 3)
+    normal matrix (inverse transpose).
+    Returns ((I*B, 6*W) world bounds, (I*Lr, 128) world records).
 
     Child AABBs transform conservatively (center' = A c + t, extent' =
     |A| e): boxes only grow, so culling stays correct and triangle
@@ -354,15 +357,16 @@ def _flatten_tables(src_bounds, src_ltris, A, b, nrmM):
     computes per hit in the shading epilogue."""
     I = A.shape[0]
     B = src_bounds.shape[0]
+    W = src_bounds.shape[1] // 6
     Lr = src_ltris.shape[0]
-    bx = src_bounds.reshape(B, 8, 6)
+    bx = src_bounds.reshape(B, W, 6)
     mn, mx = bx[:, :, 0:3], bx[:, :, 3:6]
     c = (mn + mx) * 0.5
     e = (mx - mn) * 0.5
     Aa = jnp.abs(A)
 
     def lin(M, v, t=None):
-        # explicit component contraction: (I,1,1) coeffs x (1,B,8) cols
+        # explicit component contraction: (I,1,1) coeffs x (1,B,W) cols
         out = []
         for x in range(3):
             acc = (
@@ -379,8 +383,8 @@ def _flatten_tables(src_bounds, src_ltris, A, b, nrmM):
     ew = lin(Aa, e)
     mnw = cw - ew
     mxw = cw + ew
-    bounds = jnp.concatenate([mnw, mxw], axis=-1).reshape(I, B, 48)
-    bounds = bounds.reshape(I * B, 48)
+    bounds = jnp.concatenate([mnw, mxw], axis=-1).reshape(I, B, 6 * W)
+    bounds = bounds.reshape(I * B, 6 * W)
 
     def lin2(M, v, t=None):
         # (I, Lr, 3) variant for leaf-record columns
@@ -423,13 +427,37 @@ def _flatten_splice(pnodes, pltris, flat_args, bases):
     return pnodes, pltris
 
 
+def _widen_slim_rows(rows: np.ndarray) -> np.ndarray:
+    """Re-layout 8-wide slim node rows (bounds 0..47, entries 48..55)
+    into the 16-wide (B, 128) layout (bounds 0..95, entries 96..111,
+    counts 112..127).  Pad slots 8..15 carry inverted boxes and
+    SLIM_EMPTY entries, so the width-16 kernel's valid mask skips them;
+    used to splice the 8-wide TLAS over width-16 flattened BLAS
+    tables."""
+    from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
+
+    T = len(rows)
+    out = np.zeros((T, 128), np.float32)
+    out[:, :48] = rows[:, :48]
+    out[:, 48:96] = np.tile(
+        np.array([1e30, 1e30, 1e30, -1e30, -1e30, -1e30], np.float32), 8
+    )
+    oi = out.view(np.int32)
+    oi[:, 96:104] = rows[:, 48:56].view(np.int32)
+    oi[:, 104:112] = SLIM_EMPTY
+    oi[:, 112:128] = -1
+    return out
+
+
 def _slim_tlas_rows_flat(
-    tlas_rows: np.ndarray, p_off: int, inst_roots
+    tlas_rows: np.ndarray, p_off: int, inst_roots, width: int = 8
 ) -> np.ndarray:
     """Slim TLAS encoding for the FLATTENED packet path: instance
     children become plain interior entries pointing at the instance's
     world-space BLAS root row (no SLIM_EMPTY+id encoding, no RESTORE
-    machinery at traversal time)."""
+    machinery at traversal time).  At width 16 the 8-wide TLAS rows are
+    re-laid-out to (T, 128) so they splice over the width-16 BLAS
+    tables (half-empty rows -- TLAS row count is tiny)."""
     from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
     from cpugpupathtracing_tpu.ops.traverse_wide import CCNT_INSTANCE
 
@@ -441,6 +469,8 @@ def _slim_tlas_rows_flat(
     cidx[ccnt == 0] += p_off
     cidx[ccnt == -1] = SLIM_EMPTY
     ccnt[:] = -1
+    if width == 16:
+        return _widen_slim_rows(rows)
     return rows
 
 
@@ -675,7 +705,8 @@ class Scene:
             )
         if meta.get("flatten"):
             prow = _slim_tlas_rows_flat(
-                tlas_rows, meta["p_tlas_off"], meta["p_flat_roots"]
+                tlas_rows, meta["p_tlas_off"], meta["p_flat_roots"],
+                dev.packet_width,
             )
         else:
             prow = _slim_tlas_rows(tlas_rows, meta["p_tlas_off"])
@@ -750,21 +781,12 @@ class Scene:
             except_error("Scene", "instanced meshes require use_wide=True")
 
         # packet node width (CPUGPU_PACKET_TREE=w16): instanced scenes
-        # fall back to 8-wide tables -- the TLAS rows, the kernel's
-        # object-space machinery, and the flatten splice are all 8-wide
-        pkt_width = 8
+        # keep width 16 only when they FLATTEN (the world-space tables
+        # run the plain kernel; the 8-wide TLAS rows re-layout to
+        # 16-wide on splice) -- the object-space machinery path falls
+        # back to sweep_dp 8-wide below once the flatten decision lands
+        pkt_width = 16 if PACKET_TREE == "w16" else 8
         pkt_mode = None
-        if PACKET_TREE == "w16":
-            if has_instances:
-                log_warn(
-                    "Scene",
-                    "CPUGPU_PACKET_TREE=w16 does not support instanced "
-                    "scenes; building sweep_dp 8-wide packet tables",
-                )
-                pkt_mode = "sweep_dp"
-            else:
-                pkt_width = 16
-        pw6, pw7, pw8 = 6 * pkt_width, 7 * pkt_width, 8 * pkt_width
 
         # instance FLATTENING decision (packet path): replicate each
         # instanced BLAS into world space when the flattened tables fit
@@ -797,6 +819,18 @@ class Scene:
                     "budget; using the object-space TLAS machinery",
                     flat_bytes / 1e6, budget,
                 )
+            if pkt_width == 16 and not flatten_packets:
+                # the kernel's object-space instance machinery (register
+                # swap + RESTORE) is 8-wide only
+                log_warn(
+                    "Scene",
+                    "CPUGPU_PACKET_TREE=w16 does not support the "
+                    "object-space instance machinery; building sweep_dp "
+                    "8-wide packet tables",
+                )
+                pkt_width = 8
+                pkt_mode = "sweep_dp"
+        pw6, pw7, pw8 = 6 * pkt_width, 7 * pkt_width, 8 * pkt_width
         flat_meta: list[dict] = []
         p_flat_roots: list[int] = []
 
@@ -844,7 +878,7 @@ class Scene:
                             oi=oi,
                             node_base=pnode_off,
                             ltris_base=pleaf_off,
-                            src_bounds_j=jnp.asarray(pw.nodes[:, :48].copy()),
+                            src_bounds_j=jnp.asarray(pw.nodes[:, :pw6].copy()),
                             src_ltris_j=jnp.asarray(lt),
                         )
                         for _ in range(len(obj.instances)):
@@ -973,7 +1007,9 @@ class Scene:
             # SLIM_EMPTY + 1 + id (machinery) or the instance's
             # world-space BLAS root row (flattened), empty -> SLIM_EMPTY
             if flatten_packets:
-                prow = _slim_tlas_rows_flat(tlas_rows, pnode_off, p_flat_roots)
+                prow = _slim_tlas_rows_flat(
+                    tlas_rows, pnode_off, p_flat_roots, pkt_width
+                )
             else:
                 prow = _slim_tlas_rows(tlas_rows, pnode_off)
             pnodes_l.append(prow)

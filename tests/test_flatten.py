@@ -27,6 +27,18 @@ def force_packet(monkeypatch):
     monkeypatch.setenv("CPUGPU_TPU_FORCE_PACKET", "1")
 
 
+@pytest.fixture(params=["", "w16"], ids=["w8", "w16"])
+def tree_mode(request, monkeypatch):
+    """Flattened scenes must behave identically under the default
+    8-wide tree and CPUGPU_PACKET_TREE=w16 (the 8-wide TLAS rows
+    re-layout to 16-wide on splice, scene._widen_slim_rows)."""
+    if request.param:
+        from cpugpupathtracing_tpu.models import scene as scenelib
+
+        monkeypatch.setattr(scenelib, "PACKET_TREE", request.param)
+    return request.param
+
+
 def _tf(tx=0.0, scale=1.0, yaw=0.0, ty=0.0):
     c, s = np.cos(yaw), np.sin(yaw)
     return np.array(
@@ -62,9 +74,11 @@ def _world_records(dev):
     return np.concatenate(tris), np.concatenate(tid)
 
 
-def test_flatten_active_and_exact(force_packet, rng_np):
+def test_flatten_active_and_exact(force_packet, tree_mode, rng_np):
     dev = _scene().device()
     assert dev.packet_flattened
+    assert dev.packet_width == (16 if tree_mode == "w16" else 8)
+    assert dev.pnodes.shape[1] == (128 if tree_mode == "w16" else 64)
     n = 1024
     o = rng_np.normal(size=(n, 3)).astype(np.float32) * 6
     aim = rng_np.normal(size=(n, 3)).astype(np.float32) * 2
@@ -104,7 +118,7 @@ def test_flatten_active_and_exact(force_packet, rng_np):
     assert (np.asarray(h.inst) == -1).all()
 
 
-def test_refit_bitwise_equals_rebuild(force_packet):
+def test_refit_bitwise_equals_rebuild(force_packet, tree_mode):
     target = _tf(3.0, 0.5, 0.7)
     s1 = _scene([_tf(), target])
     d1 = s1.device()
@@ -119,10 +133,42 @@ def test_refit_bitwise_equals_rebuild(force_packet):
         assert a.tobytes() == b.tobytes(), f
 
 
-def test_budget_fallback_keeps_machinery(force_packet, monkeypatch):
+def test_flatten_w16_hits_bitwise_equal_w8(force_packet, rng_np, monkeypatch):
+    """The packet tree is an iteration-count lever only: a flattened
+    scene's hits under CPUGPU_PACKET_TREE=w16 are BITWISE equal to the
+    default 8-wide tree's (same world-space triangle records, same
+    Moller-Trumbore -- only the node shape differs)."""
+    from cpugpupathtracing_tpu.models import scene as scenelib
+
+    dev8 = _scene().device()
+    monkeypatch.setattr(scenelib, "PACKET_TREE", "w16")
+    dev16 = _scene().device()
+    assert dev8.packet_width == 8 and dev16.packet_width == 16
+    assert dev16.packet_flattened
+
+    n = 2048
+    o = rng_np.normal(size=(n, 3)).astype(np.float32) * 6
+    aim = rng_np.normal(size=(n, 3)).astype(np.float32) * 2
+    d = aim - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    h8 = intersect_scene(dev8, o, d, t0)
+    h16 = intersect_scene(dev16, o, d, t0)
+    for name in ("t", "obj", "prim", "inst"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(h8, name)),
+            np.asarray(getattr(h16, name)),
+            err_msg=name,
+        )
+
+
+def test_budget_fallback_keeps_machinery(force_packet, tree_mode, monkeypatch):
     monkeypatch.setenv("CPUGPU_FLATTEN_BUDGET_MB", "0.01")
     dev = _scene().device()
     assert not dev.packet_flattened
+    # the machinery path is 8-wide regardless of the requested tree
+    assert dev.packet_width == 8
     # machinery path still resolves instance ids
     o = jnp.asarray(np.array([[3.0, 0.0, 8.0]], np.float32))
     d = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
@@ -150,10 +196,12 @@ def test_flattened_normals_are_world(force_packet, rng_np):
     assert np.abs(ln - 1.0).max() < 1e-4
 
 
-def test_flatten_fused_refit_bitwise(force_packet, rng_np, monkeypatch):
+def test_flatten_fused_refit_bitwise(force_packet, tree_mode, rng_np, monkeypatch):
     """Fused tables on a flattened instanced scene: hits bitwise-equal
     to the split tables, before AND after a transform refit (the refit
-    path rebuilds pfused from the re-spliced tables)."""
+    path rebuilds pfused from the re-spliced tables).  Runs at both
+    packet widths -- fused + flattened + w16 is the config-5 production
+    combo."""
     import dataclasses
 
     from cpugpupathtracing_tpu.models import scene as scenelib

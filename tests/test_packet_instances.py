@@ -218,10 +218,11 @@ def test_refit_matches_full_rebuild(force_packet):
 
 
 def test_w16_instanced_falls_back_to_w8(force_packet, monkeypatch):
-    """CPUGPU_PACKET_TREE=w16 on an instanced scene must fall back to
-    8-wide sweep_dp tables (the TLAS rows, the kernel instance
-    machinery, and the flatten splice are all 8-wide) and still
-    intersect correctly through the machinery path."""
+    """CPUGPU_PACKET_TREE=w16 on an instanced scene pinned to the
+    object-space machinery path (CPUGPU_NO_FLATTEN) must fall back to
+    8-wide sweep_dp tables (the kernel's register-swap/RESTORE
+    instance path is 8-wide) and still intersect correctly; FLATTENED
+    instanced scenes keep width 16 (tests/test_flatten.py)."""
     from cpugpupathtracing_tpu.models import scene as scenelib
 
     monkeypatch.setattr(scenelib, "PACKET_TREE", "w16")

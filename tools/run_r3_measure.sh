@@ -72,6 +72,10 @@ env $NOFLAGS timeout 3600 python bench.py --config 5 2>&1 \
   | tee $OUT/c5_default.log || true
 env $NOFLAGS CPUGPU_FRAMESTACK=1 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 \
   timeout 3600 python bench.py --config 5 2>&1 | tee $OUT/c5_full.log || true
+# flattened scenes keep width 16 (the TLAS rows widen on splice), so
+# config 5 can ride the W16 tables directly
+env $NOFLAGS CPUGPU_PACKET_TREE=w16 CPUGPU_FUSED=1 CPUGPU_PIPELINED=1 \
+  timeout 3600 python bench.py --config 5 2>&1 | tee $OUT/c5_w16.log || true
 
 # 2b. final numbers: all five configs under the PICKED flags
 # (bench.py reads bench_flags.json; config 4 = config 3 at 8 spp).
