@@ -208,6 +208,24 @@ def test_megakernel_instanced_matches_integrator(
     _check(ref, got, True)
 
 
+def test_megakernel_flattened_w16(force_packet, monkeypatch):
+    """CPUGPU_PACKET_TREE=w16 on a flattened instanced scene -- the
+    config-5 bench combination: width-16 world-space tables (the TLAS
+    rows widened on splice) through the megakernel's width-parametrized
+    traversal must match the XLA integrator like every other variant."""
+    from cpugpupathtracing_tpu.models import scene as scenelib
+
+    monkeypatch.setattr(scenelib, "PACKET_TREE", "w16")
+    settings = RenderSettings(max_ray_depth=3)
+    dev = _scene_instanced().device()
+    assert dev.packet_flattened and dev.packet_width == 16
+    assert megakernel_active(dev, settings)
+    idx = jnp.arange(64 * 32, dtype=jnp.int32)
+    _, ref = _trace(dev, settings, integrators.trace_advanced, idx=idx)
+    _, got = _trace(dev, settings, integrators.trace_advanced_mega, idx=idx)
+    _check(ref, got, True)
+
+
 def test_megakernel_instanced_no_nee(force_packet):
     # NEE off removes the occlusion-boundary caveat: tight agreement
     settings = RenderSettings(max_ray_depth=2, next_event_estimation=False)
