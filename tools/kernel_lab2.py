@@ -379,7 +379,8 @@ def traverse_lab2(origin, direction, t_init, nodes, ltris, roots, *, active,
     return t[:n0], hit[:n0], obj[:n0], iters, leafs
 
 
-def _lab2p_kernel(*refs, roots, nn, frame_stack, fused, nearest=False):
+def _lab2p_kernel(*refs, roots, nn, frame_stack, fused, nearest=False,
+                  parent=False):
     """SOFTWARE-PIPELINED body: each iteration (1) pops the NEXT entry
     and issues its row load, (2) runs slab+leaf on the CURRENT entry
     from the row matrix carried since last iteration, (3) pushes the
@@ -389,7 +390,18 @@ def _lab2p_kernel(*refs, roots, nn, frame_stack, fused, nearest=False):
     chain measured as the per-iteration floor splits into two parallel
     halves.  A row whose pop precedes a same-iteration push runs one
     bubble iteration (slab no-op) before draining the new frame; hits
-    stay exact for any visit order.  Requires fused tables."""
+    stay exact for any visit order.  Requires fused tables.
+
+    parent=True (requires frame_stack): PARENT-POINTER FRAMES -- a
+    frame is 2 SMEM ints [parent row index, pass mask] instead of
+    [8 child entries, pass mask].  The push loop (the per-iteration
+    attribution's prime suspect, ~9 scalar stores/row) shrinks to 2
+    stores; the pop re-reads the popped child's entry from the
+    IMMUTABLE node table (one extra dynamic row load on the vector
+    unit + an 8-way extract chain, both overlapped by the pipelined
+    structure).  Same masks, same pop order, bit-identical visit set.
+    Root seeding uses negative sentinel parents resolved against the
+    static roots tuple."""
     (
         nodes_ref, ltris_ref,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref, act_ref,
@@ -397,6 +409,7 @@ def _lab2p_kernel(*refs, roots, nn, frame_stack, fused, nearest=False):
         entry_ref, entry2_ref, sptr_ref, stack_ref, t_s, hit_s, obj_s,
     ) = refs
     assert fused, "pipelined lab kernel requires fused tables"
+    assert not parent or frame_stack, "parent frames require the frame stack"
     pid = pl.program_id(0)
 
     for g in range(GROUPS):
@@ -435,7 +448,20 @@ def _lab2p_kernel(*refs, roots, nn, frame_stack, fused, nearest=False):
 
             for j in range(ROWS):
                 entry_ref[j] = roots[0]
-                if frame_stack:
+                if frame_stack and parent:
+                    # seed frames: parent = -(group+1), resolved against
+                    # the static roots tuple at pop time
+                    nroots = len(roots) - 1
+                    nf = 0
+                    pos = 0
+                    while pos < nroots:
+                        cnt = min(8, nroots - pos)
+                        stack_ref[j, 2 * nf + 0] = -(nf + 1)
+                        stack_ref[j, 2 * nf + 1] = (1 << cnt) - 1
+                        nf += 1
+                        pos += cnt
+                    sptr_ref[j] = 2 * nf
+                elif frame_stack:
                     nroots = len(roots) - 1
                     nf = 0
                     pos = 0
@@ -474,7 +500,43 @@ def _lab2p_kernel(*refs, roots, nn, frame_stack, fused, nearest=False):
                     int_s.append(live & (e < nn))
                     sp = sptr_ref[j]
                     can = sp > 0
-                    if frame_stack and nearest:
+                    if frame_stack and parent:
+                        base = jnp.maximum(sp - 2, 0)
+                        mw = stack_ref[j, base + 1]
+                        if nearest:
+                            bk = jax.lax.shift_right_logical(mw, 8) & 7
+                            bkbit = jax.lax.shift_left(jnp.int32(1), bk)
+                            use_bk = (mw & bkbit) != 0
+                            kk = jnp.where(use_bk, bk, _ctz8(mw & 0xFF))
+                        else:
+                            kk = _ctz8(mw & 0xFF)
+                        par = stack_ref[j, base + 0]
+                        rem = mw & ~jax.lax.shift_left(jnp.int32(1), kk)
+                        stack_ref[j, base + 1] = jnp.where(can, rem, mw)
+                        sp2 = jnp.where(can & ((rem & 0xFF) == 0), base, sp)
+                        # re-read the popped child's entry from the
+                        # immutable node table (parent rows are always
+                        # interior, always < nn)
+                        pr = nodes_ref[
+                            pl.ds(jnp.where(can & (par >= 0), par, 0), 1), :
+                        ]
+                        pim = jax.lax.bitcast_convert_type(pr, jnp.int32)
+                        ent = pim[0, 48]
+                        for k in range(1, WIDTH):
+                            ent = jnp.where(kk == k, pim[0, 48 + k], ent)
+                        if len(roots) > 1:
+                            # seed frames hold static roots
+                            ngrp = (len(roots) - 1 + 7) // 8
+                            for gi in range(ngrp):
+                                cnt = min(8, len(roots) - 1 - 8 * gi)
+                                for k in range(cnt):
+                                    sel = (par == -(gi + 1)) & (kk == k)
+                                    ent = jnp.where(
+                                        sel,
+                                        jnp.int32(roots[1 + 8 * gi + k]),
+                                        ent,
+                                    )
+                    elif frame_stack and nearest:
                         # frame word carries the argmin child in bits
                         # 8-10: pop it first, then ctz the rest
                         base = jnp.maximum(sp - 9, 0)
@@ -601,7 +663,14 @@ def _lab2p_kernel(*refs, roots, nn, frame_stack, fused, nearest=False):
                     sp = sptr_ref[j]
                     w = fs_mask[j, 0]
                     do_push = int_s[j] & ((w & 0xFF) != 0)
-                    if frame_stack:
+                    if frame_stack and parent:
+                        # 2-slot frame: the current (interior) entry IS
+                        # the parent of everything the mask names
+                        base_p = jnp.minimum(sp, FSTACK - 2)
+                        stack_ref[j, base_p + 0] = entries[j]
+                        stack_ref[j, base_p + 1] = w
+                        sp = sp + jnp.where(do_push, 2, 0)
+                    elif frame_stack:
                         es_ = [imat[j, 48 + k] for k in range(WIDTH)]
                         base_p = jnp.minimum(sp, FSTACK - 9)
                         for k in range(WIDTH):
@@ -641,10 +710,11 @@ def _lab2p_kernel(*refs, roots, nn, frame_stack, fused, nearest=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("roots", "nn", "frame_stack", "nearest"),
+    jax.jit,
+    static_argnames=("roots", "nn", "frame_stack", "nearest", "parent"),
 )
 def traverse_lab2p(origin, direction, t_init, nodes, ltris, roots, *, active,
-                   nn, frame_stack=True, nearest=False):
+                   nn, frame_stack=True, nearest=False, parent=False):
     """Pipelined-body lab traversal (fused tables required)."""
     ox_c, oy_c, oz_c = origin
     dx_c, dy_c, dz_c = direction
@@ -683,7 +753,7 @@ def traverse_lab2p(origin, direction, t_init, nodes, ltris, roots, *, active,
     res = pl.pallas_call(
         functools.partial(
             _lab2p_kernel, roots=roots, nn=nn, frame_stack=frame_stack,
-            fused=True, nearest=nearest,
+            fused=True, nearest=nearest, parent=parent,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -774,6 +844,64 @@ def _selfcheck():
     np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
     print(f"pipelined fs nearest: hits OK ({int(np.asarray(it).sum())} iters)",
           flush=True)
+
+    # parent-pointer frames: bit-identical visit set to the frame stack
+    # (same masks, same pop order), so iters must MATCH exactly too
+    ref_it = {}
+    for near in (False, True):
+        t, hit, obj, it, _ = traverse_lab2p(
+            oc, dc, t0, jnp.asarray(un), dummy, (0,), active=act,
+            nn=nn, frame_stack=True, nearest=near,
+        )
+        ref_it[near] = int(np.asarray(it).sum())
+    for near in (False, True):
+        t, hit, obj, it, _ = traverse_lab2p(
+            oc, dc, t0, jnp.asarray(un), dummy, (0,), active=act,
+            nn=nn, frame_stack=True, nearest=near, parent=True,
+        )
+        assert np.array_equal(np.asarray(hit), np.asarray(bidx)), (
+            "parent", near)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
+        got_it = int(np.asarray(it).sum())
+        assert got_it == ref_it[near], ("parent iters", near, got_it,
+                                        ref_it[near])
+        print(f"pipelined fs parent nearest={near}: hits OK "
+              f"({got_it} iters, == frame stack)", flush=True)
+
+    # multi-root seeding through the static-roots resolution: a second
+    # sphere's table spliced after the first, both roots traversed
+    m2 = mesh.icosphere(subdivisions=1)
+    m2 = mesh.Mesh(m2.positions + np.array([2.5, 0, 0], np.float32),
+                   m2.normals, m2.indices)
+    b2 = bvh.build(m2.positions, m2.normals, m2.indices,
+                   BuildOption.SAH_SPLIT_INTERVALS, max_leaf_size=8)
+    s2 = bvh8.to_slim(bvh8.collapse(b2, leaf_max=8), b2.tri_normal)
+    nodes_m = np.concatenate([s.nodes, s2.nodes.copy()])
+    ci2 = nodes_m[len(s.nodes):, 48:56].view(np.int32)
+    cc2 = nodes_m[len(s.nodes):, 56:64].view(np.int32)
+    ci2[cc2 == 0] += len(s.nodes)
+    ci2[cc2 > 0] -= len(s.ltris)
+    lt2 = s2.ltris.copy()
+    lt2.view(np.int32)[:, 13::16][lt2.view(np.int32)[:, 13::16] >= 0] += (
+        b.num_triangles
+    )
+    ltris_m = np.concatenate([s.ltris, lt2])
+    un2, nn2 = fuse_tables(nodes_m, ltris_m)
+    v0m = np.concatenate([b.tri_v0, b2.tri_v0])
+    e1m = np.concatenate([b.tri_v1 - b.tri_v0, b2.tri_v1 - b2.tri_v0])
+    e2m = np.concatenate([b.tri_v2 - b.tri_v0, b2.tri_v2 - b2.tri_v0])
+    bt2, bidx2 = intersect.brute_force_nearest_triangle(
+        o, d, jnp.asarray(v0m), jnp.asarray(e1m), jnp.asarray(e2m), t0,
+    )
+    for par in (False, True):
+        t, hit, obj, it, _ = traverse_lab2p(
+            oc, dc, t0, jnp.asarray(un2), dummy, (0, len(s.nodes)),
+            active=act, nn=nn2, frame_stack=True, parent=par,
+        )
+        assert np.array_equal(np.asarray(hit), np.asarray(bidx2)), (
+            "multiroot", par)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(bt2), rtol=1e-5)
+        print(f"pipelined fs multiroot parent={par}: hits OK", flush=True)
 
 
 if __name__ == "__main__":

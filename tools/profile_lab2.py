@@ -89,6 +89,14 @@ def main():
                                     fused=True)),
         ("pipelined fs+fused+nearest", dict(pipelined=True, frame_stack=True,
                                             fused=True, nearest=True)),
+        # parent-pointer frames: push = 2 SMEM stores instead of 9 (the
+        # attribution's prime suspect); pop re-reads the entry from the
+        # node table (one extra overlapped row load + extract chain)
+        ("pipelined fs+fused+parent", dict(pipelined=True, frame_stack=True,
+                                           fused=True, parent=True)),
+        ("pipe fs+fused+near+parent", dict(pipelined=True, frame_stack=True,
+                                           fused=True, nearest=True,
+                                           parent=True)),
     ]
     only = os.environ.get("LAB2_ONLY", "")
     if only:
@@ -105,6 +113,7 @@ def main():
                         o_, d_, t0v, tn, tl, dev.proots, active=a_,
                         nn=nn, frame_stack=kw["frame_stack"],
                         nearest=kw.get("nearest", False),
+                        parent=kw.get("parent", False),
                     )
                 )
             else:
