@@ -54,8 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
 from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
     RESTORE, FSTACK_FRAMES, FRAMESTACK_DEFAULT, PIPELINED_DEFAULT,
-    NEAREST_DEFAULT, CONDPUSH_DEFAULT, _ctz8, _frame_mask, _frame_pop,
-    _frame_push, _resolve_width_flags,
+    NEAREST_DEFAULT, CONDPUSH_DEFAULT, _check_table_width, _ctz8,
+    _frame_mask, _frame_pop, _frame_push, _resolve_width_flags,
 )
 
 TILE = 1024
@@ -1374,6 +1374,7 @@ def shade_extend(
                          "machinery (flattened scenes may fuse)")
     frame_stack, nearest = _resolve_width_flags(
         width, num_inst, frame_stack, nearest, any_hit=False)
+    _check_table_width(nodes, width, fused_nn)
     if pipelined is None:
         pipelined = PIPELINED_DEFAULT and fused_nn > 0
     elif pipelined and not fused_nn:
@@ -1495,6 +1496,7 @@ def shadow_resolve(
                          "machinery (flattened scenes may fuse)")
     frame_stack, nearest = _resolve_width_flags(
         width, num_inst, frame_stack, nearest, any_hit=True)
+    _check_table_width(nodes, width, fused_nn)
     if pipelined is None:
         pipelined = PIPELINED_DEFAULT and fused_nn > 0
     elif pipelined and not fused_nn:

@@ -187,6 +187,20 @@ def _resolve_width_flags(width, num_inst, frame_stack, nearest, any_hit):
     return frame_stack, nearest
 
 
+def _check_table_width(nodes, width: int, fused_nn: int) -> None:
+    """A width-8 decode on a (B, 128) width-16 table (or vice versa)
+    reads bounds columns as entries and traverses garbage -- catch the
+    mismatch loudly.  Non-fused tables are 64 cols at width 8 and 128
+    at width 16; fused tables are one 128-col row either way."""
+    expect = 128 if (width == 16 or fused_nn) else 64
+    if nodes.shape[1] != expect:
+        raise ValueError(
+            f"packet node table has {nodes.shape[1]} cols but width="
+            f"{width} fused_nn={fused_nn} expects {expect} -- pass the "
+            "DeviceScene.packet_width the table was built with"
+        )
+
+
 def _ctz8(mw, chain: bool | None = None, width: int = WIDTH):
     """Slot index of the lowest set bit of the width-bit frame mask
     `mw` (scalar i32).  Returns width-1 when mw == 0 (callers gate on
@@ -966,6 +980,7 @@ def traverse_packet_slim(
         )
     frame_stack, nearest = _resolve_width_flags(
         width, 1 if instanced else 0, frame_stack, nearest, any_hit)
+    _check_table_width(nodes, width, fused_nn)
     if pipelined is None:
         # the pipelined body requires the fused table; degrade silently
         # so the env default composes with non-fused scenes

@@ -477,6 +477,35 @@ def test_packet_tree_variants_match_oracle(mode, rng_np, monkeypatch):
     np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
 
 
+def test_width_table_mismatch_raises(rng_np, monkeypatch):
+    """Passing a width-16 table to a width-8 decode (or vice versa)
+    would read bounds columns as entries and traverse garbage -- the
+    entry points must reject the mismatch loudly (this exact bug made
+    an offline lab spin for hours on a w16 scene)."""
+    from cpugpupathtracing_tpu.models import materials as matlib
+    from cpugpupathtracing_tpu.models import mesh as meshlib
+    from cpugpupathtracing_tpu.models import scene as scenelib
+
+    monkeypatch.setattr(scenelib, "PACKET_TREE", "w16")
+    sc = scenelib.Scene()
+    m = sc.add_material(matlib.Material.diffuse((0.5, 0.5, 0.5)))
+    sc.add_mesh("s", meshlib.icosphere(subdivisions=1), m)
+    slim = scenelib._build_wide_cache(sc.objects[0])[2]
+    assert slim.width == 16
+    o, d = _rays(rng_np, 1024)
+    t0 = jnp.full((1024,), RAY_TMAX, jnp.float32)
+    with pytest.raises(ValueError, match="cols but width"):
+        tps.traverse_packet_slim(
+            o, d, t0, jnp.asarray(slim.nodes), jnp.asarray(slim.ltris),
+            (0,), interpret=True,  # width defaults to 8
+        )
+    with pytest.raises(ValueError, match="cols but width"):
+        tps.traverse_packet_slim(
+            o, d, t0, jnp.asarray(slim.nodes[:, :64].copy()),
+            jnp.asarray(slim.ltris), (0,), interpret=True, width=16,
+        )
+
+
 def test_cond_push_matches_linear(sphere_slim, rng_np):
     """CPUGPU_CONDPUSH (frame stores gated on the scalar pass mask)
     must keep hits bit-exact vs the linear stack, on the plain

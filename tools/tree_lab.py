@@ -81,7 +81,7 @@ def run_fan(dev, o, d, act, tmax, any_hit, key):
         (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]),
         t0, dev.pnodes, dev.pltris, dev.proots,
         active=a, any_hit=any_hit, count_depth=False, count_iters=True,
-        interpret=True,
+        interpret=True, width=dev.packet_width,
     ))(o, d, act, tmax)
     jax.block_until_ready(res)
     return int(np.asarray(res[-1]).sum())
@@ -92,6 +92,7 @@ def trace(dev, o, d, act, tmax, any_hit=False):
         (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]),
         t0, dev.pnodes, dev.pltris, dev.proots,
         active=a, any_hit=any_hit, count_depth=False, interpret=True,
+        width=dev.packet_width,
     ))(o, d, act, tmax)
     jax.block_until_ready(res)
     return res
