@@ -137,10 +137,13 @@ def _frame_pop(mw, nearest: bool, width: int = WIDTH):
         rem = mw & ~jax.lax.shift_left(jnp.int32(1), kk)
         return kk, rem
     return _ctz8(mw, width=width), mw & (mw - 1)
-# frame-stack pop uses scalar lax.population_count for ctz; if Mosaic
-# rejects it on some toolchain, CPUGPU_CTZ_CHAIN=1 swaps in an 8-way
-# compare chain (bit-identical result, read once at import like above)
-CTZ_CHAIN = os.environ.get("CPUGPU_CTZ_CHAIN", "") == "1"
+# frame-stack pop needs a scalar ctz.  The deployed Mosaic toolchain
+# rejects scalar lax.population_count outright ("Population count is
+# not supported on scalars", measured round 3), so the default is a
+# width-way compare chain (bit-identical result); CPUGPU_CTZ_CHAIN=0
+# opts back into the popcount form on toolchains that support it.
+# Read once at import like the other kernel flags; empty == unset.
+CTZ_CHAIN = (os.environ.get("CPUGPU_CTZ_CHAIN") or "1") == "1"
 
 
 def _frame_push(stack_ref, j, base_p, slots, w, pushc, cond_push):
