@@ -53,6 +53,19 @@ COMBOS = {
         "CPUGPU_FRAMESTACK": "1", "CPUGPU_FUSED": "1", "CPUGPU_PIPELINED": "1",
         "CPUGPU_CONDPUSH": "1", "CPUGPU_PACKET_TREE": "sweep_dp",
     },
+    # supplementary combos (tools/run_r3_supplement.sh): condpush and
+    # nearest WITHOUT the fused/pipelined pair -- the full-combo crash
+    # isolation left these unmeasured in the main queue
+    "c3_fs_cp": {"CPUGPU_FRAMESTACK": "1", "CPUGPU_CONDPUSH": "1"},
+    "c3_fs_near_cp": {
+        "CPUGPU_FRAMESTACK": "1", "CPUGPU_NEAREST": "1",
+        "CPUGPU_CONDPUSH": "1",
+    },
+    "c3_tree_fs_cp": {
+        "CPUGPU_FRAMESTACK": "1", "CPUGPU_CONDPUSH": "1",
+        "CPUGPU_PACKET_TREE": "sweep_dp",
+    },
+    "c3_w16_cp": {"CPUGPU_PACKET_TREE": "w16", "CPUGPU_CONDPUSH": "1"},
     # width-16 node rows (frame-stack + nearest are implied by the
     # width; fused/pipelined/condpush compose as usual)
     "c3_w16": {"CPUGPU_PACKET_TREE": "w16"},
