@@ -66,6 +66,22 @@ COMBOS = {
         "CPUGPU_PACKET_TREE": "sweep_dp",
     },
     "c3_w16_cp": {"CPUGPU_PACKET_TREE": "w16", "CPUGPU_CONDPUSH": "1"},
+    # pipelined-SPLIT variants (round-3 second wave: the pipelined body
+    # no longer needs the worker-crashing fused table)
+    "c3_pipe2": {"CPUGPU_PIPELINED": "1"},
+    "c3_fs_cp_pipe": {
+        "CPUGPU_FRAMESTACK": "1", "CPUGPU_CONDPUSH": "1",
+        "CPUGPU_PIPELINED": "1",
+    },
+    "c3_tree_pipe": {
+        "CPUGPU_PACKET_TREE": "sweep_dp", "CPUGPU_FRAMESTACK": "1",
+        "CPUGPU_CONDPUSH": "1", "CPUGPU_PIPELINED": "1",
+    },
+    "c3_w16_pipe": {"CPUGPU_PACKET_TREE": "w16", "CPUGPU_PIPELINED": "1"},
+    "c3_w16_pipe_cp": {
+        "CPUGPU_PACKET_TREE": "w16", "CPUGPU_PIPELINED": "1",
+        "CPUGPU_CONDPUSH": "1",
+    },
     # width-16 node rows (frame-stack + nearest are implied by the
     # width; fused/pipelined/condpush compose as usual)
     "c3_w16": {"CPUGPU_PACKET_TREE": "w16"},
