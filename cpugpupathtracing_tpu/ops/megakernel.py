@@ -200,17 +200,29 @@ def _emit_traversal(
             rays_ref[c * ROWS : (c + 1) * ROWS, :] = v
 
     if pipelined:
-        # software-pipelined body (fused tables, non-instanced): see
-        # ops/traverse_packet_slim.py pipe_body for the scheme and the
-        # exactness argument.  bvh_depth is not tracked here (the
+        # software-pipelined body (fused or split tables, non-instanced):
+        # see ops/traverse_packet_slim.py pipe_body for the scheme and
+        # the exactness argument.  bvh_depth is not tracked here (the
         # megakernels run with AOVs off by gate).
         shape_ = (ROWS, LANES)
-        lmat0 = jnp.concatenate(
-            [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
-        )
+        if fused_nn:
+            lmat0 = jnp.concatenate(
+                [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
+            )
+            nmat0 = None
+        else:
+            nmat0 = jnp.concatenate(
+                [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
+            )
+            lmat0 = jnp.concatenate(
+                [ltris_ref[pl.ds(0, 1), :]] * ROWS, axis=0
+            )
 
         def pipe_body(carry):
-            t, hit, obj, nx, ny, nz, lmat = carry[:7]
+            if fused_nn:
+                t, hit, obj, nx, ny, nz, lmat = carry[:7]
+            else:
+                t, hit, obj, nx, ny, nz, nmat_c, lmat = carry[:8]
             m = m_act
             if any_hit:
                 m = m & (hit < 0)
@@ -218,7 +230,7 @@ def _emit_traversal(
                                      keepdims=True)
 
             entries, leaf_s, int_s, nexts = [], [], [], []
-            urows = []
+            urows, ulrows = [], []
             for j in range(ROWS):
                 e = entry_ref[j]
                 entries.append(e)
@@ -227,8 +239,12 @@ def _emit_traversal(
                 if any_hit:
                     rl = row_live_v[j, 0] != 0
                     live = live & rl
-                leaf_s.append(live & (e >= fused_nn))
-                int_s.append(live & (e < fused_nn))
+                if fused_nn:
+                    leaf_s.append(live & (e >= fused_nn))
+                    int_s.append(live & (e < fused_nn))
+                else:
+                    leaf_s.append(live & (e < 0))
+                    int_s.append(live & (e >= 0))
                 sp = sptr_ref[j]
                 can = sp > 0
                 if any_hit:
@@ -247,12 +263,23 @@ def _emit_traversal(
                 entry2_ref[j] = nxt
                 sptr_ref[j] = sp2
                 nexts.append(nxt)
-                urows.append(
-                    nodes_ref[pl.ds(jnp.where(nxt != DONE, nxt, 0), 1), :]
-                )
-            lmat_next = jnp.concatenate(urows, axis=0)
+                if fused_nn:
+                    urows.append(
+                        nodes_ref[pl.ds(jnp.where(nxt != DONE, nxt, 0), 1), :]
+                    )
+                else:
+                    nn_i = jnp.where((nxt != DONE) & (nxt >= 0), nxt, 0)
+                    nl_i = jnp.where(nxt < 0, -nxt - 1, 0)
+                    urows.append(nodes_ref[pl.ds(nn_i, 1), :])
+                    ulrows.append(ltris_ref[pl.ds(nl_i, 1), :])
+            if fused_nn:
+                lmat_next = jnp.concatenate(urows, axis=0)
+                nmat_next = None
+            else:
+                nmat_next = jnp.concatenate(urows, axis=0)
+                lmat_next = jnp.concatenate(ulrows, axis=0)
 
-            nmat = lmat[:, :NC]
+            nmat = lmat[:, :NC] if fused_nn else nmat_c
             imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
             leaf_v = jnp.concatenate(
                 [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
@@ -350,7 +377,10 @@ def _emit_traversal(
                 if any_hit:
                     row_alive = row_alive & (row_live_v[j, 0] != 0)
                 alive = alive + jnp.where(row_alive, 1, 0)
-            out = (t, hit, obj, nx, ny, nz, lmat_next)
+            out = (t, hit, obj, nx, ny, nz)
+            if not fused_nn:
+                out = out + (nmat_next,)
+            out = out + (lmat_next,)
             if count_iters:
                 return out + (carry[-2] + 1, alive)
             return out + (alive,)
@@ -362,8 +392,10 @@ def _emit_traversal(
             jnp.zeros(shape_, jnp.float32),
             jnp.zeros(shape_, jnp.float32),
             jnp.zeros(shape_, jnp.float32),
-            lmat0,
         ]
+        if not fused_nn:
+            init_p.append(nmat0)
+        init_p.append(lmat0)
         if count_iters:
             init_p.append(jnp.int32(0))
         init_p.append(jnp.int32(1))
@@ -1376,9 +1408,11 @@ def shade_extend(
         width, num_inst, frame_stack, nearest, any_hit=False)
     _check_table_width(nodes, width, fused_nn)
     if pipelined is None:
-        pipelined = PIPELINED_DEFAULT and fused_nn > 0
-    elif pipelined and not fused_nn:
-        raise ValueError("pipelined packet body requires fused tables")
+        pipelined = PIPELINED_DEFAULT and not num_inst
+    elif pipelined and num_inst:
+        raise ValueError(
+            "pipelined packet body does not support the instance "
+            "machinery (flatten the scene)")
     if cond_push is None:
         cond_push = CONDPUSH_DEFAULT and frame_stack
 
@@ -1498,9 +1532,11 @@ def shadow_resolve(
         width, num_inst, frame_stack, nearest, any_hit=True)
     _check_table_width(nodes, width, fused_nn)
     if pipelined is None:
-        pipelined = PIPELINED_DEFAULT and fused_nn > 0
-    elif pipelined and not fused_nn:
-        raise ValueError("pipelined packet body requires fused tables")
+        pipelined = PIPELINED_DEFAULT and not num_inst
+    elif pipelined and num_inst:
+        raise ValueError(
+            "pipelined packet body does not support the instance "
+            "machinery (flatten the scene)")
     if cond_push is None:
         cond_push = CONDPUSH_DEFAULT and frame_stack
     in_specs = (

@@ -85,9 +85,10 @@ FSTACK = 9 * FSTACK_FRAMES  # build validates tree depth + 1 frame headroom
 # caches key on the resolved value's source argument, not the env)
 FRAMESTACK_DEFAULT = os.environ.get("CPUGPU_FRAMESTACK", "") == "1"
 # CPUGPU_PIPELINED=1: software-pipelined kernel body (pop + next-row
-# load issued before the current entry's slab/leaf so the scalar half
-# overlaps the VPU half).  Needs the fused table (CPUGPU_FUSED=1) and
-# no instance machinery; silently ignored otherwise.  Read at import.
+# load(s) issued before the current entry's slab/leaf so the scalar
+# half overlaps the VPU half).  Runs on fused or split tables (split
+# issues both speculative loads); no instance machinery -- silently
+# ignored on instanced scenes.  Read at import.
 PIPELINED_DEFAULT = os.environ.get("CPUGPU_PIPELINED", "") == "1"
 # CPUGPU_NEAREST=1 (frame-stack modes only): the slab phase's argmin
 # child index rides bits 8-10 of the frame's pass-mask word and pops
@@ -344,23 +345,45 @@ def _traverse_kernel(
                     rays_ref[c * ROWS : (c + 1) * ROWS, :] = v
 
             if pipelined:
-                # SOFTWARE-PIPELINED body (fused tables, no instance
-                # machinery): each iteration pops the NEXT entry and
-                # issues its row load BEFORE running slab+leaf on the
-                # CURRENT entry from the row matrix carried since last
-                # iteration, then pushes the current entry's children.
-                # The scalar pop + dynamic-load issue carry no data
-                # dependency on the VPU phases, so they overlap instead
-                # of serializing ahead of them.  A row that pops DONE
-                # while its push lands work runs one bubble iteration;
-                # hits are exact for any visit order (strict-< accepts
-                # bounded by per-lane t).
-                lmat0 = jnp.concatenate(
-                    [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
-                )
+                # SOFTWARE-PIPELINED body (no instance machinery): each
+                # iteration pops the NEXT entry and issues its row
+                # load(s) BEFORE running slab+leaf on the CURRENT entry
+                # from the row matrix carried since last iteration, then
+                # pushes the current entry's children.  The scalar pop +
+                # dynamic-load issue carry no data dependency on the VPU
+                # phases, so they overlap instead of serializing ahead
+                # of them.  With the fused table one unified load per
+                # row suffices; with split tables (fused_nn == 0 -- the
+                # deployed Mosaic executes the fused decode but its
+                # binaries crash the TPU worker, measured round 3) both
+                # the node and leaf rows load speculatively, same bytes
+                # as the non-pipelined split decode.  A row that pops
+                # DONE while its push lands work runs one bubble
+                # iteration; hits are exact for any visit order
+                # (strict-< accepts bounded by per-lane t).
+                if fused_nn:
+                    lmat0 = jnp.concatenate(
+                        [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
+                    )
+                    nmat0 = None
+                else:
+                    nmat0 = jnp.concatenate(
+                        [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
+                    )
+                    # dummy leaf rows: the root is interior, so the leaf
+                    # phase is fully masked on iteration 0
+                    lmat0 = jnp.concatenate(
+                        [ltris_ref[pl.ds(0, 1), :]] * ROWS, axis=0
+                    )
 
                 def pipe_body(carry):
-                    t, hit, obj, nx, ny, nz, depth, lmat = carry[:8]
+                    if fused_nn:
+                        t, hit, obj, nx, ny, nz, depth, lmat = carry[:8]
+                        ncar = 8
+                    else:
+                        t, hit, obj, nx, ny, nz, depth, nmat_c, lmat = (
+                            carry[:9])
+                        ncar = 9
                     m = act0
                     if any_hit:
                         m = m & (hit < 0)
@@ -369,7 +392,7 @@ def _traverse_kernel(
 
                     # ---- (1) scalar: pop NEXT + issue its loads ----
                     entries, leaf_s, int_s, nexts, sps = [], [], [], [], []
-                    urows = []
+                    urows, ulrows = [], []
                     for j in range(ROWS):
                         e = entry_ref[j]
                         entries.append(e)
@@ -378,8 +401,12 @@ def _traverse_kernel(
                         if any_hit:
                             rl = row_live_v[j, 0] != 0
                             live = live & rl
-                        leaf_s.append(live & (e >= fused_nn))
-                        int_s.append(live & (e < fused_nn))
+                        if fused_nn:
+                            leaf_s.append(live & (e >= fused_nn))
+                            int_s.append(live & (e < fused_nn))
+                        else:
+                            leaf_s.append(live & (e < 0))
+                            int_s.append(live & (e >= 0))
                         sp = sptr_ref[j]
                         can = sp > 0
                         if any_hit:
@@ -400,13 +427,27 @@ def _traverse_kernel(
                         entry2_ref[j] = nxt
                         sptr_ref[j] = sp2
                         nexts.append(nxt)
-                        urows.append(
-                            nodes_ref[pl.ds(jnp.where(nxt != DONE, nxt, 0), 1), :]
-                        )
-                    lmat_next = jnp.concatenate(urows, axis=0)
+                        if fused_nn:
+                            urows.append(
+                                nodes_ref[
+                                    pl.ds(jnp.where(nxt != DONE, nxt, 0), 1),
+                                    :]
+                            )
+                        else:
+                            nn_i = jnp.where(
+                                (nxt != DONE) & (nxt >= 0), nxt, 0)
+                            nl_i = jnp.where(nxt < 0, -nxt - 1, 0)
+                            urows.append(nodes_ref[pl.ds(nn_i, 1), :])
+                            ulrows.append(ltris_ref[pl.ds(nl_i, 1), :])
+                    if fused_nn:
+                        lmat_next = jnp.concatenate(urows, axis=0)
+                        nmat_next = None
+                    else:
+                        nmat_next = jnp.concatenate(urows, axis=0)
+                        lmat_next = jnp.concatenate(ulrows, axis=0)
 
                     # ---- (2) vector: slab + leaf on CURRENT ----
-                    nmat = lmat[:, :NC]
+                    nmat = lmat[:, :NC] if fused_nn else nmat_c
                     imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
                     leaf_v = jnp.concatenate(
                         [jnp.full((1, 1), leaf_s[j], jnp.int32)
@@ -516,7 +557,10 @@ def _traverse_kernel(
                         if any_hit:
                             row_alive = row_alive & (row_live_v[j, 0] != 0)
                         alive = alive + jnp.where(row_alive, 1, 0)
-                    out = (t, hit, obj, nx, ny, nz, depth, lmat_next)
+                    out = (t, hit, obj, nx, ny, nz, depth)
+                    if not fused_nn:
+                        out = out + (nmat_next,)
+                    out = out + (lmat_next,)
                     if count_iters:
                         return out + (carry[-2] + 1, alive)
                     return out + (alive,)
@@ -529,8 +573,10 @@ def _traverse_kernel(
                     jnp.zeros(shape, jnp.float32),
                     jnp.zeros(shape, jnp.float32),
                     jnp.zeros(shape, jnp.int32),
-                    lmat0,
                 ]
+                if not fused_nn:
+                    init_p.append(nmat0)
+                init_p.append(lmat0)
                 if count_iters:
                     init_p.append(jnp.int32(0))
                 init_p.append(jnp.int32(1))
@@ -985,11 +1031,15 @@ def traverse_packet_slim(
         width, 1 if instanced else 0, frame_stack, nearest, any_hit)
     _check_table_width(nodes, width, fused_nn)
     if pipelined is None:
-        # the pipelined body requires the fused table; degrade silently
-        # so the env default composes with non-fused scenes
-        pipelined = PIPELINED_DEFAULT and fused_nn > 0
-    elif pipelined and not fused_nn:
-        raise ValueError("pipelined packet body requires fused tables")
+        # the pipelined body runs on fused OR split tables (split issues
+        # both speculative row loads); only the instance machinery's
+        # mutable ray registers are incompatible -- degrade silently so
+        # the env default composes with instanced scenes
+        pipelined = PIPELINED_DEFAULT and not instanced
+    elif pipelined and instanced:
+        raise ValueError(
+            "pipelined packet body does not support the instance "
+            "machinery (flatten the scene)")
     if cond_push is None:
         cond_push = CONDPUSH_DEFAULT and frame_stack
     step = GROUPS * TILE
