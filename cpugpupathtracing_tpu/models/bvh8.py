@@ -36,6 +36,13 @@ from cpugpupathtracing_tpu.models.bvh import BVH, _half_area
 WIDTH = 8
 LEAF_MAX = 4  # binary builder enforces max_leaf_size=4 for device trees
 SLIM_EMPTY = 0x40000000  # pre-encoded entry marking an unused child slot
+# occlusion (any-hit) leaf rows: 14 bare triangle records (v0, e1, e2 --
+# no normal/object/id columns, which shadow rays never read) of stride 9
+# fill 126 of the 128 columns, so an occlusion leaf holds 14/8 = 1.75x
+# the triangles of a shading-complete row and the any-hit tree gets
+# proportionally shallower (see to_slim_occl)
+OCCL_TRIS = 14
+OCCL_STRIDE = 9
 
 
 @dataclasses.dataclass
@@ -370,6 +377,49 @@ class BVH8Slim:
     @property
     def width(self) -> int:
         return self.nodes.shape[1] // 8
+
+
+def to_slim_occl(w: BVH8) -> BVH8Slim:
+    """Re-encode a BVH8 (leaf_max <= OCCL_TRIS) into occlusion-only
+    leaf-blocked tables for any-hit shadow traversal.
+
+    Shadow rays (the NEE occlusion test, Source/Main.cpp:452-453) only
+    need a boolean "does any triangle intersect with t < tmax", so the
+    leaf record drops the flat normal / object index / triangle id of
+    the shading-complete `to_slim` rows.  A leaf row packs OCCL_TRIS=14
+    records of OCCL_STRIDE=9 floats [v0, e1, e2] (126 of 128 cols;
+    degenerate all-zero padding records fail the determinant epsilon
+    like to_slim's).  Built over a fatter-leaf collapse (leaf_max up to
+    14), the any-hit tree is shallower, directly cutting the per-ray
+    node-walk floor measured on the benchmark shadow fans.  Occlusion
+    results are bitwise identical to the shading tree's any-hit (same
+    Moller-Trumbore arithmetic on the same float v0/e1/e2 values; the
+    occluded bit is an OR over the same triangle set).
+
+    Node rows keep the exact slim encoding (bounds, pre-encoded entries,
+    EMPTY sentinels); `width` must be 8 (shadow traversal always runs
+    the 8-wide kernel)."""
+    if w.width != 8:
+        raise ValueError("occlusion tables are 8-wide only")
+    nodes = w.nodes.copy()
+    cidx = nodes[:, 48:56].view(np.int32)
+    ccnt = nodes[:, 56:64].view(np.int32)
+    is_leaf = ccnt > 0
+    if is_leaf.any() and int(ccnt[is_leaf].max()) > OCCL_TRIS:
+        raise ValueError(f"occlusion tables need leaf_max <= {OCCL_TRIS}")
+
+    starts = cidx[is_leaf]
+    counts = ccnt[is_leaf]
+    nl = len(starts)
+    ltris = np.zeros((max(nl, 1), 128), np.float32)
+    for row, (st, c) in enumerate(zip(starts, counts)):
+        for k in range(int(c)):
+            base = OCCL_STRIDE * k
+            ltris[row, base : base + 9] = w.tris9[st + k]
+    leaf_rows = np.arange(nl, dtype=np.int32)
+    cidx[is_leaf] = -(leaf_rows + 1)
+    cidx[ccnt == -1] = SLIM_EMPTY
+    return BVH8Slim(nodes=nodes, ltris=ltris, max_depth=w.max_depth)
 
 
 def to_slim(w: BVH8, tri_normal: np.ndarray) -> BVH8Slim:

@@ -48,6 +48,7 @@ from cpugpupathtracing_tpu.models.scene import (
     active_bit,
     hit_surface,
     intersect_scene,
+    occl_tables,
     packet_path_active,
     packet_tables,
     reorder_key,
@@ -289,7 +290,7 @@ def sort_wavefront(dev: DeviceScene, c: dict, slots, aovs: bool = True,
 
 
 def sorted_shadow_resolve(dev, mk, so, sd, stmax, flags, en, contrib,
-                          slots, *, static):
+                          slots, *, static, tables=None):
     """Run the NEE shadow any-hit over a coherence-SORTED fan.
 
     The depth-0 shadow fan is the frame's single hottest launch on the
@@ -324,7 +325,10 @@ def sorted_shadow_resolve(dev, mk, so, sd, stmax, flags, en, contrib,
     stm_s, contrib_s, slots_s = sorted_all[7], sorted_all[8:11], sorted_all[11]
     sneed_s = 1 - ((key_s >> 18) & 1)
     zero = jnp.zeros_like(en[0])
-    s_nodes, s_ltris, _ = packet_tables(dev)
+    if tables is not None:
+        s_nodes, s_ltris = tables  # occl or fused, per `static`
+    else:
+        s_nodes, s_ltris, _ = packet_tables(dev)
     delta = mk.shadow_resolve(
         s_nodes, s_ltris, dev.mk_sph, dev.mk_pln,
         so_s, sd_s, stm_s, sneed_s << 2, (zero, zero, zero), contrib_s,
@@ -815,25 +819,39 @@ def trace_advanced_mega(
         if nee:
             sneed = (flags2 >> 2) & 1
             traced = traced + jnp.sum(sneed, dtype=jnp.int32)
-            shadow_static = dict(
-                roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
-                interpret=interpret, frame_stack=frame_stack,
-                cond_push=cond_push, fused_nn=fused_nn,
-                width=dev.packet_width,
-            )
-            if instanced:
-                shadow_static.update(
-                    inst_inv=dev.inst_inv,
-                    inst_root=dev.inst_blas_root_packet,
+            occl = occl_tables(dev)
+            if occl is not None:
+                # occlusion-specialized tables (bvh8.to_slim_occl):
+                # shallower fat-leaf any-hit tree, bitwise-identical
+                # occluded bit -> bitwise-identical energy
+                sh_nodes, sh_ltris, sh_roots = occl
+                shadow_static = dict(
+                    roots=sh_roots, num_sph=num_sph, num_pln=num_pln,
+                    interpret=interpret, frame_stack=frame_stack,
+                    cond_push=cond_push, fused_nn=0, width=8, occl=True,
                 )
+            else:
+                sh_nodes, sh_ltris = mk_nodes, mk_ltris
+                shadow_static = dict(
+                    roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
+                    interpret=interpret, frame_stack=frame_stack,
+                    cond_push=cond_push, fused_nn=fused_nn,
+                    width=dev.packet_width,
+                )
+                if instanced:
+                    shadow_static.update(
+                        inst_inv=dev.inst_inv,
+                        inst_root=dev.inst_blas_root_packet,
+                    )
             if d in shadow_sort_depths:
                 en = sorted_shadow_resolve(
                     dev, mk, so, sd, stmax, flags2, en, contrib,
                     idx.astype(jnp.int32), static=shadow_static,
+                    tables=(sh_nodes, sh_ltris),
                 )
             else:
                 en = mk.shadow_resolve(
-                    mk_nodes, mk_ltris, dev.mk_sph, dev.mk_pln,
+                    sh_nodes, sh_ltris, dev.mk_sph, dev.mk_pln,
                     so, sd, stmax, flags2, en, contrib,
                     **shadow_static,
                 )

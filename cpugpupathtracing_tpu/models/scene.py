@@ -58,6 +58,16 @@ ANALYTIC_UNROLL_MAX = 16
 # instancing qualifies).  Read ONCE at import, like CPUGPU_FRAMESTACK.
 PACKET_FUSED = os.environ.get("CPUGPU_FUSED", "") == "1"
 
+# CPUGPU_OCCL=1 builds occlusion-specialized any-hit tables next to the
+# shading tables (bvh8.to_slim_occl: 14 bare stride-9 triangle records
+# per leaf row over a leaf_max=14 SAH-DP collapse).  The NEE shadow
+# launch -- the frame's hottest fan (profile_mega_census) -- then walks
+# a ~1.75x-fatter-leaf, shallower tree; the occluded bit (hence energy)
+# is bitwise identical (same Moller-Trumbore floats, OR over the same
+# triangle set).  Non-instanced packet scenes only.  Read ONCE at
+# import, like the other kernel A/B flags.
+PACKET_OCCL = os.environ.get("CPUGPU_OCCL", "") == "1"
+
 # CPUGPU_PACKET_TREE selects how the DEVICE-SIDE slim packet tree is
 # constructed from each mesh.  The binary BVH the user sees (rebuild
 # panel, heatmaps, the wide/skip/binary paths) always follows the
@@ -116,6 +126,28 @@ def _build_wide_cache(obj, mode: str | None = None) -> tuple:
     else:
         except_error("Scene", "unknown CPUGPU_PACKET_TREE '{}'", mode)
     return (b, bvh8lib.collapse(b), bvh8lib.to_slim(w8, pb.tri_normal))
+
+
+def _build_occl_cache(obj) -> tuple:
+    """(binary bvh identity, occlusion BVH8Slim, (NO, 14) record->orig
+    triangle ids) for one mesh object: a full-sweep SAH binary rebuild +
+    SAH-cost DP collapse with leaf_max=OCCL_TRIS (14) re-encoded to bare
+    any-hit leaf rows.  The fatter leaves make the tree shallower than
+    the shading tree built from the same mesh; hits are a strict OR over
+    the same triangles.  rec_tid (-1 padding) drives the flattened-
+    instance repack gather (_occl_repack_perm)."""
+    from cpugpupathtracing_tpu.models import bvh8 as bvh8lib
+
+    pb = obj.bvh.rebuild(BuildOption.SAH_SPLIT_PRIMITIVES, max_leaf_size=8)
+    w = bvh8lib.collapse_sah(pb, leaf_max=bvh8lib.OCCL_TRIS)
+    cidx = w.nodes[:, 48:56].view(np.int32)
+    ccnt = w.nodes[:, 56:64].view(np.int32)
+    is_leaf = ccnt > 0
+    starts, counts = cidx[is_leaf], ccnt[is_leaf]
+    rec_tid = np.full((max(len(starts), 1), bvh8lib.OCCL_TRIS), -1, np.int32)
+    for row, (st, c) in enumerate(zip(starts, counts)):
+        rec_tid[row, : int(c)] = w.leaf_tri_id[st : st + int(c)]
+    return (obj.bvh, bvh8lib.to_slim_occl(w), rec_tid)
 
 
 @jax.jit
@@ -189,6 +221,13 @@ class DeviceScene:
     # fused node|leaf table (CPUGPU_FUSED=1, _fuse_packet_tables); None
     # when disabled or the instance machinery is active
     pfused: jnp.ndarray = None      # (BP + NL, 128)
+    # occlusion any-hit tables (CPUGPU_OCCL=1, bvh8.to_slim_occl):
+    # 14 bare stride-9 triangle records per leaf row over a fatter-leaf
+    # collapse -- the NEE shadow launch traverses these instead of
+    # pnodes/pltris (bitwise-identical occluded bit); None when
+    # disabled, instanced, or the stack-depth validation fails
+    poccl_nodes: jnp.ndarray = None  # (BO, 64)
+    poccl_ltris: jnp.ndarray = None  # (NO, 128)
     # world bounds (ray-reordering morton quantization)
     world_lo: jnp.ndarray = None        # (3,) f32
     world_inv_extent: jnp.ndarray = None  # (3,) f32
@@ -219,6 +258,7 @@ class DeviceScene:
     traversal: str = dataclasses.field(metadata=dict(static=True), default="packet")
     sroot: int = dataclasses.field(metadata=dict(static=True), default=-1)
     proots: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    poccl_roots: tuple = dataclasses.field(metadata=dict(static=True), default=())
     # instance FLATTENING (packet path): instanced BLASes are replicated
     # into world space (shared topology, per-instance transformed
     # floats), so the hot kernels run the plain non-instanced machinery
@@ -266,6 +306,8 @@ class SceneObject:
     instances: np.ndarray | None = None
     # cached 8-wide collapse of .bvh (rebuilt when .bvh changes)
     _wide_cache: tuple | None = None
+    # cached occlusion any-hit tables (CPUGPU_OCCL, bvh8.to_slim_occl)
+    _occl_cache: tuple | None = None
 
 
 def _build_tlas_rows(imin: np.ndarray, imax: np.ndarray) -> tuple[np.ndarray, int]:
@@ -425,6 +467,74 @@ def _flatten_splice(pnodes, pltris, flat_args, bases):
         pnodes = jax.lax.dynamic_update_slice(pnodes, bounds, (nb, 0))
         pltris = jax.lax.dynamic_update_slice(pltris, recs, (lb, 0))
     return pnodes, pltris
+
+
+@jax.jit
+def _flatten_splice_occl(onodes, flat_args, bases):
+    """World-space child boxes for the occl instance node rows in ONE
+    dispatch.  BOUNDS ONLY: occl leaf records are repacked from the
+    spliced shading pltris (_occl_repack) so triangle floats stay
+    bit-identical to the shading tables -- a second transform path
+    could diverge by FMA-contraction ulps and flip the occluded bit on
+    tangent rays.  Conservative boxes (center' = A c + t, extent' =
+    |A| e, exactly _flatten_tables' construction) only grow, so any-hit
+    culling stays correct without bitwise constraints."""
+    for (sb, A, b), nb in zip(flat_args, bases):
+        I = A.shape[0]
+        B = sb.shape[0]
+        bx = sb.reshape(B, 8, 6)
+        mn, mx = bx[:, :, 0:3], bx[:, :, 3:6]
+        c = (mn + mx) * 0.5
+        e = (mx - mn) * 0.5
+        Aa = jnp.abs(A)
+
+        def lin(M, v, t=None):
+            out = []
+            for x in range(3):
+                acc = (
+                    M[:, x, 0][:, None, None] * v[None, :, :, 0]
+                    + M[:, x, 1][:, None, None] * v[None, :, :, 1]
+                    + M[:, x, 2][:, None, None] * v[None, :, :, 2]
+                )
+                if t is not None:
+                    acc = acc + t[:, x][:, None, None]
+                out.append(acc)
+            return jnp.stack(out, axis=-1)
+
+        cw = lin(A, c, b)
+        ew = lin(Aa, e)
+        bounds = jnp.concatenate([cw - ew, cw + ew], axis=-1)
+        bounds = bounds.reshape(I * B, 48)
+        onodes = jax.lax.dynamic_update_slice(onodes, bounds, (nb, 0))
+    return onodes
+
+
+@jax.jit
+def _refit_apply_occl(onodes, pltris, oprow, perm, flat_args, obases,
+                      o_tlas_off):
+    """One-dispatch occl-table refit: splice the re-encoded occl TLAS
+    rows, re-transform the instance child boxes, and repack the leaf
+    records from the freshly spliced shading pltris."""
+    onodes = jax.lax.dynamic_update_slice(onodes, oprow, (o_tlas_off, 0))
+    onodes = _flatten_splice_occl(onodes, flat_args, obases)
+    return onodes, _occl_repack(pltris, perm)
+
+
+@jax.jit
+def _occl_repack(pltris, perm):
+    """(NO, 128) occl leaf rows gathered from the (world-space, spliced)
+    shading pltris: perm (NO*14,) i32 global shading record indices
+    (row*8 + slot).  The occl tables therefore contain the EXACT same
+    v0/e1/e2 floats as the shading tables under any instance transform.
+    Padding slots point at an arbitrary real record of the same
+    instance: a duplicated triangle cannot change the occlusion OR
+    (any accept it adds is a real scene triangle within tmax)."""
+    recs = pltris.reshape(-1, 16)[perm]  # (NO*14, 16)
+    no = perm.shape[0] // 14
+    body = recs[:, :9].reshape(no, 126)
+    return jnp.concatenate(
+        [body, jnp.zeros((no, 2), pltris.dtype)], axis=1
+    )
 
 
 def _widen_slim_rows(rows: np.ndarray) -> np.ndarray:
@@ -730,22 +840,46 @@ class Scene:
             jnp.int32(meta["s_tlas_off"]),
         )
         new_pltris = dev.pltris
+        flat_args = None
         if meta.get("flatten"):
             # re-flatten the instanced world tables (same jitted splice
             # as the build: conservative child boxes + exact triangles)
+            flat_args = _inst_transform_arrays(self.objects, meta["flat_meta"])
             new_pnodes, new_pltris = _flatten_splice(
-                new_pnodes, new_pltris,
-                _inst_transform_arrays(self.objects, meta["flat_meta"]),
+                new_pnodes, new_pltris, flat_args,
                 tuple(
                     (fm["node_base"], fm["ltris_base"])
                     for fm in meta["flat_meta"]
                 ),
+            )
+        new_onodes, new_oltris = dev.poccl_nodes, dev.poccl_ltris
+        if meta.get("operm_j") is not None and new_onodes is not None:
+            # occl tables follow the same refit in ONE dispatch: TLAS
+            # rows re-encoded for the occl roots, instance child boxes
+            # re-transformed, leaf records repacked from the NEW shading
+            # pltris (still bit-identical floats, see _occl_repack)
+            oprow = _slim_tlas_rows_flat(
+                tlas_rows, meta["o_tlas_off"], meta["o_flat_roots"], 8
+            )
+            o_args = tuple(
+                (sb, fa[2], fa[3])
+                for sb, fa in zip(meta["o_args_static"], flat_args)
+            )
+            obases = tuple(
+                ofm["node_base"] for ofm in meta["oflat_meta"]
+            )
+            new_onodes, new_oltris = _refit_apply_occl(
+                new_onodes, new_pltris, jnp.asarray(oprow),
+                meta["operm_j"], o_args, obases,
+                jnp.int32(meta["o_tlas_off"]),
             )
         return dataclasses.replace(
             dev,
             wnodes=new_wnodes,
             pnodes=new_pnodes,
             pltris=new_pltris,
+            poccl_nodes=new_onodes,
+            poccl_ltris=new_oltris,
             pfused=(
                 _fuse_packet_tables(new_pnodes, new_pltris)
                 if dev.pfused is not None else None
@@ -770,6 +904,8 @@ class Scene:
 
         pnodes_l, ptris_l, pleaf_l, proots = [], [], [], []
         pnode_off = pleaf_off = 0
+        onodes_l, oltris_l, oroots = [], [], []
+        onode_off = oleaf_off = odepth = 0
         inst_inv_l, inst_nrm_l, inst_root_l, inst_obj_l = [], [], [], []
         p_inst_root_l = []
         refit_inst_objs = []  # (obj idx, BLAS root AABB) per instanced obj
@@ -833,6 +969,18 @@ class Scene:
         pw6, pw7, pw8 = 6 * pkt_width, 7 * pkt_width, 8 * pkt_width
         flat_meta: list[dict] = []
         p_flat_roots: list[int] = []
+
+        # occlusion any-hit tables (CPUGPU_OCCL): non-instanced and
+        # FLATTENED-instance packet scenes (the object-space machinery
+        # path keeps shadow rays on the shading tables).  Flattened occl
+        # leaf records are repacked from the spliced shading pltris via
+        # a host-static record permutation (operm) -- see _occl_repack.
+        build_occl = PACKET_OCCL and self.use_wide and (
+            not has_instances or flatten_packets
+        )
+        oflat_meta: list[dict] = []
+        o_flat_roots: list[int] = []
+        operm_l: list[np.ndarray] = []
 
         for oi, obj in enumerate(self.objects):
             if obj.kind == PRIM_MESH:
@@ -909,6 +1057,74 @@ class Scene:
                             p_blas_root_this = pnode_off
                         pnode_off += pw.num_nodes
                         pleaf_off += pw.num_leaf_rows
+                    if build_occl:
+                        if (
+                            obj._occl_cache is None
+                            or obj._occl_cache[0] is not b
+                        ):
+                            obj._occl_cache = _build_occl_cache(obj)
+                        po, rec_tid = obj._occl_cache[1], obj._occl_cache[2]
+                        # orig local tri id -> shading record index
+                        # (row*8 + slot) within this object's lt rows;
+                        # split-primitive duplicates keep any copy (the
+                        # records are float-identical)
+                        ltv_ = lt.view(i32)
+                        gids = np.stack(
+                            [ltv_[:, 16 * k + 13] for k in range(8)], axis=1
+                        )
+                        valid = gids >= 0
+                        recpos = (
+                            np.arange(lt.shape[0], dtype=i32)[:, None] * 8
+                            + np.arange(8, dtype=i32)[None, :]
+                        )
+                        local_map = np.zeros(b.num_triangles, i32)
+                        local_map[gids[valid] - tri_off] = recpos[valid]
+                        seg_local = np.where(
+                            rec_tid >= 0,
+                            local_map[np.maximum(rec_tid, 0)],
+                            local_map[0],  # padding -> duplicate, harmless
+                        ).astype(np.int64).reshape(-1)
+                        if obj.instances is not None:  # flattened copies
+                            ofm = dict(
+                                node_base=onode_off,
+                                src_bounds_j=jnp.asarray(
+                                    po.nodes[:, :48].copy()
+                                ),
+                            )
+                            for k in range(len(obj.instances)):
+                                orow = po.nodes.copy()
+                                ocidx = orow[:, 48:56].view(i32)
+                                occnt = orow[:, 56:64].view(i32)
+                                ocidx[occnt == 0] += onode_off
+                                ocidx[occnt > 0] -= oleaf_off
+                                onodes_l.append(orow)
+                                oltris_l.append(po.ltris)  # repack target
+                                o_flat_roots.append(onode_off)
+                                base_rec = 8 * (
+                                    fm["ltris_base"] + k * pw.num_leaf_rows
+                                )
+                                operm_l.append(seg_local + base_rec)
+                                onode_off += po.num_nodes
+                                oleaf_off += po.num_leaf_rows
+                            oflat_meta.append(ofm)
+                        else:
+                            orow = po.nodes.copy()
+                            ocidx = orow[:, 48:56].view(i32)
+                            occnt = orow[:, 56:64].view(i32)
+                            ocidx[occnt == 0] += onode_off
+                            ocidx[occnt > 0] -= oleaf_off
+                            onodes_l.append(orow)
+                            oltris_l.append(po.ltris)
+                            oroots.append(onode_off)
+                            # shading rows of this object start at the
+                            # CURRENT pleaf_off minus the rows just added
+                            operm_l.append(
+                                seg_local
+                                + 8 * (pleaf_off - pw.num_leaf_rows)
+                            )
+                            onode_off += po.num_nodes
+                            oleaf_off += po.num_leaf_rows
+                        odepth = max(odepth, po.max_depth)
                     wrow = w.nodes.copy()
                     cidx = wrow[:, 48:56].view(i32)
                     ccnt = wrow[:, 56:64].view(i32)
@@ -1018,6 +1234,17 @@ class Scene:
             refit_w_tlas_off = wnode_off
             refit_tlas_count = len(tlas_rows)
             pnode_off += len(prow)
+            refit_o_tlas_off = 0
+            if build_occl and onodes_l:
+                # occl TLAS: same world AABBs, instance children point
+                # at the instance's occl BLAS root (always 8-wide)
+                oprow = _slim_tlas_rows_flat(
+                    tlas_rows, onode_off, o_flat_roots, 8
+                )
+                onodes_l.append(oprow)
+                oroots.append(onode_off)
+                refit_o_tlas_off = onode_off
+                onode_off += len(oprow)
             cidx = tlas_rows[:, 48:56].view(i32)
             ccnt = tlas_rows[:, 56:64].view(i32)
             cidx[ccnt == 0] += wnode_off
@@ -1158,6 +1385,27 @@ class Scene:
                     bound,
                 )
                 traversal = "wide"
+            if onodes_l:
+                # occlusion tree is always 8-wide; validate against the
+                # scheme the shadow launch will actually run
+                if FRAMESTACK_DEFAULT:
+                    oroot_frames = (max(len(oroots) - 1, 0) + 7) // 8
+                    o_need = tlas_depth + odepth + 2 + oroot_frames + 1
+                    o_bound = FSTACK_FRAMES
+                else:
+                    o_need = (
+                        7 * (tlas_depth + odepth + 1) + 1
+                        + max(len(oroots), 1)
+                    )
+                    o_bound = PACKET_STACK
+                if o_need > o_bound:
+                    log_warn(
+                        "Scene",
+                        "occlusion-table stack bound exceeded (need {} > "
+                        "{}); shadow rays keep the shading tables",
+                        o_need, o_bound,
+                    )
+                    onodes_l, oltris_l, oroots = [], [], []
 
         # ---- megakernel SMEM tables (ops/megakernel.py layout) ----
         M = len(self.materials)
@@ -1194,15 +1442,45 @@ class Scene:
 
         pnodes_j = cat(pnodes_l, pw8)
         pltris_j = cat(ptris_l, 128)
+        flat_args = None
         if flatten_packets:
             # fill the per-instance world-space floats (entries are
             # already host-static); the SAME jitted function runs at
             # refit time, so rebuild and refit agree bitwise
+            flat_args = _inst_transform_arrays(self.objects, flat_meta)
             pnodes_j, pltris_j = _flatten_splice(
-                pnodes_j, pltris_j,
-                _inst_transform_arrays(self.objects, flat_meta),
+                pnodes_j, pltris_j, flat_args,
                 tuple((fm["node_base"], fm["ltris_base"]) for fm in flat_meta),
             )
+
+        use_occl = bool(onodes_l) and traversal == "packet"
+        poccl_nodes_j = poccl_ltris_j = None
+        if use_occl:
+            poccl_nodes_j = cat(onodes_l, 64)
+            poccl_ltris_j = cat(oltris_l, 128)
+            if flatten_packets:
+                o_args = tuple(
+                    (ofm["src_bounds_j"], fa[2], fa[3])
+                    for ofm, fa in zip(oflat_meta, flat_args)
+                )
+                obases = tuple(ofm["node_base"] for ofm in oflat_meta)
+                poccl_nodes_j = _flatten_splice_occl(
+                    poccl_nodes_j, o_args, obases
+                )
+                operm_j = jnp.asarray(
+                    np.concatenate(operm_l).astype(i32)
+                )
+                poccl_ltris_j = _occl_repack(pltris_j, operm_j)
+                if num_instances:
+                    self._refit_meta.update(
+                        o_tlas_off=refit_o_tlas_off,
+                        o_flat_roots=o_flat_roots,
+                        oflat_meta=oflat_meta,
+                        o_args_static=tuple(
+                            ofm["src_bounds_j"] for ofm in oflat_meta
+                        ),
+                        operm_j=operm_j,
+                    )
 
         dev = DeviceScene(
             mk_mats=jnp.asarray(mk_mats),
@@ -1234,6 +1512,8 @@ class Scene:
             wleaf_id=cat(wleaf, 1, i32),
             pnodes=pnodes_j,
             pltris=pltris_j,
+            poccl_nodes=poccl_nodes_j,
+            poccl_ltris=poccl_ltris_j,
             snodes12=cat(snodes_l, 12),
             stris9=cat(s_tris_l, 9),
             sleaf_id=cat(s_perm_l, 1, i32),
@@ -1278,6 +1558,7 @@ class Scene:
             traversal=traversal if use_wide else "binary",
             sroot=sroot,
             proots=tuple(proots),
+            poccl_roots=tuple(oroots) if use_occl else (),
             packet_flattened=flatten_packets,
             packet_width=pkt_width,
         )
@@ -1366,6 +1647,16 @@ def packet_tables(dev: DeviceScene):
     if dev.pfused is not None:
         return dev.pfused, dev.pltris, dev.pfused_nn
     return dev.pnodes, dev.pltris, 0
+
+
+def occl_tables(dev: DeviceScene):
+    """(nodes, ltris, roots) of the occlusion-specialized any-hit tree
+    (CPUGPU_OCCL=1, bvh8.to_slim_occl), or None when the snapshot kept
+    shadow rays on the shading tables (flag off, instanced scene, or
+    stack-depth fallback)."""
+    if dev.poccl_nodes is None:
+        return None
+    return dev.poccl_nodes, dev.poccl_ltris, dev.poccl_roots
 
 
 def megakernel_active(dev: DeviceScene, settings) -> bool:

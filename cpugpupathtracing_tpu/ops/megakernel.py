@@ -55,7 +55,8 @@ from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
 from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
     RESTORE, FSTACK_FRAMES, FRAMESTACK_DEFAULT, PIPELINED_DEFAULT,
     NEAREST_DEFAULT, CONDPUSH_DEFAULT, _check_table_width, _ctz8,
-    _frame_mask, _frame_pop, _frame_push, _resolve_width_flags,
+    _frame_mask, _frame_pop, _frame_push, _leaf_tests,
+    _resolve_width_flags,
 )
 
 TILE = 1024
@@ -136,7 +137,7 @@ def _emit_traversal(
     count_iters=False, num_inst=0, iid_ref=None, rays_ref=None,
     inst_inv_ref=None, inst_root_ref=None, frame_stack=False, fused_nn=0,
     pipelined=False, entry2_ref=None, nearest=False, cond_push=False,
-    width=WIDTH,
+    width=WIDTH, occl=False,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
@@ -318,35 +319,9 @@ def _emit_traversal(
             ]
             fs_mask = _frame_mask(fin, nearest, width)
 
-            limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
-            for c in range(LEAF_TRIS):
-                tm = lmat[:, 16 * c : 16 * c + 12]
-                hx = dy0 * tm[:, 8:9] - dz0 * tm[:, 7:8]
-                hy = dz0 * tm[:, 6:7] - dx0 * tm[:, 8:9]
-                hz = dx0 * tm[:, 7:8] - dy0 * tm[:, 6:7]
-                a = tm[:, 3:4] * hx + tm[:, 4:5] * hy + tm[:, 5:6] * hz
-                det_ok = jnp.abs(a) >= TRI_DET_EPS
-                f = 1.0 / jnp.where(det_ok, a, 1.0)
-                sx = ox0 - tm[:, 0:1]
-                sy = oy0 - tm[:, 1:2]
-                sz = oz0 - tm[:, 2:3]
-                u = f * (sx * hx + sy * hy + sz * hz)
-                qx = sy * tm[:, 5:6] - sz * tm[:, 4:5]
-                qy = sz * tm[:, 3:4] - sx * tm[:, 5:6]
-                qz = sx * tm[:, 4:5] - sy * tm[:, 3:4]
-                vv = f * (dx0 * qx + dy0 * qy + dz0 * qz)
-                tt = f * (tm[:, 6:7] * qx + tm[:, 7:8] * qy + tm[:, 8:9] * qz)
-                ok = (
-                    det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
-                    & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
-                    & m & leaf_v
-                )
-                t = jnp.where(ok, tt, t)
-                hit = jnp.where(ok, limat[:, 16 * c + 13 : 16 * c + 14], hit)
-                obj = jnp.where(ok, limat[:, 16 * c + 12 : 16 * c + 13], obj)
-                nx = jnp.where(ok, tm[:, 9:10], nx)
-                ny = jnp.where(ok, tm[:, 10:11], ny)
-                nz = jnp.where(ok, tm[:, 11:12], nz)
+            t, hit, obj, nx, ny, nz, _ = _leaf_tests(
+                lmat, ox0, oy0, oz0, dx0, dy0, dz0, m, leaf_v,
+                t, hit, obj, nx, ny, nz, occl=occl)
 
             alive = jnp.int32(0)
             for j in range(ROWS):
@@ -509,37 +484,11 @@ def _emit_traversal(
         ]
 
         # ---- leaf phase ----
-        limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
-        for c in range(LEAF_TRIS):
-            tm = lmat[:, 16 * c : 16 * c + 12]
-            hx = dy * tm[:, 8:9] - dz * tm[:, 7:8]
-            hy = dz * tm[:, 6:7] - dx * tm[:, 8:9]
-            hz = dx * tm[:, 7:8] - dy * tm[:, 6:7]
-            a = tm[:, 3:4] * hx + tm[:, 4:5] * hy + tm[:, 5:6] * hz
-            det_ok = jnp.abs(a) >= TRI_DET_EPS
-            f = 1.0 / jnp.where(det_ok, a, 1.0)
-            sx = ox - tm[:, 0:1]
-            sy = oy - tm[:, 1:2]
-            sz = oz - tm[:, 2:3]
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * tm[:, 5:6] - sz * tm[:, 4:5]
-            qy = sz * tm[:, 3:4] - sx * tm[:, 5:6]
-            qz = sx * tm[:, 4:5] - sy * tm[:, 3:4]
-            vv = f * (dx * qx + dy * qy + dz * qz)
-            tt = f * (tm[:, 6:7] * qx + tm[:, 7:8] * qy + tm[:, 8:9] * qz)
-            ok = (
-                det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
-                & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
-                & m & leaf_v
-            )
-            t = jnp.where(ok, tt, t)
-            hit = jnp.where(ok, limat[:, 16 * c + 13 : 16 * c + 14], hit)
-            obj = jnp.where(ok, limat[:, 16 * c + 12 : 16 * c + 13], obj)
-            nx = jnp.where(ok, tm[:, 9:10], nx)
-            ny = jnp.where(ok, tm[:, 10:11], ny)
-            nz = jnp.where(ok, tm[:, 11:12], nz)
-            if instanced:
-                hiid = jnp.where(ok, iid_v, hiid)
+        t, hit, obj, nx, ny, nz, hiid = _leaf_tests(
+            lmat, ox, oy, oz, dx, dy, dz, m, leaf_v,
+            t, hit, obj, nx, ny, nz,
+            hiid=hiid if instanced else None,
+            iid_v=iid_v if instanced else None, occl=occl)
 
         # ---- per-row scalar control: push children, pop next ----
         if frame_stack:
@@ -1247,7 +1196,7 @@ def _shadow_resolve_kernel(
     *tail,
     roots, num_sph, num_pln, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
-    interp=False, cond_push=False, width=WIDTH,
+    interp=False, cond_push=False, width=WIDTH, occl=False,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
     i = 0
@@ -1312,6 +1261,7 @@ def _shadow_resolve_kernel(
                 frame_stack=frame_stack, fused_nn=fused_nn,
                 pipelined=pipelined, entry2_ref=entry2_ref,
                 nearest=nearest, cond_push=cond_push, width=width,
+                occl=occl,
             )
             t, tri = trav[0], trav[1]
             if count_iters:
@@ -1504,18 +1454,21 @@ def shade_extend(
     static_argnames=("roots", "num_sph", "num_pln", "interpret",
                      "count_iters", "frame_stack", "fused_nn", "pipelined",
                      "cond_push",
-                     "nearest", "width"),
+                     "nearest", "width", "occl"),
 )
 def shadow_resolve(
     nodes, ltris, sph, pln,
     shadow_o, shadow_d, shadow_tmax, flags, energy, contrib,
     *, roots, num_sph, num_pln, interpret=False, count_iters=False,
     inst_inv=None, inst_root=None, frame_stack=None, fused_nn=0,
-    pipelined=None, nearest=None, cond_push=None, width=8,
+    pipelined=None, nearest=None, cond_push=None, width=8, occl=False,
 ):
     """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)
     (plus per-sub-tile iteration counts when count_iters).  inst_inv /
-    inst_root enable TLAS instance occluders."""
+    inst_root enable TLAS instance occluders.  occl=True traverses
+    occlusion-specialized tables (bvh8.to_slim_occl: 14 bare triangle
+    records per leaf row) -- bitwise-identical energy, fewer
+    iterations on shadow fans."""
     step = GROUPS * TILE
     cols = (
         list(shadow_o) + list(shadow_d) + [shadow_tmax, flags]
@@ -1528,6 +1481,10 @@ def shadow_resolve(
     if num_inst and fused_nn:
         raise ValueError("fused packet tables do not support the instance "
                          "machinery (flattened scenes may fuse)")
+    if occl and (num_inst or fused_nn or width != 8):
+        raise ValueError(
+            "occlusion tables require the plain non-instanced 8-wide "
+            "split-table kernel")
     frame_stack, nearest = _resolve_width_flags(
         width, num_inst, frame_stack, nearest, any_hit=True)
     _check_table_width(nodes, width, fused_nn)
@@ -1584,7 +1541,7 @@ def shadow_resolve(
             frame_stack=frame_stack, fused_nn=fused_nn,
             pipelined=pipelined, nearest=nearest and frame_stack,
             interp=interpret, cond_push=cond_push and frame_stack,
-            width=width,
+            width=width, occl=occl,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

@@ -219,6 +219,67 @@ def _ctz8(mw, chain: bool | None = None, width: int = WIDTH):
                        jnp.int32(width - 1))
 TRI_DET_EPS = 0.001
 DONE = 0x7FFFFFFF
+# occlusion leaf rows (bvh8.to_slim_occl): 14 bare stride-9 records
+OCCL_TRIS = 14
+OCCL_STRIDE = 9
+
+
+def _leaf_tests(lmat, ox, oy, oz, dx, dy, dz, m, leaf_v,
+                t, hit, obj, nx, ny, nz, hiid=None, iid_v=None,
+                occl: bool = False):
+    """One leaf row of Moller-Trumbore tests against the (8, 128) ray
+    registers (IntersectTriangle, Source/Primitives.cpp:6-47, double-
+    sided, 1e-3 determinant epsilon), shared by the slim kernel and the
+    megakernels (plain and pipelined bodies).
+
+    Standard rows (bvh8.to_slim): 8 records x 16 cols with embedded
+    flat normal / object / original id -- accepts update every payload.
+    `occl=True` rows (bvh8.to_slim_occl): 14 bare records x 9 cols; any
+    accept only sets hit=1 (the occlusion bit) -- t and the shading
+    payloads never change, which is exactly the any-hit contract (the
+    per-lane t stays t_init and tri >= 0 flags occlusion).  The
+    occluded bit is bitwise identical to the standard rows' any-hit:
+    same arithmetic on the same v0/e1/e2 floats, OR over the same
+    triangle set.
+
+    Returns (t, hit, obj, nx, ny, nz, hiid)."""
+    limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
+    ntr = OCCL_TRIS if occl else LEAF_TRIS
+    stride = OCCL_STRIDE if occl else 16
+    for c in range(ntr):
+        tm = lmat[:, stride * c : stride * c + (9 if occl else 12)]
+        hx = dy * tm[:, 8:9] - dz * tm[:, 7:8]
+        hy = dz * tm[:, 6:7] - dx * tm[:, 8:9]
+        hz = dx * tm[:, 7:8] - dy * tm[:, 6:7]
+        a = tm[:, 3:4] * hx + tm[:, 4:5] * hy + tm[:, 5:6] * hz
+        det_ok = jnp.abs(a) >= TRI_DET_EPS
+        f = 1.0 / jnp.where(det_ok, a, 1.0)
+        sx = ox - tm[:, 0:1]
+        sy = oy - tm[:, 1:2]
+        sz = oz - tm[:, 2:3]
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * tm[:, 5:6] - sz * tm[:, 4:5]
+        qy = sz * tm[:, 3:4] - sx * tm[:, 5:6]
+        qz = sx * tm[:, 4:5] - sy * tm[:, 3:4]
+        vv = f * (dx * qx + dy * qy + dz * qz)
+        tt = f * (tm[:, 6:7] * qx + tm[:, 7:8] * qy + tm[:, 8:9] * qz)
+        ok = (
+            det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
+            & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
+            & m & leaf_v
+        )
+        if occl:
+            hit = jnp.where(ok, jnp.int32(1), hit)
+            continue
+        t = jnp.where(ok, tt, t)
+        hit = jnp.where(ok, limat[:, 16 * c + 13 : 16 * c + 14], hit)
+        obj = jnp.where(ok, limat[:, 16 * c + 12 : 16 * c + 13], obj)
+        nx = jnp.where(ok, tm[:, 9:10], nx)
+        ny = jnp.where(ok, tm[:, 10:11], ny)
+        nz = jnp.where(ok, tm[:, 11:12], nz)
+        if hiid is not None:
+            hiid = jnp.where(ok, iid_v, hiid)
+    return t, hit, obj, nx, ny, nz, hiid
 RESTORE = 0x3FFFFFFF  # stack marker: leave instance space (< SLIM_EMPTY,
 # far above any real node row index)
 BIG = 1e30
@@ -229,7 +290,7 @@ def _traverse_kernel(
     roots: tuple, any_hit: bool, count_depth: bool, instanced: bool,
     count_iters: bool, frame_stack: bool = False, fused_nn: int = 0,
     pipelined: bool = False, nearest: bool = False, interp: bool = False,
-    cond_push: bool = False, width: int = WIDTH,
+    cond_push: bool = False, width: int = WIDTH, occl: bool = False,
 ):
     # node-arity locals: width 8 = the classic (B, 64) slim row, width
     # 16 = one full (B, 128) row (16x6 bounds, entries at 96, counts at
@@ -493,38 +554,9 @@ def _traverse_kernel(
                         depth = depth + lane_desc.astype(jnp.int32)
                     fs_mask = _frame_mask(fin, nearest, width)
 
-                    limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
-                    for c in range(LEAF_TRIS):
-                        tm = lmat[:, 16 * c : 16 * c + 12]
-                        hx = dy0 * tm[:, 8:9] - dz0 * tm[:, 7:8]
-                        hy = dz0 * tm[:, 6:7] - dx0 * tm[:, 8:9]
-                        hz = dx0 * tm[:, 7:8] - dy0 * tm[:, 6:7]
-                        a = tm[:, 3:4] * hx + tm[:, 4:5] * hy + tm[:, 5:6] * hz
-                        det_ok = jnp.abs(a) >= TRI_DET_EPS
-                        f = 1.0 / jnp.where(det_ok, a, 1.0)
-                        sx = ox0 - tm[:, 0:1]
-                        sy = oy0 - tm[:, 1:2]
-                        sz = oz0 - tm[:, 2:3]
-                        u = f * (sx * hx + sy * hy + sz * hz)
-                        qx = sy * tm[:, 5:6] - sz * tm[:, 4:5]
-                        qy = sz * tm[:, 3:4] - sx * tm[:, 5:6]
-                        qz = sx * tm[:, 4:5] - sy * tm[:, 3:4]
-                        vv = f * (dx0 * qx + dy0 * qy + dz0 * qz)
-                        tt = f * (tm[:, 6:7] * qx + tm[:, 7:8] * qy
-                                  + tm[:, 8:9] * qz)
-                        ok = (
-                            det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
-                            & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
-                            & m & leaf_v
-                        )
-                        t = jnp.where(ok, tt, t)
-                        hit = jnp.where(
-                            ok, limat[:, 16 * c + 13 : 16 * c + 14], hit)
-                        obj = jnp.where(
-                            ok, limat[:, 16 * c + 12 : 16 * c + 13], obj)
-                        nx = jnp.where(ok, tm[:, 9:10], nx)
-                        ny = jnp.where(ok, tm[:, 10:11], ny)
-                        nz = jnp.where(ok, tm[:, 11:12], nz)
+                    t, hit, obj, nx, ny, nz, _ = _leaf_tests(
+                        lmat, ox0, oy0, oz0, dx0, dy0, dz0, m, leaf_v,
+                        t, hit, obj, nx, ny, nz, occl=occl)
 
                     # ---- (3) scalar: push CURRENT's children; rotate ----
                     alive = jnp.int32(0)
@@ -724,41 +756,12 @@ def _traverse_kernel(
                         lane_desc = lane_desc | bm[k]
                     depth = depth + lane_desc.astype(jnp.int32)
 
-                # ---- leaf: 8 x 16-col records from one (8, 128) matrix ----
-                limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
-                for c in range(LEAF_TRIS):
-                    tm = lmat[:, 16 * c : 16 * c + 12]
-                    v0x, v0y, v0z = tm[:, 0:1], tm[:, 1:2], tm[:, 2:3]
-                    e1x, e1y, e1z = tm[:, 3:4], tm[:, 4:5], tm[:, 5:6]
-                    e2x, e2y, e2z = tm[:, 6:7], tm[:, 7:8], tm[:, 8:9]
-                    hx = dy * e2z - dz * e2y
-                    hy = dz * e2x - dx * e2z
-                    hz = dx * e2y - dy * e2x
-                    a = e1x * hx + e1y * hy + e1z * hz
-                    det_ok = jnp.abs(a) >= TRI_DET_EPS
-                    f = 1.0 / jnp.where(det_ok, a, 1.0)
-                    sx = ox - v0x
-                    sy = oy - v0y
-                    sz = oz - v0z
-                    u = f * (sx * hx + sy * hy + sz * hz)
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    vv = f * (dx * qx + dy * qy + dz * qz)
-                    tt = f * (e2x * qx + e2y * qy + e2z * qz)
-                    valid = (
-                        det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
-                        & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
-                        & m & leaf_v
-                    )
-                    t = jnp.where(valid, tt, t)
-                    hit = jnp.where(valid, limat[:, 16 * c + 13 : 16 * c + 14], hit)
-                    obj = jnp.where(valid, limat[:, 16 * c + 12 : 16 * c + 13], obj)
-                    nx = jnp.where(valid, tm[:, 9:10], nx)
-                    ny = jnp.where(valid, tm[:, 10:11], ny)
-                    nz = jnp.where(valid, tm[:, 11:12], nz)
-                    if instanced:
-                        hiid = jnp.where(valid, iid_v, hiid)
+                # ---- leaf: one padded row from the (8, 128) matrix ----
+                t, hit, obj, nx, ny, nz, hiid = _leaf_tests(
+                    lmat, ox, oy, oz, dx, dy, dz, m, leaf_v,
+                    t, hit, obj, nx, ny, nz,
+                    hiid=hiid if instanced else None,
+                    iid_v=iid_v if instanced else None, occl=occl)
 
                 # ---- per-row control (scalar): push children, pop next ----
                 if frame_stack:
@@ -982,7 +985,7 @@ def _traverse_kernel(
     jax.jit,
     static_argnames=("roots", "interpret", "any_hit", "count_depth",
                      "count_iters", "frame_stack", "fused_nn", "pipelined",
-                     "nearest", "cond_push", "width"),
+                     "nearest", "cond_push", "width", "occl"),
 )
 def traverse_packet_slim(
     origin, direction, t_init, nodes, ltris, roots,
@@ -991,7 +994,7 @@ def traverse_packet_slim(
     count_iters: bool = False, frame_stack: bool | None = None,
     fused_nn: int = 0, pipelined: bool | None = None,
     nearest: bool | None = None, cond_push: bool | None = None,
-    width: int = 8,
+    width: int = 8, occl: bool = False,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
@@ -1026,6 +1029,11 @@ def traverse_packet_slim(
         raise ValueError(
             "fused packet tables do not support the instance machinery "
             "(flattened scenes run the plain kernel and may fuse)"
+        )
+    if occl and (not any_hit or instanced or fused_nn or width != 8):
+        raise ValueError(
+            "occlusion tables (bvh8.to_slim_occl) require any_hit=True "
+            "on the plain non-instanced 8-wide split-table kernel"
         )
     frame_stack, nearest = _resolve_width_flags(
         width, 1 if instanced else 0, frame_stack, nearest, any_hit)
@@ -1132,6 +1140,7 @@ def traverse_packet_slim(
             interp=interpret,
             cond_push=cond_push and frame_stack,
             width=width,
+            occl=occl,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

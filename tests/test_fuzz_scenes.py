@@ -140,6 +140,37 @@ def _check_scene(scene, seed, force_packet, monkeypatch):
     sh = intersect_scene(dev, o, d, t0, any_hit=True, count_depth=False)
     np.testing.assert_array_equal(np.asarray(sh.obj) >= 0, want_hit)
 
+    # occlusion-specialized tables (CPUGPU_OCCL, bvh8.to_slim_occl):
+    # mesh-only occluded bit vs the triangle oracle under mixed tmax.
+    # The kernel's Moller-Trumbore is bit-identical to the brute-force
+    # oracle's (test_packet pins exact hit-index equality), so accept
+    # predicates agree exactly at any shared tmax cut.
+    import cpugpupathtracing_tpu.models.scene as scenelib
+    from cpugpupathtracing_tpu.ops import traverse_packet_slim as tps
+
+    monkeypatch.setattr(scenelib, "PACKET_OCCL", True)
+    monkeypatch.setenv("CPUGPU_TPU_FORCE_PACKET", "1")
+    scene._device = None
+    occ = scenelib.occl_tables(scene.device())
+    if occ is not None:
+        onodes, oltris, oroots = occ
+        v = _world_tris(scene)
+        tmax = jnp.asarray(np.where(
+            rng.random(N_RAYS) < 0.5, rng.uniform(0.5, 8.0, N_RAYS),
+            RAY_TMAX,
+        ).astype(np.float32))
+        _, h_occ, *_ = tps.traverse_packet_slim(
+            o, d, tmax, onodes, oltris, oroots,
+            any_hit=True, occl=True, count_depth=False, interpret=True,
+        )
+        _, bidx = intersect.brute_force_nearest_triangle(
+            o, d, jnp.asarray(v[:, 0]), jnp.asarray(v[:, 1] - v[:, 0]),
+            jnp.asarray(v[:, 2] - v[:, 0]), tmax,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(h_occ) >= 0, np.asarray(bidx) >= 0
+        )
+
 
 def _scene_soup(seed):
     rng = np.random.default_rng(seed)

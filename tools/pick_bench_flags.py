@@ -93,6 +93,13 @@ COMBOS = {
         "CPUGPU_PACKET_TREE": "w16", "CPUGPU_FUSED": "1",
         "CPUGPU_PIPELINED": "1", "CPUGPU_CONDPUSH": "1",
     },
+    # occlusion-specialized any-hit tables on top of the picked combo
+    # (round-3 third wave, tools/run_r3_occl.sh)
+    "c3_occl": {
+        "CPUGPU_PACKET_TREE": "sweep_dp", "CPUGPU_FRAMESTACK": "1",
+        "CPUGPU_CONDPUSH": "1", "CPUGPU_PIPELINED": "1",
+        "CPUGPU_OCCL": "1",
+    },
 }
 
 

@@ -26,6 +26,7 @@ from cpugpupathtracing_tpu.benchscenes import CONFIGS
 from cpugpupathtracing_tpu.models import camera as camlib
 from cpugpupathtracing_tpu.models import integrators
 from cpugpupathtracing_tpu.models.integrators import sort_wavefront
+from cpugpupathtracing_tpu.models import scene as scenelib
 from cpugpupathtracing_tpu.models.scene import megakernel_active
 from cpugpupathtracing_tpu.ops import megakernel as mk
 from cpugpupathtracing_tpu.utils import rng as rnglib
@@ -120,12 +121,19 @@ def main():
             sneed = (flags2 >> 2) & 1
             nsh = int(np.asarray(jnp.sum(sneed)))
             t0 = time.perf_counter()
+            occ = scenelib.occl_tables(dev)
+            if occ is not None:  # CPUGPU_OCCL=1: occl any-hit tables
+                sh_nodes, sh_ltris, sh_roots = occ
+                sh_kw = dict(roots=sh_roots, occl=True)
+            else:
+                sh_nodes, sh_ltris = dev.pnodes, dev.pltris
+                sh_kw = dict(roots=dev.proots, **shadow_extra)
             en_res = mk.shadow_resolve(
-                dev.pnodes, dev.pltris, dev.mk_sph, dev.mk_pln,
+                sh_nodes, sh_ltris, dev.mk_sph, dev.mk_pln,
                 so, sd, stmax, flags2, en, contrib,
-                roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
+                num_sph=num_sph, num_pln=num_pln,
                 interpret=static["interpret"], count_iters=True,
-                **shadow_extra,
+                **sh_kw,
             )
             jax.block_until_ready(en_res)
             dt2 = time.perf_counter() - t0
