@@ -422,6 +422,35 @@ def to_slim_occl(w: BVH8) -> BVH8Slim:
     return BVH8Slim(nodes=nodes, ltris=ltris, max_depth=w.max_depth)
 
 
+def occl_payload(w: BVH8, tri_normal: np.ndarray) -> np.ndarray:
+    """(NO, 128) payload rows parallel to `to_slim_occl(w)`'s leaf rows:
+    record k of a row carries [nx, ny, nz, obj(i32, stamped 0 -- the
+    scene build stamps it like to_slim's), id(i32), 0, 0, 0, 0] at the
+    SAME stride-9 offsets as the geometry record, so the closest-hit
+    leaf-14 kernel mode loads one geometry row + one payload row per
+    leaf visit and keeps to_slim's shading-complete hit contract
+    (embedded flat normal / object / original triangle id).  Padding
+    records carry id -1 (they are det-rejected anyway)."""
+    nodes = w.nodes
+    cidx = nodes[:, 48:56].view(np.int32)
+    ccnt = nodes[:, 56:64].view(np.int32)
+    is_leaf = ccnt > 0
+    starts, counts = cidx[is_leaf], ccnt[is_leaf]
+    nl = max(len(starts), 1)
+    pay = np.zeros((nl, 128), np.float32)
+    pid = pay.view(np.int32)
+    for row in range(nl):
+        for k in range(OCCL_TRIS):
+            base = OCCL_STRIDE * k
+            if row < len(starts) and k < counts[row]:
+                orig = int(w.leaf_tri_id[starts[row] + k])
+                pay[row, base : base + 3] = tri_normal[orig]
+                pid[row, base + 4] = orig
+            else:
+                pid[row, base + 4] = -1
+    return pay
+
+
 def to_slim(w: BVH8, tri_normal: np.ndarray) -> BVH8Slim:
     """Re-encode a BVH8 (built with leaf_max=8) into leaf-blocked form.
 

@@ -68,6 +68,15 @@ PACKET_FUSED = os.environ.get("CPUGPU_FUSED", "") == "1"
 # import, like the other kernel A/B flags.
 PACKET_OCCL = os.environ.get("CPUGPU_OCCL", "") == "1"
 
+# CPUGPU_LEAF14=1 additionally routes the CLOSEST-HIT megakernel
+# traversal over the same leaf-14 tree, with the shading payload
+# (normal/object/id) riding in a parallel stride-9 payload table
+# (bvh8.occl_payload) loaded next to each geometry row -- hits stay
+# exact (same nearest triangle, same payload floats).  Offline counts:
+# -14% bounce / -22% interior iterations (tools/leaf14_lab.py).
+# Implies the occl tables; same scene restrictions.
+PACKET_LEAF14 = os.environ.get("CPUGPU_LEAF14", "") == "1"
+
 # CPUGPU_PACKET_TREE selects how the DEVICE-SIDE slim packet tree is
 # constructed from each mesh.  The binary BVH the user sees (rebuild
 # panel, heatmaps, the wide/skip/binary paths) always follows the
@@ -147,7 +156,9 @@ def _build_occl_cache(obj) -> tuple:
     rec_tid = np.full((max(len(starts), 1), bvh8lib.OCCL_TRIS), -1, np.int32)
     for row, (st, c) in enumerate(zip(starts, counts)):
         rec_tid[row, : int(c)] = w.leaf_tri_id[st : st + int(c)]
-    return (obj.bvh, bvh8lib.to_slim_occl(w), rec_tid)
+    pay = (bvh8lib.occl_payload(w, pb.tri_normal)
+           if PACKET_LEAF14 else None)
+    return (obj.bvh, bvh8lib.to_slim_occl(w), rec_tid, pay)
 
 
 @jax.jit
@@ -228,6 +239,10 @@ class DeviceScene:
     # disabled, instanced, or the stack-depth validation fails
     poccl_nodes: jnp.ndarray = None  # (BO, 64)
     poccl_ltris: jnp.ndarray = None  # (NO, 128)
+    # leaf-14 closest-hit payload rows (CPUGPU_LEAF14=1,
+    # bvh8.occl_payload): record k's [normal, obj, id] at the same
+    # stride-9 offsets as poccl_ltris' geometry record
+    poccl_pay: jnp.ndarray = None    # (NO, 128)
     # world bounds (ray-reordering morton quantization)
     world_lo: jnp.ndarray = None        # (3,) f32
     world_inv_extent: jnp.ndarray = None  # (3,) f32
@@ -509,32 +524,46 @@ def _flatten_splice_occl(onodes, flat_args, bases):
     return onodes
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("with_pay",))
 def _refit_apply_occl(onodes, pltris, oprow, perm, flat_args, obases,
-                      o_tlas_off):
+                      o_tlas_off, with_pay=False):
     """One-dispatch occl-table refit: splice the re-encoded occl TLAS
     rows, re-transform the instance child boxes, and repack the leaf
     records from the freshly spliced shading pltris."""
     onodes = jax.lax.dynamic_update_slice(onodes, oprow, (o_tlas_off, 0))
     onodes = _flatten_splice_occl(onodes, flat_args, obases)
-    return onodes, _occl_repack(pltris, perm)
+    return (onodes,) + _occl_repack(pltris, perm, with_pay=with_pay)
 
 
-@jax.jit
-def _occl_repack(pltris, perm):
-    """(NO, 128) occl leaf rows gathered from the (world-space, spliced)
-    shading pltris: perm (NO*14,) i32 global shading record indices
-    (row*8 + slot).  The occl tables therefore contain the EXACT same
-    v0/e1/e2 floats as the shading tables under any instance transform.
-    Padding slots point at an arbitrary real record of the same
-    instance: a duplicated triangle cannot change the occlusion OR
-    (any accept it adds is a real scene triangle within tmax)."""
-    recs = pltris.reshape(-1, 16)[perm]  # (NO*14, 16)
+@functools.partial(jax.jit, static_argnames=("with_pay",))
+def _occl_repack(pltris, perm, with_pay=False):
+    """Occl leaf rows gathered from the (world-space, spliced) shading
+    pltris: perm (NO*14,) i32 global shading record indices (row*8 +
+    slot).  The occl tables therefore contain the EXACT same v0/e1/e2
+    floats as the shading tables under any instance transform.  Padding
+    slots point at an arbitrary real record of the same instance: a
+    duplicated triangle cannot change the occlusion OR (any accept it
+    adds is a real scene triangle within tmax) nor a closest hit (the
+    duplicate carries the identical t and payload).
+
+    Returns ((NO, 128) geometry rows,) -- plus the (NO, 128) leaf-14
+    payload rows ([normal, obj, id] from the same gathered records)
+    when with_pay.  The gather runs on the i32 bitcast so the obj/id
+    bit patterns survive (some are NaN payloads as f32)."""
+    reci = jax.lax.bitcast_convert_type(pltris, jnp.int32)
+    reci = reci.reshape(-1, 16)[perm]  # (NO*14, 16) i32
+    recs = jax.lax.bitcast_convert_type(reci, jnp.float32)
     no = perm.shape[0] // 14
     body = recs[:, :9].reshape(no, 126)
-    return jnp.concatenate(
-        [body, jnp.zeros((no, 2), pltris.dtype)], axis=1
+    zeros2 = jnp.zeros((no, 2), pltris.dtype)
+    geo = jnp.concatenate([body, zeros2], axis=1)
+    if not with_pay:
+        return (geo,)
+    pay9 = jnp.concatenate(
+        [recs[:, 9:14], jnp.zeros((no * 14, 4), pltris.dtype)], axis=1
     )
+    pay = jnp.concatenate([pay9.reshape(no, 126), zeros2], axis=1)
+    return (geo, pay)
 
 
 def _widen_slim_rows(rows: np.ndarray) -> np.ndarray:
@@ -853,6 +882,7 @@ class Scene:
                 ),
             )
         new_onodes, new_oltris = dev.poccl_nodes, dev.poccl_ltris
+        new_opay = dev.poccl_pay
         if meta.get("operm_j") is not None and new_onodes is not None:
             # occl tables follow the same refit in ONE dispatch: TLAS
             # rows re-encoded for the occl roots, instance child boxes
@@ -868,11 +898,15 @@ class Scene:
             obases = tuple(
                 ofm["node_base"] for ofm in meta["oflat_meta"]
             )
-            new_onodes, new_oltris = _refit_apply_occl(
+            refit_occl = _refit_apply_occl(
                 new_onodes, new_pltris, jnp.asarray(oprow),
                 meta["operm_j"], o_args, obases,
                 jnp.int32(meta["o_tlas_off"]),
+                with_pay=meta.get("o_with_pay", False),
             )
+            new_onodes, new_oltris = refit_occl[0], refit_occl[1]
+            if meta.get("o_with_pay"):
+                new_opay = refit_occl[2]
         return dataclasses.replace(
             dev,
             wnodes=new_wnodes,
@@ -880,6 +914,7 @@ class Scene:
             pltris=new_pltris,
             poccl_nodes=new_onodes,
             poccl_ltris=new_oltris,
+            poccl_pay=new_opay,
             pfused=(
                 _fuse_packet_tables(new_pnodes, new_pltris)
                 if dev.pfused is not None else None
@@ -975,12 +1010,13 @@ class Scene:
         # path keeps shadow rays on the shading tables).  Flattened occl
         # leaf records are repacked from the spliced shading pltris via
         # a host-static record permutation (operm) -- see _occl_repack.
-        build_occl = PACKET_OCCL and self.use_wide and (
+        build_occl = (PACKET_OCCL or PACKET_LEAF14) and self.use_wide and (
             not has_instances or flatten_packets
         )
         oflat_meta: list[dict] = []
         o_flat_roots: list[int] = []
         operm_l: list[np.ndarray] = []
+        opay_l: list[np.ndarray] = []
 
         for oi, obj in enumerate(self.objects):
             if obj.kind == PRIM_MESH:
@@ -1061,9 +1097,12 @@ class Scene:
                         if (
                             obj._occl_cache is None
                             or obj._occl_cache[0] is not b
+                            or (PACKET_LEAF14
+                                and obj._occl_cache[3] is None)
                         ):
                             obj._occl_cache = _build_occl_cache(obj)
                         po, rec_tid = obj._occl_cache[1], obj._occl_cache[2]
+                        po_pay = obj._occl_cache[3]
                         # orig local tri id -> shading record index
                         # (row*8 + slot) within this object's lt rows;
                         # split-primitive duplicates keep any copy (the
@@ -1099,6 +1138,8 @@ class Scene:
                                 ocidx[occnt > 0] -= oleaf_off
                                 onodes_l.append(orow)
                                 oltris_l.append(po.ltris)  # repack target
+                                if po_pay is not None:
+                                    opay_l.append(po_pay)  # repack target
                                 o_flat_roots.append(onode_off)
                                 base_rec = 8 * (
                                     fm["ltris_base"] + k * pw.num_leaf_rows
@@ -1115,6 +1156,17 @@ class Scene:
                             ocidx[occnt > 0] -= oleaf_off
                             onodes_l.append(orow)
                             oltris_l.append(po.ltris)
+                            if po_pay is not None:
+                                # stamp object index + globalize ids
+                                # (the same convention as the shading
+                                # rows' lt stamping above)
+                                ps = po_pay.copy()
+                                pv = ps.view(i32)
+                                for krec in range(14):
+                                    pv[:, 9 * krec + 3] = oi
+                                    idc = pv[:, 9 * krec + 4]
+                                    idc[idc >= 0] += tri_off
+                                opay_l.append(ps)
                             oroots.append(onode_off)
                             # shading rows of this object start at the
                             # CURRENT pleaf_off minus the rows just added
@@ -1454,10 +1506,13 @@ class Scene:
             )
 
         use_occl = bool(onodes_l) and traversal == "packet"
-        poccl_nodes_j = poccl_ltris_j = None
+        leaf14 = use_occl and PACKET_LEAF14
+        poccl_nodes_j = poccl_ltris_j = poccl_pay_j = None
         if use_occl:
             poccl_nodes_j = cat(onodes_l, 64)
             poccl_ltris_j = cat(oltris_l, 128)
+            if leaf14:
+                poccl_pay_j = cat(opay_l, 128)
             if flatten_packets:
                 o_args = tuple(
                     (ofm["src_bounds_j"], fa[2], fa[3])
@@ -1470,7 +1525,11 @@ class Scene:
                 operm_j = jnp.asarray(
                     np.concatenate(operm_l).astype(i32)
                 )
-                poccl_ltris_j = _occl_repack(pltris_j, operm_j)
+                repacked = _occl_repack(
+                    pltris_j, operm_j, with_pay=leaf14)
+                poccl_ltris_j = repacked[0]
+                if leaf14:
+                    poccl_pay_j = repacked[1]
                 if num_instances:
                     self._refit_meta.update(
                         o_tlas_off=refit_o_tlas_off,
@@ -1480,6 +1539,7 @@ class Scene:
                             ofm["src_bounds_j"] for ofm in oflat_meta
                         ),
                         operm_j=operm_j,
+                        o_with_pay=leaf14,
                     )
 
         dev = DeviceScene(
@@ -1514,6 +1574,7 @@ class Scene:
             pltris=pltris_j,
             poccl_nodes=poccl_nodes_j,
             poccl_ltris=poccl_ltris_j,
+            poccl_pay=poccl_pay_j,
             snodes12=cat(snodes_l, 12),
             stris9=cat(s_tris_l, 9),
             sleaf_id=cat(s_perm_l, 1, i32),

@@ -137,7 +137,7 @@ def _emit_traversal(
     count_iters=False, num_inst=0, iid_ref=None, rays_ref=None,
     inst_inv_ref=None, inst_root_ref=None, frame_stack=False, fused_nn=0,
     pipelined=False, entry2_ref=None, nearest=False, cond_push=False,
-    width=WIDTH, occl=False,
+    width=WIDTH, occl=False, pay_ref=None,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
@@ -218,10 +218,17 @@ def _emit_traversal(
             lmat0 = jnp.concatenate(
                 [ltris_ref[pl.ds(0, 1), :]] * ROWS, axis=0
             )
+            if pay_ref is not None:
+                pmat0 = jnp.concatenate(
+                    [pay_ref[pl.ds(0, 1), :]] * ROWS, axis=0
+                )
 
         def pipe_body(carry):
+            pmat = None
             if fused_nn:
                 t, hit, obj, nx, ny, nz, lmat = carry[:7]
+            elif pay_ref is not None:
+                t, hit, obj, nx, ny, nz, nmat_c, lmat, pmat = carry[:9]
             else:
                 t, hit, obj, nx, ny, nz, nmat_c, lmat = carry[:8]
             m = m_act
@@ -231,7 +238,7 @@ def _emit_traversal(
                                      keepdims=True)
 
             entries, leaf_s, int_s, nexts = [], [], [], []
-            urows, ulrows = [], []
+            urows, ulrows, uprows = [], [], []
             for j in range(ROWS):
                 e = entry_ref[j]
                 entries.append(e)
@@ -273,12 +280,17 @@ def _emit_traversal(
                     nl_i = jnp.where(nxt < 0, -nxt - 1, 0)
                     urows.append(nodes_ref[pl.ds(nn_i, 1), :])
                     ulrows.append(ltris_ref[pl.ds(nl_i, 1), :])
+                    if pay_ref is not None:
+                        uprows.append(pay_ref[pl.ds(nl_i, 1), :])
+            pmat_next = None
             if fused_nn:
                 lmat_next = jnp.concatenate(urows, axis=0)
                 nmat_next = None
             else:
                 nmat_next = jnp.concatenate(urows, axis=0)
                 lmat_next = jnp.concatenate(ulrows, axis=0)
+                if pay_ref is not None:
+                    pmat_next = jnp.concatenate(uprows, axis=0)
 
             nmat = lmat[:, :NC] if fused_nn else nmat_c
             imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
@@ -321,7 +333,7 @@ def _emit_traversal(
 
             t, hit, obj, nx, ny, nz, _ = _leaf_tests(
                 lmat, ox0, oy0, oz0, dx0, dy0, dz0, m, leaf_v,
-                t, hit, obj, nx, ny, nz, occl=occl)
+                t, hit, obj, nx, ny, nz, occl=occl, pmat=pmat)
 
             alive = jnp.int32(0)
             for j in range(ROWS):
@@ -356,6 +368,8 @@ def _emit_traversal(
             if not fused_nn:
                 out = out + (nmat_next,)
             out = out + (lmat_next,)
+            if pay_ref is not None:
+                out = out + (pmat_next,)
             if count_iters:
                 return out + (carry[-2] + 1, alive)
             return out + (alive,)
@@ -371,6 +385,8 @@ def _emit_traversal(
         if not fused_nn:
             init_p.append(nmat0)
         init_p.append(lmat0)
+        if pay_ref is not None:
+            init_p.append(pmat0)
         if count_iters:
             init_p.append(jnp.int32(0))
         init_p.append(jnp.int32(1))
@@ -407,7 +423,7 @@ def _emit_traversal(
             row_live_v = jnp.max(m.astype(jnp.int32), axis=1,
                                  keepdims=True)            # (8, 1)
 
-        nrows, lrows, leaf_s, int_s = [], [], [], []
+        nrows, lrows, prows, leaf_s, int_s = [], [], [], [], []
         if fused_nn:
             # unified node|leaf table: one dynamic load + one address
             # select per row (see ops/traverse_packet_slim.py fused_nn)
@@ -437,10 +453,13 @@ def _emit_traversal(
                 lrow = jnp.where(leaf, -e - 1, 0)
                 nrows.append(nodes_ref[pl.ds(node, 1), :])
                 lrows.append(ltris_ref[pl.ds(lrow, 1), :])
+                if pay_ref is not None:
+                    prows.append(pay_ref[pl.ds(lrow, 1), :])
                 leaf_s.append(leaf)
                 int_s.append(interior)
             nmat = jnp.concatenate(nrows, axis=0)
             lmat = jnp.concatenate(lrows, axis=0)
+        pmat = jnp.concatenate(prows, axis=0) if pay_ref is not None else None
         imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
         leaf_v = jnp.concatenate(
             [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
@@ -488,7 +507,7 @@ def _emit_traversal(
             lmat, ox, oy, oz, dx, dy, dz, m, leaf_v,
             t, hit, obj, nx, ny, nz,
             hiid=hiid if instanced else None,
-            iid_v=iid_v if instanced else None, occl=occl)
+            iid_v=iid_v if instanced else None, occl=occl, pmat=pmat)
 
         # ---- per-row scalar control: push children, pop next ----
         if frame_stack:
@@ -737,14 +756,20 @@ def _shade_extend_kernel(
     roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
-    interp=False, cond_push=False, width=WIDTH,
+    interp=False, cond_push=False, width=WIDTH, with_pay=False,
 ):
     """One integrator depth minus the shadow resolve: traversal + the
-    full TracePathAdvanced shading body (Source/Main.cpp:396-579)."""
+    full TracePathAdvanced shading body (Source/Main.cpp:396-579).
+    with_pay: nodes/ltris are the leaf-14 tables (bvh8.to_slim_occl)
+    and the payload table (bvh8.occl_payload) rides as the next ref."""
     i = 0
+    pay_ref = None
+    if with_pay:
+        pay_ref = tail[0]
+        i = 1
     if num_inst:
-        inst_inv_ref, inst_nrm_ref, inst_root_ref = tail[0:3]
-        i = 3
+        inst_inv_ref, inst_nrm_ref, inst_root_ref = tail[i : i + 3]
+        i += 3
     else:
         inst_inv_ref = inst_nrm_ref = inst_root_ref = None
     (
@@ -848,6 +873,7 @@ def _shade_extend_kernel(
                 frame_stack=frame_stack, fused_nn=fused_nn,
                 pipelined=pipelined, entry2_ref=entry2_ref,
                 nearest=nearest, cond_push=cond_push, width=width,
+                occl=with_pay, pay_ref=pay_ref,
             )
             t, tri, obj, mnx, mny, mnz = trav[:6]
             if count_iters:
@@ -1332,6 +1358,7 @@ def shade_extend(
     nee, rr, cosine, ref_pdf, interpret=False, count_iters=False,
     inst_inv=None, inst_nrm=None, inst_root=None, frame_stack=None,
     fused_nn=0, pipelined=None, nearest=None, cond_push=None, width=8,
+    pay=None,
 ):
     """One fused depth step (minus shadow resolve) over the wavefront.
 
@@ -1354,6 +1381,10 @@ def shade_extend(
     if num_inst and fused_nn:
         raise ValueError("fused packet tables do not support the instance "
                          "machinery (flattened scenes may fuse)")
+    if pay is not None and (num_inst or fused_nn or width != 8):
+        raise ValueError(
+            "leaf-14 tables (bvh8.to_slim_occl + occl_payload) require "
+            "the plain non-instanced 8-wide split-table kernel")
     frame_stack, nearest = _resolve_width_flags(
         width, num_inst, frame_stack, nearest, any_hit=False)
     _check_table_width(nodes, width, fused_nn)
@@ -1369,9 +1400,11 @@ def shade_extend(
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
+        + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if pay is not None else [])
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 if num_inst else [])
         + [pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)] * 14
     )
+    pay_inputs = (pay,) if pay is not None else ()
     inst_inputs = (inst_inv, inst_nrm, inst_root) if num_inst else ()
     out_specs = [
         pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
@@ -1423,7 +1456,7 @@ def shade_extend(
             frame_stack=frame_stack, fused_nn=fused_nn,
             pipelined=pipelined, nearest=nearest and frame_stack,
             interp=interpret, cond_push=cond_push and frame_stack,
-            width=width,
+            width=width, with_pay=pay is not None,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -1435,7 +1468,7 @@ def shade_extend(
         ),
         interpret=interpret,
     )(nodes, ltris, mats, lights, sph, pln, sphmat, plnmat, objmat, depth,
-      *inst_inputs, *cols)
+      *pay_inputs, *inst_inputs, *cols)
     n0 = rays[0].shape[0]
     iters = res[24] if count_iters else None
     res = [r[:n0] for r in res[:24]]

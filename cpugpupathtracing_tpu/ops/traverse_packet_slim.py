@@ -226,7 +226,7 @@ OCCL_STRIDE = 9
 
 def _leaf_tests(lmat, ox, oy, oz, dx, dy, dz, m, leaf_v,
                 t, hit, obj, nx, ny, nz, hiid=None, iid_v=None,
-                occl: bool = False):
+                occl: bool = False, pmat=None):
     """One leaf row of Moller-Trumbore tests against the (8, 128) ray
     registers (IntersectTriangle, Source/Primitives.cpp:6-47, double-
     sided, 1e-3 determinant epsilon), shared by the slim kernel and the
@@ -234,16 +234,24 @@ def _leaf_tests(lmat, ox, oy, oz, dx, dy, dz, m, leaf_v,
 
     Standard rows (bvh8.to_slim): 8 records x 16 cols with embedded
     flat normal / object / original id -- accepts update every payload.
-    `occl=True` rows (bvh8.to_slim_occl): 14 bare records x 9 cols; any
-    accept only sets hit=1 (the occlusion bit) -- t and the shading
-    payloads never change, which is exactly the any-hit contract (the
-    per-lane t stays t_init and tri >= 0 flags occlusion).  The
-    occluded bit is bitwise identical to the standard rows' any-hit:
-    same arithmetic on the same v0/e1/e2 floats, OR over the same
-    triangle set.
+    `occl=True` rows (bvh8.to_slim_occl): 14 bare records x 9 cols; an
+    accept shrinks t and sets hit=1 (the occlusion bit) but the shading
+    payloads never change -- exactly the any-hit contract (tri >= 0
+    flags occlusion).  The occluded bit is bitwise identical to the
+    standard rows' any-hit: same arithmetic on the same v0/e1/e2
+    floats, OR over the same triangle set.
+
+    `occl=True` with `pmat` (bvh8.occl_payload rows, loaded from the
+    parallel payload table at the same leaf row index) is the LEAF-14
+    CLOSEST-HIT mode: record k's [nx, ny, nz, obj, id] sit at the same
+    stride-9 offsets in pmat, restoring to_slim's shading-complete hit
+    contract over the 14-record tree (-14% bounce / -22% interior
+    iterations measured offline, tools/leaf14_lab.py).
 
     Returns (t, hit, obj, nx, ny, nz, hiid)."""
     limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
+    pimat = (jax.lax.bitcast_convert_type(pmat, jnp.int32)
+             if pmat is not None else None)
     ntr = OCCL_TRIS if occl else LEAF_TRIS
     stride = OCCL_STRIDE if occl else 16
     for c in range(ntr):
@@ -269,7 +277,21 @@ def _leaf_tests(lmat, ox, oy, oz, dx, dy, dz, m, leaf_v,
             & m & leaf_v
         )
         if occl:
-            hit = jnp.where(ok, jnp.int32(1), hit)
+            # t shrinks exactly like the standard rows (enables
+            # closest-hit iteration counting over occl tables, e.g.
+            # tools/leaf14_lab.py); the occluded bit is unaffected --
+            # any-hit masks a lane out the moment hit latches, and a
+            # lane without an accept never shrank t
+            t = jnp.where(ok, tt, t)
+            if pimat is None:
+                hit = jnp.where(ok, jnp.int32(1), hit)
+                continue
+            base = OCCL_STRIDE * c
+            hit = jnp.where(ok, pimat[:, base + 4 : base + 5], hit)
+            obj = jnp.where(ok, pimat[:, base + 3 : base + 4], obj)
+            nx = jnp.where(ok, pmat[:, base + 0 : base + 1], nx)
+            ny = jnp.where(ok, pmat[:, base + 1 : base + 2], ny)
+            nz = jnp.where(ok, pmat[:, base + 2 : base + 3], nz)
             continue
         t = jnp.where(ok, tt, t)
         hit = jnp.where(ok, limat[:, 16 * c + 13 : 16 * c + 14], hit)
@@ -291,6 +313,7 @@ def _traverse_kernel(
     count_iters: bool, frame_stack: bool = False, fused_nn: int = 0,
     pipelined: bool = False, nearest: bool = False, interp: bool = False,
     cond_push: bool = False, width: int = WIDTH, occl: bool = False,
+    with_pay: bool = False,
 ):
     # node-arity locals: width 8 = the classic (B, 64) slim row, width
     # 16 = one full (B, 128) row (16x6 bounds, entries at 96, counts at
@@ -306,10 +329,14 @@ def _traverse_kernel(
         # array (rank-1 SMEM outputs can't be tile-blocked) and indexes
         # it absolutely
         return g if interp else pl.program_id(0) * GROUPS + g
+    refs = list(refs)
+    pay_ref = None
+    if with_pay:
+        # leaf-14 closest-hit payload table, right after ltris
+        pay_ref = refs.pop(2)
     if count_iters:
         # the iters output ref sits after the 8 regular outputs, before
         # the scratch refs; inputs = nodes, ltris [, inst x2] + 8 ray ops
-        refs = list(refs)
         iters_out = refs.pop((12 if instanced else 10) + 8)
     if instanced:
         (
@@ -436,11 +463,20 @@ def _traverse_kernel(
                     lmat0 = jnp.concatenate(
                         [ltris_ref[pl.ds(0, 1), :]] * ROWS, axis=0
                     )
+                    if with_pay:
+                        pmat0 = jnp.concatenate(
+                            [pay_ref[pl.ds(0, 1), :]] * ROWS, axis=0
+                        )
 
                 def pipe_body(carry):
+                    pmat = None
                     if fused_nn:
                         t, hit, obj, nx, ny, nz, depth, lmat = carry[:8]
                         ncar = 8
+                    elif with_pay:
+                        (t, hit, obj, nx, ny, nz, depth, nmat_c, lmat,
+                         pmat) = carry[:10]
+                        ncar = 10
                     else:
                         t, hit, obj, nx, ny, nz, depth, nmat_c, lmat = (
                             carry[:9])
@@ -453,7 +489,7 @@ def _traverse_kernel(
 
                     # ---- (1) scalar: pop NEXT + issue its loads ----
                     entries, leaf_s, int_s, nexts, sps = [], [], [], [], []
-                    urows, ulrows = [], []
+                    urows, ulrows, uprows = [], [], []
                     for j in range(ROWS):
                         e = entry_ref[j]
                         entries.append(e)
@@ -500,12 +536,17 @@ def _traverse_kernel(
                             nl_i = jnp.where(nxt < 0, -nxt - 1, 0)
                             urows.append(nodes_ref[pl.ds(nn_i, 1), :])
                             ulrows.append(ltris_ref[pl.ds(nl_i, 1), :])
+                            if with_pay:
+                                uprows.append(pay_ref[pl.ds(nl_i, 1), :])
+                    pmat_next = None
                     if fused_nn:
                         lmat_next = jnp.concatenate(urows, axis=0)
                         nmat_next = None
                     else:
                         nmat_next = jnp.concatenate(urows, axis=0)
                         lmat_next = jnp.concatenate(ulrows, axis=0)
+                        if with_pay:
+                            pmat_next = jnp.concatenate(uprows, axis=0)
 
                     # ---- (2) vector: slab + leaf on CURRENT ----
                     nmat = lmat[:, :NC] if fused_nn else nmat_c
@@ -556,7 +597,7 @@ def _traverse_kernel(
 
                     t, hit, obj, nx, ny, nz, _ = _leaf_tests(
                         lmat, ox0, oy0, oz0, dx0, dy0, dz0, m, leaf_v,
-                        t, hit, obj, nx, ny, nz, occl=occl)
+                        t, hit, obj, nx, ny, nz, occl=occl, pmat=pmat)
 
                     # ---- (3) scalar: push CURRENT's children; rotate ----
                     alive = jnp.int32(0)
@@ -593,6 +634,8 @@ def _traverse_kernel(
                     if not fused_nn:
                         out = out + (nmat_next,)
                     out = out + (lmat_next,)
+                    if with_pay:
+                        out = out + (pmat_next,)
                     if count_iters:
                         return out + (carry[-2] + 1, alive)
                     return out + (alive,)
@@ -609,6 +652,8 @@ def _traverse_kernel(
                 if not fused_nn:
                     init_p.append(nmat0)
                 init_p.append(lmat0)
+                if with_pay:
+                    init_p.append(pmat0)
                 if count_iters:
                     init_p.append(jnp.int32(0))
                 init_p.append(jnp.int32(1))
@@ -657,7 +702,7 @@ def _traverse_kernel(
                                          keepdims=True)        # (8, 1)
 
                 # ---- per-row entry decode + row loads (scalar control) ----
-                nrows, lrows, leaf_s, int_s = [], [], [], []
+                nrows, lrows, prows, leaf_s, int_s = [], [], [], [], []
                 if fused_nn:
                     # unified node|leaf table (scene._fuse_packet_tables):
                     # every live entry is a direct row index, so ONE
@@ -691,10 +736,13 @@ def _traverse_kernel(
                         lrow = jnp.where(leaf, -e - 1, 0)
                         nrows.append(nodes_ref[pl.ds(node, 1), :])
                         lrows.append(ltris_ref[pl.ds(lrow, 1), :])
+                        if with_pay:
+                            prows.append(pay_ref[pl.ds(lrow, 1), :])
                         leaf_s.append(leaf)
                         int_s.append(interior)
                     nmat = jnp.concatenate(nrows, axis=0)      # (8, 64)
                     lmat = jnp.concatenate(lrows, axis=0)      # (8, 128)
+                pmat = jnp.concatenate(prows, axis=0) if with_pay else None
                 imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
                 leaf_v = jnp.concatenate(
                     [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
@@ -761,7 +809,8 @@ def _traverse_kernel(
                     lmat, ox, oy, oz, dx, dy, dz, m, leaf_v,
                     t, hit, obj, nx, ny, nz,
                     hiid=hiid if instanced else None,
-                    iid_v=iid_v if instanced else None, occl=occl)
+                    iid_v=iid_v if instanced else None, occl=occl,
+                    pmat=pmat)
 
                 # ---- per-row control (scalar): push children, pop next ----
                 if frame_stack:
@@ -994,7 +1043,7 @@ def traverse_packet_slim(
     count_iters: bool = False, frame_stack: bool | None = None,
     fused_nn: int = 0, pipelined: bool | None = None,
     nearest: bool | None = None, cond_push: bool | None = None,
-    width: int = 8, occl: bool = False,
+    width: int = 8, occl: bool = False, pay=None,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
@@ -1030,11 +1079,18 @@ def traverse_packet_slim(
             "fused packet tables do not support the instance machinery "
             "(flattened scenes run the plain kernel and may fuse)"
         )
-    if occl and (not any_hit or instanced or fused_nn or width != 8):
+    if occl and (instanced or fused_nn or width != 8):
         raise ValueError(
-            "occlusion tables (bvh8.to_slim_occl) require any_hit=True "
-            "on the plain non-instanced 8-wide split-table kernel"
+            "occlusion tables (bvh8.to_slim_occl) require the plain "
+            "non-instanced 8-wide split-table kernel"
         )
+    if pay is not None and not occl:
+        raise ValueError("the payload table (bvh8.occl_payload) rides "
+                         "the leaf-14 occl tables (occl=True)")
+    # occl + any_hit=False without pay is a t-only query (exact t and
+    # iteration counts; hit is a 0/1 flag and the shading payloads are
+    # garbage) -- used by the offline tree labs.  With pay, occl is the
+    # full shading-complete LEAF-14 closest-hit mode.
     frame_stack, nearest = _resolve_width_flags(
         width, 1 if instanced else 0, frame_stack, nearest, any_hit)
     _check_table_width(nodes, width, fused_nn)
@@ -1075,6 +1131,9 @@ def traverse_packet_slim(
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     inputs = [nodes, ltris]
+    if pay is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(pay)
     scratch = [
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM((ROWS,), jnp.int32),
@@ -1141,6 +1200,7 @@ def traverse_packet_slim(
             cond_push=cond_push and frame_stack,
             width=width,
             occl=occl,
+            with_pay=pay is not None,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

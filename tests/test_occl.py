@@ -95,16 +95,26 @@ def test_occl_matches_oracle(occl_pair, rng_np, frame_stack, pipelined):
     )
 
 
-def test_occl_requires_any_hit(occl_pair):
+def test_occl_t_only_query(occl_pair, rng_np):
+    """occl + any_hit=False is the t-only closest-hit query (exact t
+    and iteration counts over the leaf-14 tree; payloads are hit-flag
+    only) -- t must equal the brute-force nearest t exactly."""
+    from cpugpupathtracing_tpu.ops import intersect
+
     b, s, so = occl_pair
-    o = jnp.zeros((8, 3), jnp.float32)
-    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (8, 1))
-    t0 = jnp.full((8,), RAY_TMAX, jnp.float32)
-    with pytest.raises(ValueError, match="any_hit"):
-        tps.traverse_packet_slim(
-            o, d, t0, jnp.asarray(so.nodes), jnp.asarray(so.ltris), (0,),
-            occl=True, interpret=True,
-        )
+    n = 1024
+    o, d = _rays(rng_np, n)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    t, hit, *_ = tps.traverse_packet_slim(
+        o, d, t0, jnp.asarray(so.nodes), jnp.asarray(so.ltris), (0,),
+        occl=True, interpret=True,
+    )
+    bt, bidx = intersect.brute_force_nearest_triangle(
+        o, d, jnp.asarray(b.tri_v0), jnp.asarray(b.tri_v1 - b.tri_v0),
+        jnp.asarray(b.tri_v2 - b.tri_v0), t0,
+    )
+    np.testing.assert_array_equal(np.asarray(hit) >= 0, np.asarray(bidx) >= 0)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-5)
 
 
 def _scene():
@@ -208,11 +218,102 @@ def test_flattened_occl_bit_parity(monkeypatch, rng_np):
     )
 
 
-def test_flattened_occl_refit_bitwise(monkeypatch):
-    """A transform refit reproduces a fresh build's occl tables BITWISE
-    (build and refit share _refit_apply_occl's splice + repack)."""
+def test_leaf14_payload_exact(occl_pair, rng_np):
+    """Leaf-14 closest-hit (occl geometry + bvh8.occl_payload rows)
+    returns the identical (t, id, normal) payload as the standard
+    shading tables on every hit (ties aside -- none on this fan)."""
+    b, s, so = occl_pair
+    pay = bvh8.occl_payload(
+        bvh8.collapse_sah(b, leaf_max=bvh8.OCCL_TRIS), b.tri_normal
+    )
+    n = 2048
+    o, d = _rays(rng_np, n)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    r1 = tps.traverse_packet_slim(
+        o, d, t0, jnp.asarray(s.nodes), jnp.asarray(s.ltris), (0,),
+        interpret=True, count_depth=False,
+    )
+    r2 = tps.traverse_packet_slim(
+        o, d, t0, jnp.asarray(so.nodes), jnp.asarray(so.ltris), (0,),
+        interpret=True, count_depth=False, occl=True, pay=jnp.asarray(pay),
+    )
+    np.testing.assert_array_equal(np.asarray(r1[1]), np.asarray(r2[1]))
+    np.testing.assert_array_equal(np.asarray(r1[0]), np.asarray(r2[0]))
+    for c in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(r1[3][c]), np.asarray(r2[3][c])
+        )
+
+
+def test_leaf14_scene_energy_bitwise(monkeypatch):
+    """Full advanced frame: CPUGPU_LEAF14 on vs off is bitwise
+    invisible away from equal-t ties (identical nearest hit + payload
+    -> identical shading and RNG).  The camera sits off the icosphere's
+    symmetry planes so no tie is sampled."""
+    monkeypatch.setenv("CPUGPU_TPU_FORCE_PACKET", "1")
+    settings = RenderSettings(max_ray_depth=4)
+
+    def _trace_off_axis(dev):
+        w, h = 64, 32
+        cam = camlib.to_arrays(
+            CameraConfig(pos=(0.37, 0.11, 6.0), aspect=2.0))
+        lane = jnp.arange(w * h, dtype=jnp.uint32)
+        o, d, pix = camlib.blocked_lane_rays(cam, lane, w, h, 8, 16)
+        state = rnglib.seed_lanes(pix, jnp.uint32(0), salt=0x7777)
+        _, res = integrators.trace_advanced_mega(dev, settings, o, d, state)
+        return res
+
+    monkeypatch.setattr(scenelib, "PACKET_OCCL", False)
+    monkeypatch.setattr(scenelib, "PACKET_LEAF14", False)
+    ref = _trace_off_axis(_scene().device())
+
+    monkeypatch.setattr(scenelib, "PACKET_LEAF14", True)
+    dev = _scene().device()
+    assert dev.poccl_pay is not None
+    got = _trace_off_axis(dev)
+    assert int(ref.traced_rays) == int(got.traced_rays)
+    np.testing.assert_array_equal(
+        np.asarray(ref.energy), np.asarray(got.energy)
+    )
+
+
+def test_flattened_leaf14_payload_exact(monkeypatch, rng_np):
+    """Flattened-instance leaf-14 payload rows (repacked from the
+    spliced shading pltris) carry the identical world normal/obj/id."""
+    monkeypatch.setenv("CPUGPU_TPU_FORCE_PACKET", "1")
+    monkeypatch.setattr(scenelib, "PACKET_OCCL", False)
+    monkeypatch.setattr(scenelib, "PACKET_LEAF14", True)
+    dev = _flat_scene([_tf(), _tf(3.0, 0.5, 0.7),
+                       _tf(-3.0, 1.5, -1.2, 1.0)]).device()
+    assert dev.packet_flattened and dev.poccl_pay is not None
+    n = 2048
+    o, d = _rays(rng_np, n)
+    t0 = jnp.full((n,), RAY_TMAX, jnp.float32)
+    r1 = tps.traverse_packet_slim(
+        o, d, t0, dev.pnodes, dev.pltris, dev.proots,
+        interpret=True, count_depth=False,
+    )
+    r2 = tps.traverse_packet_slim(
+        o, d, t0, dev.poccl_nodes, dev.poccl_ltris, dev.poccl_roots,
+        interpret=True, count_depth=False, occl=True, pay=dev.poccl_pay,
+    )
+    np.testing.assert_array_equal(np.asarray(r1[1]), np.asarray(r2[1]))
+    np.testing.assert_array_equal(np.asarray(r1[0]), np.asarray(r2[0]))
+    np.testing.assert_array_equal(np.asarray(r1[2]), np.asarray(r2[2]))
+    for c in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(r1[3][c]), np.asarray(r2[3][c])
+        )
+
+
+@pytest.mark.parametrize("leaf14", [False, True], ids=["occl", "leaf14"])
+def test_flattened_occl_refit_bitwise(monkeypatch, leaf14):
+    """A transform refit reproduces a fresh build's occl (and leaf-14
+    payload) tables BITWISE (build and refit share _refit_apply_occl's
+    splice + repack)."""
     monkeypatch.setenv("CPUGPU_TPU_FORCE_PACKET", "1")
     monkeypatch.setattr(scenelib, "PACKET_OCCL", True)
+    monkeypatch.setattr(scenelib, "PACKET_LEAF14", leaf14)
     target = _tf(3.0, 0.5, 0.7)
     s1 = _flat_scene([_tf(), target])
     d1 = s1.device()
@@ -221,6 +322,10 @@ def test_flattened_occl_refit_bitwise(monkeypatch):
     s2.set_instance_transform(0, 1, target)
     d2 = s2.device()
     assert d1.poccl_nodes is not None and d2.poccl_nodes is not None
-    for f in ("poccl_nodes", "poccl_ltris"):
+    fields = ["poccl_nodes", "poccl_ltris"]
+    if leaf14:
+        assert d1.poccl_pay is not None
+        fields.append("poccl_pay")
+    for f in fields:
         a, b = np.asarray(getattr(d1, f)), np.asarray(getattr(d2, f))
         assert a.tobytes() == b.tobytes(), f

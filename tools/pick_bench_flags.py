@@ -100,6 +100,14 @@ COMBOS = {
         "CPUGPU_CONDPUSH": "1", "CPUGPU_PIPELINED": "1",
         "CPUGPU_OCCL": "1",
     },
+    # leaf-14 closest-hit tables (round-3 fourth wave,
+    # tools/run_r3_leaf14.sh): the megakernel's closest-hit traversal
+    # also rides the 14-record tree, payload rows in parallel
+    "c3_leaf14": {
+        "CPUGPU_PACKET_TREE": "sweep_dp", "CPUGPU_FRAMESTACK": "1",
+        "CPUGPU_CONDPUSH": "1", "CPUGPU_PIPELINED": "1",
+        "CPUGPU_OCCL": "1", "CPUGPU_LEAF14": "1",
+    },
 }
 
 

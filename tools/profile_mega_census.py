@@ -53,8 +53,19 @@ def main():
     nee = settings.next_event_estimation and dev.num_lights > 0
     num_sph = int(dev.sph_center.shape[0])
     num_pln = int(dev.pln_point.shape[0])
+    # mirror trace_advanced_mega's table selection: under
+    # CPUGPU_LEAF14 the closest-hit traversal rides the leaf-14
+    # tables with the parallel payload rows
+    mk_nodes, mk_ltris, mk_roots = dev.pnodes, dev.pltris, dev.proots
+    pay_kw = {}
+    if dev.poccl_pay is not None and not (
+        dev.num_instances and not dev.packet_flattened
+    ):
+        mk_nodes, mk_ltris = dev.poccl_nodes, dev.poccl_ltris
+        mk_roots = dev.poccl_roots
+        pay_kw = dict(pay=dev.poccl_pay)
     static = dict(
-        roots=dev.proots,
+        roots=mk_roots,
         num_mats=int(dev.mk_mats.shape[0]),
         num_lights=dev.num_lights,
         num_sph=num_sph,
@@ -66,6 +77,7 @@ def main():
         ref_pdf=settings.diffuse_pdf_mode == DiffusePdfMode.REFERENCE,
         interpret=jax.default_backend() != "tpu",
         count_iters=True,
+        **pay_kw,
     )
     shadow_extra = {}
     if dev.num_instances and not dev.packet_flattened:
@@ -93,7 +105,7 @@ def main():
         nact = int(np.asarray(jnp.sum(c["active"])))
         t0 = time.perf_counter()
         res = mk.shade_extend(
-            dev.pnodes, dev.pltris, dev.mk_mats, dev.mk_lights,
+            mk_nodes, mk_ltris, dev.mk_mats, dev.mk_lights,
             dev.mk_sph, dev.mk_pln, dev.mk_sph_mat, dev.mk_pln_mat,
             dev.mk_objmat,
             jnp.int32(d)[None],

@@ -99,12 +99,57 @@ def check_parity(n_rays: int = 2048, chunk: int = 512, seed: int = 5) -> dict:
     assert any_mism == 0, f"{any_mism} any-hit occlusion mismatches"
     # depth AOV sanity on the compiled path (was all-zeros in round 1)
     assert int(np.asarray(depth)[hm].min()) >= 1, "bvh_depth AOV is zero on hits"
-    return {
+    res = {
         "ok": True,
         "checked": int(n_rays),
         "backend": jax.default_backend(),
         "max_t_rel": max_rel,
     }
+
+    # CPUGPU_OCCL / CPUGPU_LEAF14: the benched megakernels route shadow
+    # any-hits (and, under LEAF14, the closest-hit traversal itself)
+    # over the leaf-14 occl tables -- prove THOSE compiled kernels too.
+    from cpugpupathtracing_tpu.models.scene import occl_tables
+
+    occ = occl_tables(dev)
+    if occ is not None:
+        onodes, oltris, oroots = occ
+        _, ohit, *_ = tps.traverse_packet_slim(
+            o, d, t0, onodes, oltris, oroots, any_hit=True, occl=True,
+        )
+        o_mism = int(((np.asarray(ohit) >= 0) != hm).sum())
+        assert o_mism == 0, (
+            f"{o_mism} occl-table any-hit occlusion mismatches"
+        )
+        res["occl_any_hit_checked"] = True
+        if dev.poccl_pay is not None:
+            lt, lhit, lobj, lnrm, _, _ = tps.traverse_packet_slim(
+                o, d, t0, onodes, oltris, oroots, occl=True,
+                pay=dev.poccl_pay,
+            )
+            # identical nearest triangle + bitwise t/payload vs the
+            # shading tables (equal-t ties aside; none in this ray set
+            # -- the shading gate above already pinned ids to the
+            # oracle, so equality here is id exactness again)
+            l_mism = int((np.asarray(lhit) != hit_np).sum())
+            assert l_mism == 0, (
+                f"{l_mism} leaf-14 closest-hit ids differ from the "
+                "shading tables"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(lt)[hm], t_np[hm], err_msg="leaf-14 t"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(lobj)[hm], np.asarray(obj)[hm],
+                err_msg="leaf-14 obj",
+            )
+            for c in range(3):
+                np.testing.assert_array_equal(
+                    np.asarray(lnrm[c])[hm], np.asarray(normal[c])[hm],
+                    err_msg=f"leaf-14 normal[{c}]",
+                )
+            res["leaf14_checked"] = True
+    return res
 
 
 def check_parity_instanced(n_rays: int = 2048, chunk: int = 512, seed: int = 9) -> dict:
