@@ -730,6 +730,7 @@ def trace_advanced_mega(
     idx=None,
     frame_stack=None,
     cond_push=None,
+    rowx=None,
 ) -> tuple[jnp.ndarray, TraceResult]:
     """TracePathAdvanced via the fused per-depth megakernels
     (ops/megakernel.py): per depth, ONE closest-hit+shading launch and
@@ -779,6 +780,7 @@ def trace_advanced_mega(
         cond_push=cond_push,
         fused_nn=fused_nn,
         width=mk_width,
+        rowx=rowx,
         **pay_kw,
     )
     if instanced:
@@ -840,6 +842,7 @@ def trace_advanced_mega(
                     roots=sh_roots, num_sph=num_sph, num_pln=num_pln,
                     interpret=interpret, frame_stack=frame_stack,
                     cond_push=cond_push, fused_nn=0, width=8, occl=True,
+                    rowx=rowx,
                 )
             else:
                 sh_nodes, sh_ltris = mk_nodes, mk_ltris
@@ -847,7 +850,7 @@ def trace_advanced_mega(
                     roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
                     interpret=interpret, frame_stack=frame_stack,
                     cond_push=cond_push, fused_nn=fused_nn,
-                    width=dev.packet_width,
+                    width=dev.packet_width, rowx=rowx,
                 )
                 if instanced:
                     shadow_static.update(

@@ -54,9 +54,9 @@ from jax.experimental.pallas import tpu as pltpu
 from cpugpupathtracing_tpu.models.bvh8 import SLIM_EMPTY
 from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
     RESTORE, FSTACK_FRAMES, FRAMESTACK_DEFAULT, PIPELINED_DEFAULT,
-    NEAREST_DEFAULT, CONDPUSH_DEFAULT, _check_table_width, _ctz8,
-    _frame_mask, _frame_pop, _frame_push, _leaf_tests,
-    _resolve_width_flags,
+    NEAREST_DEFAULT, CONDPUSH_DEFAULT, ROWX_DEFAULT, _check_table_width,
+    _ctz8, _frame_mask, _frame_pop, _frame_push, _leaf_tests,
+    _resolve_rowx, _resolve_width_flags, _sub_min, _sub_max,
 )
 
 TILE = 1024
@@ -137,15 +137,21 @@ def _emit_traversal(
     count_iters=False, num_inst=0, iid_ref=None, rays_ref=None,
     inst_inv_ref=None, inst_root_ref=None, frame_stack=False, fused_nn=0,
     pipelined=False, entry2_ref=None, nearest=False, cond_push=False,
-    width=WIDTH, occl=False, pay_ref=None,
+    width=WIDTH, occl=False, pay_ref=None, rowx=1,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
-    m_act: (8,128) bool live-lane mask.  Returns (t, tri, obj, nx, ny,
-    nz) with tri/obj = -1 and normal 0 on miss (plus the hit instance
-    id when num_inst > 0, plus the while-loop iteration count when
-    count_iters).  For any_hit=True the per-lane t stays t_init and
-    tri >= 0 flags occlusion.
+    m_act: (8*rowx,128) bool live-lane mask.  Returns (t, tri, obj, nx,
+    ny, nz) with tri/obj = -1 and normal 0 on miss (plus the hit
+    instance id when num_inst > 0, plus the while-loop iteration count
+    when count_iters).  For any_hit=True the per-lane t stays t_init
+    and tri >= 0 flags occlusion.
+
+    rowx > 1 (CPUGPU_ROWX, wider packet rows): each of the 8 stacks
+    drives rowx sublanes; ray operands arrive as (8*rowx, 128) with
+    logical row j owning sublanes [rowx*j, rowx*j + rowx) -- adjacent
+    sorted spans.  Non-instanced split tables only (see
+    ops/traverse_packet_slim.py ROWX_DEFAULT).
 
     With num_inst > 0 the TLAS instance machinery of
     ops/traverse_packet_slim.py runs: popping an INSTANCE child entry
@@ -155,7 +161,8 @@ def _emit_traversal(
     in OBJECT space with the owning instance id for the shading
     epilogue to transform.
     """
-    shape = (ROWS, LANES)
+    SUB = rowx
+    shape = (ROWS * SUB, LANES)
     instanced = num_inst > 0
     # node-arity locals (see ops/traverse_packet_slim.py): width 16 =
     # one full (B, 128) row, entries at col 96, 17-slot frames
@@ -205,22 +212,22 @@ def _emit_traversal(
         # see ops/traverse_packet_slim.py pipe_body for the scheme and
         # the exactness argument.  bvh_depth is not tracked here (the
         # megakernels run with AOVs off by gate).
-        shape_ = (ROWS, LANES)
+        shape_ = (ROWS * SUB, LANES)
         if fused_nn:
             lmat0 = jnp.concatenate(
-                [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
+                [nodes_ref[pl.ds(roots[0], 1), :]] * (ROWS * SUB), axis=0
             )
             nmat0 = None
         else:
             nmat0 = jnp.concatenate(
-                [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
+                [nodes_ref[pl.ds(roots[0], 1), :]] * (ROWS * SUB), axis=0
             )
             lmat0 = jnp.concatenate(
-                [ltris_ref[pl.ds(0, 1), :]] * ROWS, axis=0
+                [ltris_ref[pl.ds(0, 1), :]] * (ROWS * SUB), axis=0
             )
             if pay_ref is not None:
                 pmat0 = jnp.concatenate(
-                    [pay_ref[pl.ds(0, 1), :]] * ROWS, axis=0
+                    [pay_ref[pl.ds(0, 1), :]] * (ROWS * SUB), axis=0
                 )
 
         def pipe_body(carry):
@@ -234,8 +241,9 @@ def _emit_traversal(
             m = m_act
             if any_hit:
                 m = m & (hit < 0)
-                row_live_v = jnp.max(m.astype(jnp.int32), axis=1,
-                                     keepdims=True)
+                row_live_v = _sub_max(
+                    jnp.max(m.astype(jnp.int32), axis=1, keepdims=True),
+                    SUB)
 
             entries, leaf_s, int_s, nexts = [], [], [], []
             urows, ulrows, uprows = [], [], []
@@ -245,7 +253,7 @@ def _emit_traversal(
                 live = e != DONE
                 rl = None
                 if any_hit:
-                    rl = row_live_v[j, 0] != 0
+                    rl = row_live_v[SUB * j, 0] != 0
                     live = live & rl
                 if fused_nn:
                     leaf_s.append(live & (e >= fused_nn))
@@ -272,16 +280,17 @@ def _emit_traversal(
                 sptr_ref[j] = sp2
                 nexts.append(nxt)
                 if fused_nn:
-                    urows.append(
-                        nodes_ref[pl.ds(jnp.where(nxt != DONE, nxt, 0), 1), :]
+                    urows.extend(
+                        [nodes_ref[pl.ds(jnp.where(nxt != DONE, nxt, 0), 1),
+                                   :]] * SUB
                     )
                 else:
                     nn_i = jnp.where((nxt != DONE) & (nxt >= 0), nxt, 0)
                     nl_i = jnp.where(nxt < 0, -nxt - 1, 0)
-                    urows.append(nodes_ref[pl.ds(nn_i, 1), :])
-                    ulrows.append(ltris_ref[pl.ds(nl_i, 1), :])
+                    urows.extend([nodes_ref[pl.ds(nn_i, 1), :]] * SUB)
+                    ulrows.extend([ltris_ref[pl.ds(nl_i, 1), :]] * SUB)
                     if pay_ref is not None:
-                        uprows.append(pay_ref[pl.ds(nl_i, 1), :])
+                        uprows.extend([pay_ref[pl.ds(nl_i, 1), :]] * SUB)
             pmat_next = None
             if fused_nn:
                 lmat_next = jnp.concatenate(urows, axis=0)
@@ -295,11 +304,13 @@ def _emit_traversal(
             nmat = lmat[:, :NC] if fused_nn else nmat_c
             imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
             leaf_v = jnp.concatenate(
-                [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
+                [jnp.full((SUB, 1), leaf_s[j], jnp.int32)
+                 for j in range(ROWS)],
                 axis=0,
             ) != 0
             int_v = jnp.concatenate(
-                [jnp.full((1, 1), int_s[j], jnp.int32) for j in range(ROWS)],
+                [jnp.full((SUB, 1), int_s[j], jnp.int32)
+                 for j in range(ROWS)],
                 axis=0,
             ) != 0
 
@@ -325,8 +336,11 @@ def _emit_traversal(
                 for k in R
             ]
             fin = [
-                jnp.min(jnp.where(bm[k], tmin[k], jnp.inf), axis=1,
-                        keepdims=True)
+                _sub_min(
+                    jnp.min(jnp.where(bm[k], tmin[k], jnp.inf), axis=1,
+                            keepdims=True),
+                    SUB,
+                )
                 for k in R
             ]
             fs_mask = _frame_mask(fin, nearest, width)
@@ -338,8 +352,8 @@ def _emit_traversal(
             alive = jnp.int32(0)
             for j in range(ROWS):
                 sp = sptr_ref[j]
-                w = fs_mask[j, 0]
-                es_ = [imat[j, EO + k] for k in range(width)]
+                w = fs_mask[SUB * j, 0]
+                es_ = [imat[SUB * j, EO + k] for k in range(width)]
                 if frame_stack:
                     base_p = jnp.minimum(sp, FSTK - FR)
                     pushc = int_s[j] & ((w & LM) != 0)
@@ -362,7 +376,7 @@ def _emit_traversal(
                 entry_ref[j] = entry2_ref[j]
                 row_alive = (nexts[j] != DONE) | (sp > 0)
                 if any_hit:
-                    row_alive = row_alive & (row_live_v[j, 0] != 0)
+                    row_alive = row_alive & (row_live_v[SUB * j, 0] != 0)
                 alive = alive + jnp.where(row_alive, 1, 0)
             out = (t, hit, obj, nx, ny, nz)
             if not fused_nn:
@@ -420,8 +434,9 @@ def _emit_traversal(
             m = m & (hit < 0)
             # any-hit row flush (see ops/traverse_packet_slim.py): a row
             # whose live lanes are all occluded is parked immediately
-            row_live_v = jnp.max(m.astype(jnp.int32), axis=1,
-                                 keepdims=True)            # (8, 1)
+            row_live_v = _sub_max(
+                jnp.max(m.astype(jnp.int32), axis=1, keepdims=True),
+                SUB)                                       # (8*SUB, 1)
 
         nrows, lrows, prows, leaf_s, int_s = [], [], [], [], []
         if fused_nn:
@@ -432,10 +447,11 @@ def _emit_traversal(
                 e = entry_ref[j]
                 live = e != DONE
                 if any_hit:
-                    live = live & (row_live_v[j, 0] != 0)
+                    live = live & (row_live_v[SUB * j, 0] != 0)
                 leaf_s.append(live & (e >= fused_nn))
                 int_s.append(live & (e < fused_nn))
-                urows.append(nodes_ref[pl.ds(jnp.where(live, e, 0), 1), :])
+                urows.extend(
+                    [nodes_ref[pl.ds(jnp.where(live, e, 0), 1), :]] * SUB)
             lmat = jnp.concatenate(urows, axis=0)
             nmat = lmat[:, :NC]
         else:
@@ -443,7 +459,7 @@ def _emit_traversal(
                 e = entry_ref[j]
                 live = e != DONE
                 if any_hit:
-                    live = live & (row_live_v[j, 0] != 0)
+                    live = live & (row_live_v[SUB * j, 0] != 0)
                 leaf = live & (e < 0)
                 if instanced:
                     interior = live & (e >= 0) & (e < RESTORE)
@@ -451,10 +467,10 @@ def _emit_traversal(
                     interior = live & (e >= 0)
                 node = jnp.where(interior, e, 0)
                 lrow = jnp.where(leaf, -e - 1, 0)
-                nrows.append(nodes_ref[pl.ds(node, 1), :])
-                lrows.append(ltris_ref[pl.ds(lrow, 1), :])
+                nrows.extend([nodes_ref[pl.ds(node, 1), :]] * SUB)
+                lrows.extend([ltris_ref[pl.ds(lrow, 1), :]] * SUB)
                 if pay_ref is not None:
-                    prows.append(pay_ref[pl.ds(lrow, 1), :])
+                    prows.extend([pay_ref[pl.ds(lrow, 1), :]] * SUB)
                 leaf_s.append(leaf)
                 int_s.append(interior)
             nmat = jnp.concatenate(nrows, axis=0)
@@ -462,16 +478,17 @@ def _emit_traversal(
         pmat = jnp.concatenate(prows, axis=0) if pay_ref is not None else None
         imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
         leaf_v = jnp.concatenate(
-            [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
+            [jnp.full((SUB, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
             axis=0,
         ) != 0
         int_v = jnp.concatenate(
-            [jnp.full((1, 1), int_s[j], jnp.int32) for j in range(ROWS)],
+            [jnp.full((SUB, 1), int_s[j], jnp.int32) for j in range(ROWS)],
             axis=0,
         ) != 0
         if instanced:
             iid_v = jnp.concatenate(
-                [jnp.full((1, 1), iid_ref[j], jnp.int32) for j in range(ROWS)],
+                [jnp.full((SUB, 1), iid_ref[j], jnp.int32)
+                 for j in range(ROWS)],
                 axis=0,
             )
 
@@ -498,7 +515,11 @@ def _emit_traversal(
             for k in R
         ]
         child_dmin = [
-            jnp.min(jnp.where(bm[k], tmin[k], jnp.inf), axis=1, keepdims=True)
+            _sub_min(
+                jnp.min(jnp.where(bm[k], tmin[k], jnp.inf), axis=1,
+                        keepdims=True),
+                SUB,
+            )
             for k in R
         ]
 
@@ -520,15 +541,15 @@ def _emit_traversal(
             e = entry_ref[j]
             live = e != DONE
             if any_hit:
-                live = live & (row_live_v[j, 0] != 0)
+                live = live & (row_live_v[SUB * j, 0] != 0)
             interior = int_s[j]
             sp = sptr_ref[j]
-            es_ = [imat[j, EO + k] for k in range(width)]
+            es_ = [imat[SUB * j, EO + k] for k in range(width)]
 
             if frame_stack:
                 # 9-slot frame push (8 unconditional stores + pass mask),
                 # ctz pop -- bit-exact hits vs the linear scheme
-                w = fs_mask[j, 0]
+                w = fs_mask[SUB * j, 0]
                 slot0 = es_[0]
                 if instanced:
                     is_inst = live & (e > SLIM_EMPTY)
@@ -597,7 +618,7 @@ def _emit_traversal(
                 alive = alive + jnp.where(nxt != DONE, 1, 0)
                 continue
 
-            ds_ = [child_dmin[k][j, 0] for k in range(width)]
+            ds_ = [child_dmin[k][SUB * j, 0] for k in range(width)]
             # fixed push order for both modes (see traverse_packet_slim)
             for k in range(width):
                 push = jnp.isfinite(ds_[k]) & interior
@@ -756,12 +777,14 @@ def _shade_extend_kernel(
     roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
-    interp=False, cond_push=False, width=WIDTH, with_pay=False,
+    interp=False, cond_push=False, width=WIDTH, with_pay=False, rowx=1,
 ):
     """One integrator depth minus the shadow resolve: traversal + the
     full TracePathAdvanced shading body (Source/Main.cpp:396-579).
     with_pay: nodes/ltris are the leaf-14 tables (bvh8.to_slim_occl)
-    and the payload table (bvh8.occl_payload) rides as the next ref."""
+    and the payload table (bvh8.occl_payload) rides as the next ref.
+    rowx: wider packet rows (see _emit_traversal); the shading body is
+    lane-elementwise so only the tile geometry changes."""
     i = 0
     pay_ref = None
     if with_pay:
@@ -799,15 +822,18 @@ def _shade_extend_kernel(
         rays_ref, iid_ref = tail[i : i + 2]
     else:
         rays_ref = iid_ref = None
-    shape = (ROWS, LANES)
-    for g in range(GROUPS):
-        gs = slice(g * TILE, (g + 1) * TILE)
+    SUB = rowx
+    NTILES = GROUPS // SUB
+    TL = TILE * SUB
+    shape = (ROWS * SUB, LANES)
+    for g in range(NTILES):
+        gs = slice(g * TL, (g + 1) * TL)
         act_i = fl_ref[gs] & 1
         any_act = jnp.sum(act_i) > 0
         if count_iters:
             # interpret mode blocks the iters output per grid step (its
             # CPU lowering lacks program_id; see traverse_packet_slim)
-            iters_ref[g if interp else pl.program_id(0) * GROUPS + g] = 0
+            iters_ref[g if interp else pl.program_id(0) * NTILES + g] = 0
 
         @pl.when(jnp.logical_not(any_act))
         def _dead(gs=gs):
@@ -828,16 +854,16 @@ def _shade_extend_kernel(
             ney_ref[gs] = ey_ref[gs]
             nez_ref[gs] = ez_ref[gs]
             nfl_ref[gs] = fl_ref[gs] & 3  # sneed bit cleared
-            sox_ref[gs] = jnp.zeros((TILE,), jnp.float32)
-            soy_ref[gs] = jnp.zeros((TILE,), jnp.float32)
-            soz_ref[gs] = jnp.zeros((TILE,), jnp.float32)
-            sdx_ref[gs] = jnp.zeros((TILE,), jnp.float32)
-            sdy_ref[gs] = jnp.zeros((TILE,), jnp.float32)
-            sdz_ref[gs] = jnp.zeros((TILE,), jnp.float32)
-            stm_ref[gs] = jnp.zeros((TILE,), jnp.float32)
-            cx_ref[gs] = jnp.zeros((TILE,), jnp.float32)
-            cy_ref[gs] = jnp.zeros((TILE,), jnp.float32)
-            cz_ref[gs] = jnp.zeros((TILE,), jnp.float32)
+            sox_ref[gs] = jnp.zeros((TL,), jnp.float32)
+            soy_ref[gs] = jnp.zeros((TL,), jnp.float32)
+            soz_ref[gs] = jnp.zeros((TL,), jnp.float32)
+            sdx_ref[gs] = jnp.zeros((TL,), jnp.float32)
+            sdy_ref[gs] = jnp.zeros((TL,), jnp.float32)
+            sdz_ref[gs] = jnp.zeros((TL,), jnp.float32)
+            stm_ref[gs] = jnp.zeros((TL,), jnp.float32)
+            cx_ref[gs] = jnp.zeros((TL,), jnp.float32)
+            cy_ref[gs] = jnp.zeros((TL,), jnp.float32)
+            cz_ref[gs] = jnp.zeros((TL,), jnp.float32)
 
         @pl.when(any_act)
         def _live(g=g, gs=gs):
@@ -873,12 +899,12 @@ def _shade_extend_kernel(
                 frame_stack=frame_stack, fused_nn=fused_nn,
                 pipelined=pipelined, entry2_ref=entry2_ref,
                 nearest=nearest, cond_push=cond_push, width=width,
-                occl=with_pay, pay_ref=pay_ref,
+                occl=with_pay, pay_ref=pay_ref, rowx=rowx,
             )
             t, tri, obj, mnx, mny, mnz = trav[:6]
             if count_iters:
                 iters_ref[
-                    g if interp else pl.program_id(0) * GROUPS + g
+                    g if interp else pl.program_id(0) * NTILES + g
                 ] = trav[-1]
             if num_inst:
                 # world normal = (inv M)^T @ n_object, normalized --
@@ -1222,7 +1248,7 @@ def _shadow_resolve_kernel(
     *tail,
     roots, num_sph, num_pln, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
-    interp=False, cond_push=False, width=WIDTH, occl=False,
+    interp=False, cond_push=False, width=WIDTH, occl=False, rowx=1,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
     i = 0
@@ -1252,14 +1278,17 @@ def _shadow_resolve_kernel(
         rays_ref, iid_ref = tail[i : i + 2]
     else:
         rays_ref = iid_ref = None
-    shape = (ROWS, LANES)
-    for g in range(GROUPS):
-        gs = slice(g * TILE, (g + 1) * TILE)
+    SUB = rowx
+    NTILES = GROUPS // SUB
+    TL = TILE * SUB
+    shape = (ROWS * SUB, LANES)
+    for g in range(NTILES):
+        gs = slice(g * TL, (g + 1) * TL)
         sneed_i = (fl_ref[gs] >> 2) & 1
         any_s = jnp.sum(sneed_i) > 0
         if count_iters:
             # interpret mode: per-step blocked (see traverse_packet_slim)
-            iters_ref[g if interp else pl.program_id(0) * GROUPS + g] = 0
+            iters_ref[g if interp else pl.program_id(0) * NTILES + g] = 0
 
         @pl.when(jnp.logical_not(any_s))
         def _dead(gs=gs):
@@ -1287,12 +1316,12 @@ def _shadow_resolve_kernel(
                 frame_stack=frame_stack, fused_nn=fused_nn,
                 pipelined=pipelined, entry2_ref=entry2_ref,
                 nearest=nearest, cond_push=cond_push, width=width,
-                occl=occl,
+                occl=occl, rowx=rowx,
             )
             t, tri = trav[0], trav[1]
             if count_iters:
                 iters_ref[
-                    g if interp else pl.program_id(0) * GROUPS + g
+                    g if interp else pl.program_id(0) * NTILES + g
                 ] = trav[-1]
             occluded = tri >= 0
             for s in range(num_sph):
@@ -1348,7 +1377,7 @@ def _pad_to(step, arrs, pad_vals):
         "roots", "num_mats", "num_lights", "num_sph", "num_pln", "num_objs",
         "nee", "rr", "cosine", "ref_pdf", "interpret", "count_iters",
         "frame_stack", "fused_nn", "pipelined", "nearest", "cond_push",
-        "width",
+        "width", "rowx",
     ),
 )
 def shade_extend(
@@ -1358,7 +1387,7 @@ def shade_extend(
     nee, rr, cosine, ref_pdf, interpret=False, count_iters=False,
     inst_inv=None, inst_nrm=None, inst_root=None, frame_stack=None,
     fused_nn=0, pipelined=None, nearest=None, cond_push=None, width=8,
-    pay=None,
+    pay=None, rowx=None,
 ):
     """One fused depth step (minus shadow resolve) over the wavefront.
 
@@ -1396,6 +1425,7 @@ def shade_extend(
             "machinery (flatten the scene)")
     if cond_push is None:
         cond_push = CONDPUSH_DEFAULT and frame_stack
+    rowx = _resolve_rowx(rowx, num_inst, fused_nn, width, nearest)
 
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
@@ -1423,11 +1453,11 @@ def shade_extend(
         # mode must block it per step (no program_id on CPU).
         if interpret:
             out_specs.append(pl.BlockSpec(
-                (GROUPS,), lambda i: (i,), memory_space=pltpu.SMEM))
+                (GROUPS // rowx,), lambda i: (i,), memory_space=pltpu.SMEM))
         else:
             out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         out_shape.append(
-            jax.ShapeDtypeStruct((num_steps * GROUPS,), jnp.int32)
+            jax.ShapeDtypeStruct((num_steps * (GROUPS // rowx),), jnp.int32)
         )
     scratch = [
         pltpu.SMEM((ROWS,), jnp.int32),
@@ -1456,7 +1486,7 @@ def shade_extend(
             frame_stack=frame_stack, fused_nn=fused_nn,
             pipelined=pipelined, nearest=nearest and frame_stack,
             interp=interpret, cond_push=cond_push and frame_stack,
-            width=width, with_pay=pay is not None,
+            width=width, with_pay=pay is not None, rowx=rowx,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -1487,7 +1517,7 @@ def shade_extend(
     static_argnames=("roots", "num_sph", "num_pln", "interpret",
                      "count_iters", "frame_stack", "fused_nn", "pipelined",
                      "cond_push",
-                     "nearest", "width", "occl"),
+                     "nearest", "width", "occl", "rowx"),
 )
 def shadow_resolve(
     nodes, ltris, sph, pln,
@@ -1495,6 +1525,7 @@ def shadow_resolve(
     *, roots, num_sph, num_pln, interpret=False, count_iters=False,
     inst_inv=None, inst_root=None, frame_stack=None, fused_nn=0,
     pipelined=None, nearest=None, cond_push=None, width=8, occl=False,
+    rowx=None,
 ):
     """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)
     (plus per-sub-tile iteration counts when count_iters).  inst_inv /
@@ -1529,6 +1560,7 @@ def shadow_resolve(
             "machinery (flatten the scene)")
     if cond_push is None:
         cond_push = CONDPUSH_DEFAULT and frame_stack
+    rowx = _resolve_rowx(rowx, num_inst, fused_nn, width, nearest)
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
@@ -1543,11 +1575,11 @@ def shadow_resolve(
     if count_iters:
         if interpret:  # see the shade kernel's note
             out_specs.append(pl.BlockSpec(
-                (GROUPS,), lambda i: (i,), memory_space=pltpu.SMEM))
+                (GROUPS // rowx,), lambda i: (i,), memory_space=pltpu.SMEM))
         else:
             out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         out_shape.append(
-            jax.ShapeDtypeStruct((num_steps * GROUPS,), jnp.int32)
+            jax.ShapeDtypeStruct((num_steps * (GROUPS // rowx),), jnp.int32)
         )
     scratch = [
         pltpu.SMEM((ROWS,), jnp.int32),
@@ -1574,7 +1606,7 @@ def shadow_resolve(
             frame_stack=frame_stack, fused_nn=fused_nn,
             pipelined=pipelined, nearest=nearest and frame_stack,
             interp=interpret, cond_push=cond_push and frame_stack,
-            width=width, occl=occl,
+            width=width, occl=occl, rowx=rowx,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

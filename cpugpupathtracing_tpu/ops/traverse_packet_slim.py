@@ -104,6 +104,63 @@ NEAREST_DEFAULT = os.environ.get("CPUGPU_NEAREST", "") == "1"
 # when the mask is non-zero) and is never observed.  Read at import.
 CONDPUSH_DEFAULT = os.environ.get("CPUGPU_CONDPUSH", "") == "1"
 
+# CPUGPU_ROWX=2|4: WIDER PACKET ROWS -- each of the 8 per-tile stacks
+# drives 2 or 4 sublanes (256 / 512 rays) instead of 1 (128).  The
+# scalar pop/push/load chain that dominates the ~1.1-1.4 us iteration
+# (kernel_lab ns/iter fits; the 14-record occl rows test 75% more
+# triangles per leaf iteration at FLAT ns/it, tools/occl_lab.py) is
+# paid once per stack per iteration regardless of row width, so the
+# win is (iterations per lane) down ~2-4x against (vector ALU per
+# iteration) up 2-4x -- net positive wherever adjacent sorted spans
+# share most node visits (the round-3 narrower-packet study measured
+# ~85% sharing between adjacent 256-lane spans; offline union counts in
+# tools/widerow_lab.py).  Hits stay bit-exact (strict-< accepts are
+# visit-order independent); iteration counts and the depth AOV shift
+# within the documented t-evolution-timing envelope.  Plain split-table
+# kernels only (no instance machinery / fused tables / w16 / nearest).
+ROWX_DEFAULT = int(os.environ.get("CPUGPU_ROWX") or "1")
+
+
+def _resolve_rowx(rowx, num_inst, fused_nn, width, nearest):
+    """Shared rowx resolution: the env default degrades silently on
+    incompatible variants (so CPUGPU_ROWX composes with any scene); an
+    explicit incompatible request raises."""
+    incompatible = num_inst or fused_nn or width != 8 or nearest
+    if rowx is None:
+        rowx = ROWX_DEFAULT
+        if incompatible:
+            rowx = 1
+    elif rowx != 1 and incompatible:
+        raise ValueError(
+            "rowx > 1 (wider packet rows) requires the plain "
+            "non-instanced 8-wide split-table kernel without nearest")
+    if rowx not in (1, 2, 4):
+        raise ValueError(f"rowx must be 1, 2 or 4, got {rowx}")
+    return rowx
+
+
+def _sub_min(x, sub: int):
+    """Combine sublane groups of `sub` with minimum: after this, sublane
+    sub*j holds the min over sublanes [sub*j, sub*j + sub) (the other
+    sublanes hold wrapped garbage that no caller reads).  Static sublane
+    slices + concatenate only -- no strided ops, Mosaic-safe."""
+    if sub == 1:
+        return x
+    y = jnp.minimum(x, jnp.concatenate([x[1:], x[:1]], axis=0))
+    if sub == 4:
+        y = jnp.minimum(y, jnp.concatenate([y[2:], y[:2]], axis=0))
+    return y
+
+
+def _sub_max(x, sub: int):
+    """_sub_min's max twin (per-merged-row liveness ORs)."""
+    if sub == 1:
+        return x
+    y = jnp.maximum(x, jnp.concatenate([x[1:], x[:1]], axis=0))
+    if sub == 4:
+        y = jnp.maximum(y, jnp.concatenate([y[2:], y[:2]], axis=0))
+    return y
+
 
 def _frame_mask(child_dmin, nearest: bool, width: int = WIDTH):
     """Per-row frame word from the per-child dmin columns: pass-mask
@@ -111,12 +168,12 @@ def _frame_mask(child_dmin, nearest: bool, width: int = WIDTH):
     `nearest` (8-10 at width 8, 16-19 at width 16)."""
     fs_d = jnp.concatenate(child_dmin, axis=1)          # (8, width)
     fs_fin = jnp.isfinite(fs_d)
-    fs_mask = jnp.zeros((ROWS, 1), jnp.int32)
+    fs_mask = jnp.zeros((fs_d.shape[0], 1), jnp.int32)
     for k in range(width):
         fs_mask = fs_mask | (fs_fin[:, k : k + 1].astype(jnp.int32) << k)
     if nearest:
         bd = fs_d[:, 0:1]
-        bkv = jnp.zeros((ROWS, 1), jnp.int32)
+        bkv = jnp.zeros((fs_d.shape[0], 1), jnp.int32)
         for k in range(1, width):
             sw = fs_d[:, k : k + 1] < bd
             bd = jnp.where(sw, fs_d[:, k : k + 1], bd)
@@ -313,7 +370,7 @@ def _traverse_kernel(
     count_iters: bool, frame_stack: bool = False, fused_nn: int = 0,
     pipelined: bool = False, nearest: bool = False, interp: bool = False,
     cond_push: bool = False, width: int = WIDTH, occl: bool = False,
-    with_pay: bool = False,
+    with_pay: bool = False, rowx: int = 1,
 ):
     # node-arity locals: width 8 = the classic (B, 64) slim row, width
     # 16 = one full (B, 128) row (16x6 bounds, entries at 96, counts at
@@ -323,12 +380,17 @@ def _traverse_kernel(
     FR = width + 1              # frame stride (9 / 17)
     LM = (1 << width) - 1       # pass-mask bits
     FSTK = FR * FSTACK_FRAMES
+    # wider rows (CPUGPU_ROWX): each stack drives `rowx` sublanes; the
+    # tile widens to rowx*TILE lanes and the step keeps GROUPS*TILE
+    SUB = rowx
+    NTILES = GROUPS // SUB      # tiles per grid step
+    TL = TILE * SUB             # lanes per tile
     def iters_slot(g):
         # interpret mode blocks the iters output per grid step (and its
         # CPU lowering lacks program_id); compiled TPU passes the whole
         # array (rank-1 SMEM outputs can't be tile-blocked) and indexes
         # it absolutely
-        return g if interp else pl.program_id(0) * GROUPS + g
+        return g if interp else pl.program_id(0) * NTILES + g
     refs = list(refs)
     pay_ref = None
     if with_pay:
@@ -364,8 +426,8 @@ def _traverse_kernel(
             entry_ref, sptr_ref, stack_ref,
         ) = refs
 
-    for g in range(GROUPS):
-        gs = slice(g * TILE, (g + 1) * TILE)
+    for g in range(NTILES):
+        gs = slice(g * TL, (g + 1) * TL)
         # sorted wavefronts leave most late-depth sub-tiles with ZERO
         # active lanes; skip their whole prologue/traversal/epilogue
         # (the Hit contract leaves inactive rows unspecified)
@@ -378,17 +440,17 @@ def _traverse_kernel(
             # exact miss payloads (not garbage VMEM): t = t_init,
             # hit/obj/iid = -1 -- keeps debug_nans clean downstream
             t_out[gs] = t0_ref[gs]
-            hit_out[gs] = jnp.full((TILE,), -1, jnp.int32)
-            obj_out[gs] = jnp.full((TILE,), -1, jnp.int32)
-            nx_out[gs] = jnp.zeros((TILE,), jnp.float32)
-            ny_out[gs] = jnp.zeros((TILE,), jnp.float32)
-            nz_out[gs] = jnp.zeros((TILE,), jnp.float32)
-            depth_out[gs] = jnp.zeros((TILE,), jnp.int32)
-            iid_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+            hit_out[gs] = jnp.full((TL,), -1, jnp.int32)
+            obj_out[gs] = jnp.full((TL,), -1, jnp.int32)
+            nx_out[gs] = jnp.zeros((TL,), jnp.float32)
+            ny_out[gs] = jnp.zeros((TL,), jnp.float32)
+            nz_out[gs] = jnp.zeros((TL,), jnp.float32)
+            depth_out[gs] = jnp.zeros((TL,), jnp.int32)
+            iid_out[gs] = jnp.full((TL,), -1, jnp.int32)
 
         @pl.when(any_act)
         def _group(g=g, gs=gs):
-            shape = (ROWS, LANES)
+            shape = (ROWS * SUB, LANES)
             ox0 = ox_ref[gs].reshape(shape)
             oy0 = oy_ref[gs].reshape(shape)
             oz0 = oz_ref[gs].reshape(shape)
@@ -451,21 +513,23 @@ def _traverse_kernel(
                 # (strict-< accepts bounded by per-lane t).
                 if fused_nn:
                     lmat0 = jnp.concatenate(
-                        [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
+                        [nodes_ref[pl.ds(roots[0], 1), :]] * (ROWS * SUB),
+                        axis=0,
                     )
                     nmat0 = None
                 else:
                     nmat0 = jnp.concatenate(
-                        [nodes_ref[pl.ds(roots[0], 1), :]] * ROWS, axis=0
+                        [nodes_ref[pl.ds(roots[0], 1), :]] * (ROWS * SUB),
+                        axis=0,
                     )
                     # dummy leaf rows: the root is interior, so the leaf
                     # phase is fully masked on iteration 0
                     lmat0 = jnp.concatenate(
-                        [ltris_ref[pl.ds(0, 1), :]] * ROWS, axis=0
+                        [ltris_ref[pl.ds(0, 1), :]] * (ROWS * SUB), axis=0
                     )
                     if with_pay:
                         pmat0 = jnp.concatenate(
-                            [pay_ref[pl.ds(0, 1), :]] * ROWS, axis=0
+                            [pay_ref[pl.ds(0, 1), :]] * (ROWS * SUB), axis=0
                         )
 
                 def pipe_body(carry):
@@ -484,8 +548,9 @@ def _traverse_kernel(
                     m = act0
                     if any_hit:
                         m = m & (hit < 0)
-                        row_live_v = jnp.max(m.astype(jnp.int32), axis=1,
-                                             keepdims=True)    # (8, 1)
+                        row_live_v = _sub_max(
+                            jnp.max(m.astype(jnp.int32), axis=1,
+                                    keepdims=True), SUB)       # (8*SUB, 1)
 
                     # ---- (1) scalar: pop NEXT + issue its loads ----
                     entries, leaf_s, int_s, nexts, sps = [], [], [], [], []
@@ -496,7 +561,7 @@ def _traverse_kernel(
                         live = e != DONE
                         rl = None
                         if any_hit:
-                            rl = row_live_v[j, 0] != 0
+                            rl = row_live_v[SUB * j, 0] != 0
                             live = live & rl
                         if fused_nn:
                             leaf_s.append(live & (e >= fused_nn))
@@ -525,19 +590,21 @@ def _traverse_kernel(
                         sptr_ref[j] = sp2
                         nexts.append(nxt)
                         if fused_nn:
-                            urows.append(
-                                nodes_ref[
+                            urows.extend(
+                                [nodes_ref[
                                     pl.ds(jnp.where(nxt != DONE, nxt, 0), 1),
-                                    :]
+                                    :]] * SUB
                             )
                         else:
                             nn_i = jnp.where(
                                 (nxt != DONE) & (nxt >= 0), nxt, 0)
                             nl_i = jnp.where(nxt < 0, -nxt - 1, 0)
-                            urows.append(nodes_ref[pl.ds(nn_i, 1), :])
-                            ulrows.append(ltris_ref[pl.ds(nl_i, 1), :])
+                            urows.extend([nodes_ref[pl.ds(nn_i, 1), :]] * SUB)
+                            ulrows.extend(
+                                [ltris_ref[pl.ds(nl_i, 1), :]] * SUB)
                             if with_pay:
-                                uprows.append(pay_ref[pl.ds(nl_i, 1), :])
+                                uprows.extend(
+                                    [pay_ref[pl.ds(nl_i, 1), :]] * SUB)
                     pmat_next = None
                     if fused_nn:
                         lmat_next = jnp.concatenate(urows, axis=0)
@@ -552,11 +619,11 @@ def _traverse_kernel(
                     nmat = lmat[:, :NC] if fused_nn else nmat_c
                     imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
                     leaf_v = jnp.concatenate(
-                        [jnp.full((1, 1), leaf_s[j], jnp.int32)
+                        [jnp.full((SUB, 1), leaf_s[j], jnp.int32)
                          for j in range(ROWS)], axis=0,
                     ) != 0
                     int_v = jnp.concatenate(
-                        [jnp.full((1, 1), int_s[j], jnp.int32)
+                        [jnp.full((SUB, 1), int_s[j], jnp.int32)
                          for j in range(ROWS)], axis=0,
                     ) != 0
 
@@ -593,7 +660,8 @@ def _traverse_kernel(
                         for k in range(1, width):
                             lane_desc = lane_desc | bm[k]
                         depth = depth + lane_desc.astype(jnp.int32)
-                    fs_mask = _frame_mask(fin, nearest, width)
+                    fs_mask = _frame_mask(
+                        [_sub_min(f, SUB) for f in fin], nearest, width)
 
                     t, hit, obj, nx, ny, nz, _ = _leaf_tests(
                         lmat, ox0, oy0, oz0, dx0, dy0, dz0, m, leaf_v,
@@ -603,8 +671,8 @@ def _traverse_kernel(
                     alive = jnp.int32(0)
                     for j in range(ROWS):
                         sp = sptr_ref[j]
-                        w = fs_mask[j, 0]
-                        es_ = [imat[j, EO + k] for k in range(width)]
+                        w = fs_mask[SUB * j, 0]
+                        es_ = [imat[SUB * j, EO + k] for k in range(width)]
                         if frame_stack:
                             base_p = jnp.minimum(sp, FSTK - FR)
                             pushc = int_s[j] & ((w & LM) != 0)
@@ -628,7 +696,8 @@ def _traverse_kernel(
                         entry_ref[j] = entry2_ref[j]
                         row_alive = (nexts[j] != DONE) | (sp > 0)
                         if any_hit:
-                            row_alive = row_alive & (row_live_v[j, 0] != 0)
+                            row_alive = row_alive & (
+                                row_live_v[SUB * j, 0] != 0)
                         alive = alive + jnp.where(row_alive, 1, 0)
                     out = (t, hit, obj, nx, ny, nz, depth)
                     if not fused_nn:
@@ -667,7 +736,7 @@ def _traverse_kernel(
                 ny_out[gs] = ny.reshape(-1)
                 nz_out[gs] = nz.reshape(-1)
                 depth_out[gs] = depth.reshape(-1)
-                iid_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+                iid_out[gs] = jnp.full((TL,), -1, jnp.int32)
                 if count_iters:
                     iters_out[iters_slot(g)] = out[-2]
                 return
@@ -698,8 +767,9 @@ def _traverse_kernel(
                     # only re-find hits for already-hit lanes -- park the
                     # row NOW (exact; saves the full slab+leaf cost of
                     # every pending pop on coherent shadow fans)
-                    row_live_v = jnp.max(m.astype(jnp.int32), axis=1,
-                                         keepdims=True)        # (8, 1)
+                    row_live_v = _sub_max(
+                        jnp.max(m.astype(jnp.int32), axis=1,
+                                keepdims=True), SUB)           # (8*SUB, 1)
 
                 # ---- per-row entry decode + row loads (scalar control) ----
                 nrows, lrows, prows, leaf_s, int_s = [], [], [], [], []
@@ -713,20 +783,21 @@ def _traverse_kernel(
                         e = entry_ref[j]
                         live = e != DONE
                         if any_hit:
-                            live = live & (row_live_v[j, 0] != 0)
+                            live = live & (row_live_v[SUB * j, 0] != 0)
                         leaf_s.append(live & (e >= fused_nn))
                         int_s.append(live & (e < fused_nn))
-                        urows.append(
-                            nodes_ref[pl.ds(jnp.where(live, e, 0), 1), :]
+                        urows.extend(
+                            [nodes_ref[pl.ds(jnp.where(live, e, 0), 1), :]]
+                            * SUB
                         )
-                    lmat = jnp.concatenate(urows, axis=0)      # (8, 128)
+                    lmat = jnp.concatenate(urows, axis=0)      # (8*SUB, 128)
                     nmat = lmat[:, :NC]
                 else:
                     for j in range(ROWS):
                         e = entry_ref[j]
                         live = e != DONE
                         if any_hit:
-                            live = live & (row_live_v[j, 0] != 0)
+                            live = live & (row_live_v[SUB * j, 0] != 0)
                         leaf = live & (e < 0)
                         if instanced:
                             interior = live & (e >= 0) & (e < RESTORE)
@@ -734,29 +805,32 @@ def _traverse_kernel(
                             interior = live & (e >= 0)
                         node = jnp.where(interior, e, 0)
                         lrow = jnp.where(leaf, -e - 1, 0)
-                        nrows.append(nodes_ref[pl.ds(node, 1), :])
-                        lrows.append(ltris_ref[pl.ds(lrow, 1), :])
+                        nrows.extend([nodes_ref[pl.ds(node, 1), :]] * SUB)
+                        lrows.extend([ltris_ref[pl.ds(lrow, 1), :]] * SUB)
                         if with_pay:
-                            prows.append(pay_ref[pl.ds(lrow, 1), :])
+                            prows.extend([pay_ref[pl.ds(lrow, 1), :]] * SUB)
                         leaf_s.append(leaf)
                         int_s.append(interior)
-                    nmat = jnp.concatenate(nrows, axis=0)      # (8, 64)
-                    lmat = jnp.concatenate(lrows, axis=0)      # (8, 128)
+                    nmat = jnp.concatenate(nrows, axis=0)      # (8*SUB, 64)
+                    lmat = jnp.concatenate(lrows, axis=0)      # (8*SUB, 128)
                 pmat = jnp.concatenate(prows, axis=0) if with_pay else None
                 imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
                 leaf_v = jnp.concatenate(
-                    [jnp.full((1, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
+                    [jnp.full((SUB, 1), leaf_s[j], jnp.int32)
+                     for j in range(ROWS)],
                     axis=0,
-                ) != 0                                          # (8, 1)
+                ) != 0                                          # (8*SUB, 1)
                 int_v = jnp.concatenate(
-                    [jnp.full((1, 1), int_s[j], jnp.int32) for j in range(ROWS)],
+                    [jnp.full((SUB, 1), int_s[j], jnp.int32)
+                     for j in range(ROWS)],
                     axis=0,
-                ) != 0                                          # (8, 1): gates slab
+                ) != 0                                     # (8*SUB, 1): gates slab
                 # work to live interior rows (finished / instance-marker rows
                 # would otherwise retest row 0's children and inflate bvh_depth)
                 if instanced:
                     iid_v = jnp.concatenate(
-                        [jnp.full((1, 1), iid_ref[j], jnp.int32) for j in range(ROWS)],
+                        [jnp.full((SUB, 1), iid_ref[j], jnp.int32)
+                         for j in range(ROWS)],
                         axis=0,
                     )                                           # (8, 1)
 
@@ -793,8 +867,12 @@ def _traverse_kernel(
                     for k in R
                 ]
                 child_dmin = [
-                    jnp.min(
-                        jnp.where(bm[k], tmin[k], jnp.inf), axis=1, keepdims=True
+                    _sub_min(
+                        jnp.min(
+                            jnp.where(bm[k], tmin[k], jnp.inf), axis=1,
+                            keepdims=True,
+                        ),
+                        SUB,
                     )
                     for k in R
                 ]
@@ -826,11 +904,11 @@ def _traverse_kernel(
                     e = entry_ref[j]
                     live = e != DONE
                     if any_hit:
-                        live = live & (row_live_v[j, 0] != 0)
+                        live = live & (row_live_v[SUB * j, 0] != 0)
                     interior = int_s[j]
                     sp = sptr_ref[j]
 
-                    es_ = [imat[j, EO + k] for k in range(width)]
+                    es_ = [imat[SUB * j, EO + k] for k in range(width)]
 
                     if frame_stack:
                         # 9-slot frame push: 8 UNCONDITIONAL stores + the
@@ -839,7 +917,7 @@ def _traverse_kernel(
                         # are never observed; the scene build keeps one
                         # frame of headroom so the boundary clamp never
                         # lands on live data).
-                        w = fs_mask[j, 0]
+                        w = fs_mask[SUB * j, 0]
                         slot0 = es_[0]
                         if instanced:
                             is_inst = live & (e > SLIM_EMPTY)
@@ -912,7 +990,7 @@ def _traverse_kernel(
                         alive = alive + jnp.where(nxt != DONE, 1, 0)
                         continue
 
-                    ds_ = [child_dmin[k][j, 0] for k in range(width)]
+                    ds_ = [child_dmin[k][SUB * j, 0] for k in range(width)]
                     # FIXED push order for closest-hit too: the nearest-
                     # child argmin bought ~9% fewer iterations but its
                     # extract/compare/select chain cost ~19% per
@@ -1025,7 +1103,7 @@ def _traverse_kernel(
             if instanced:
                 iid_out[gs] = out[7].reshape(-1)
             else:
-                iid_out[gs] = jnp.full((TILE,), -1, jnp.int32)
+                iid_out[gs] = jnp.full((TL,), -1, jnp.int32)
             if count_iters:
                 iters_out[iters_slot(g)] = out[-2]
 
@@ -1034,7 +1112,7 @@ def _traverse_kernel(
     jax.jit,
     static_argnames=("roots", "interpret", "any_hit", "count_depth",
                      "count_iters", "frame_stack", "fused_nn", "pipelined",
-                     "nearest", "cond_push", "width", "occl"),
+                     "nearest", "cond_push", "width", "occl", "rowx"),
 )
 def traverse_packet_slim(
     origin, direction, t_init, nodes, ltris, roots,
@@ -1044,6 +1122,7 @@ def traverse_packet_slim(
     fused_nn: int = 0, pipelined: bool | None = None,
     nearest: bool | None = None, cond_push: bool | None = None,
     width: int = 8, occl: bool = False, pay=None,
+    rowx: int | None = None,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
@@ -1106,10 +1185,12 @@ def traverse_packet_slim(
             "machinery (flatten the scene)")
     if cond_push is None:
         cond_push = CONDPUSH_DEFAULT and frame_stack
+    rowx = _resolve_rowx(
+        rowx, 1 if instanced else 0, fused_nn, width, nearest)
     step = GROUPS * TILE
     n = -(-n0 // step) * step
     num_steps = n // step
-    num_tiles = n // TILE
+    num_tiles = n // (TILE * rowx)
     if active is None:
         act = jnp.ones((n0,), jnp.int32)
     else:
@@ -1179,7 +1260,7 @@ def traverse_packet_slim(
         # no program_id), so the kernel indexes within the step there.
         if interpret:
             out_specs.append(pl.BlockSpec(
-                (GROUPS,), lambda i: (i,), memory_space=pltpu.SMEM))
+                (GROUPS // rowx,), lambda i: (i,), memory_space=pltpu.SMEM))
         else:
             out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         out_shape.append(jax.ShapeDtypeStruct((num_tiles,), jnp.int32))
@@ -1201,6 +1282,7 @@ def traverse_packet_slim(
             width=width,
             occl=occl,
             with_pay=pay is not None,
+            rowx=rowx,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

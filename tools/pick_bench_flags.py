@@ -108,6 +108,19 @@ COMBOS = {
         "CPUGPU_CONDPUSH": "1", "CPUGPU_PIPELINED": "1",
         "CPUGPU_OCCL": "1", "CPUGPU_LEAF14": "1",
     },
+    # wider packet rows (round-3 fifth wave, tools/run_r3_rowx.sh):
+    # each stack drives 2 or 4 sublanes -- offline union counts say
+    # 0.66x / 0.52x frame iterations (tools/widerow_lab.py)
+    "c3_rowx2": {
+        "CPUGPU_PACKET_TREE": "sweep_dp", "CPUGPU_FRAMESTACK": "1",
+        "CPUGPU_CONDPUSH": "1", "CPUGPU_PIPELINED": "1",
+        "CPUGPU_OCCL": "1", "CPUGPU_ROWX": "2",
+    },
+    "c3_rowx4": {
+        "CPUGPU_PACKET_TREE": "sweep_dp", "CPUGPU_FRAMESTACK": "1",
+        "CPUGPU_CONDPUSH": "1", "CPUGPU_PIPELINED": "1",
+        "CPUGPU_OCCL": "1", "CPUGPU_ROWX": "4",
+    },
 }
 
 
