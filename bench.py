@@ -31,23 +31,28 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 def apply_bench_flags():
     """Apply the on-chip-proven kernel flag combo selected by
     tools/pick_bench_flags.py (bench_flags.json at the repo root), if
-    present.  setdefault: explicit env vars still win.  Must run before
-    the package imports -- the kernel flags are read once at import."""
+    present; otherwise fall back to the committed bench_flags_default.json
+    (the round's recorded winner) so a box wipe never silently drops the
+    bench to default flags.  setdefault: explicit env vars still win.
+    Must run before the package imports -- the kernel flags are read once
+    at import."""
     import os
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "bench_flags.json")
-    if not os.path.exists(path):
-        return {}
-    try:
-        with open(path) as f:
-            rec = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return {}
-    env = rec.get("env", {})
-    for k, v in env.items():
-        os.environ.setdefault(k, str(v))
-    return env
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("bench_flags.json", "bench_flags_default.json"):
+        path = os.path.join(here, fname)
+        if not os.path.exists(path):
+            continue
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        env = rec.get("env", {})
+        for k, v in env.items():
+            os.environ.setdefault(k, str(v))
+        return env
+    return {}
 
 
 def main():
