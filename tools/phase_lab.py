@@ -36,8 +36,33 @@ Control scheme is the picked production combo's (9-slot frame stack,
 mask-gated conditional pushes).  Results fold back into
 ops/traverse_packet_slim.py only if the on-chip A/B wins.
 
+ON-CHIP VERDICT (config-3 bounce fan, 1.07M lanes, hits exact all arms):
+
+    fs+condpush baseline   303.7 ms   293,741 iters   1034 ns/iter
+    phase-split v1         349.9 ms   401,471 iters    871 ns/iter
+      (187,649 leaf iters: the first-collision trigger fires constantly
+       and every leaf iteration stalls the interior rows)
+    phase-split drain2     321.1 ms   345,040 iters    931 ns/iter
+      (both pending + current leaf drain per leaf iteration: leaf iters
+       nearly halve to 109,653, still a loss)
+
+LOSS, and the decomposition is the finding: solving the two arm mixes
+gives an INTERIOR-ONLY iteration at ~870 ns -- removing the entire leaf
+phase (row load + 8-record Moller-Trumbore + payload selects) from the
+body saves only ~160 ns of the 1034 ns iteration.  The MT vector math is
+almost entirely HIDDEN under the iteration's real critical path (scalar
+pop -> dynamic node/leaf row loads+copies -> slab -> mask extract ->
+push), so the width-scaled cost the ROWX fit measured is the row
+load/copy pipeline, not ALU occupancy.  No phase separation can win:
+the work it removes was free, and the stall iterations it adds cost full
+price.  Next lever that COULD move the floor: fewer/earlier dynamic row
+loads per iteration (the pipelined body already issues them one
+iteration early; deeper speculation or batched multi-row loads are the
+remaining ideas), not less ALU.
+
 Self-check (interpret, tiny scene):   python tools/phase_lab.py check
 Real config-3 fan A/B (chip or CPU):  python tools/phase_lab.py
+                                      (PHASE_ONLY=drain2 to filter arms)
 """
 
 from __future__ import annotations
@@ -70,7 +95,7 @@ DONE = 0x7FFFFFFF
 BIG = 1e30
 
 
-def _phase_kernel(*refs, roots):
+def _phase_kernel(*refs, roots, drain2):
     (
         nodes_ref, ltris_ref,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref, act_ref,
@@ -129,6 +154,38 @@ def _phase_kernel(*refs, roots):
                     pos += cnt
                 sptr_ref[j] = 9 * nf
             alive_ref[0] = 1
+
+            def _mt_pass(lmat, limat, leaf_v, t, hit, obj):
+                m = act0
+                for c in range(LEAF_TRIS):
+                    tm = lmat[:, 16 * c: 16 * c + 12]
+                    hx = dy * tm[:, 8:9] - dz * tm[:, 7:8]
+                    hy = dz * tm[:, 6:7] - dx * tm[:, 8:9]
+                    hz = dx * tm[:, 7:8] - dy * tm[:, 6:7]
+                    a = tm[:, 3:4] * hx + tm[:, 4:5] * hy + tm[:, 5:6] * hz
+                    det_ok = jnp.abs(a) >= TRI_DET_EPS
+                    f = 1.0 / jnp.where(det_ok, a, 1.0)
+                    sx = ox - tm[:, 0:1]
+                    sy = oy - tm[:, 1:2]
+                    sz = oz - tm[:, 2:3]
+                    u = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * tm[:, 5:6] - sz * tm[:, 4:5]
+                    qy = sz * tm[:, 3:4] - sx * tm[:, 5:6]
+                    qz = sx * tm[:, 4:5] - sy * tm[:, 3:4]
+                    vv = f * (dx * qx + dy * qy + dz * qz)
+                    tt = f * (tm[:, 6:7] * qx + tm[:, 7:8] * qy
+                              + tm[:, 8:9] * qz)
+                    ok = (
+                        det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
+                        & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
+                        & m & leaf_v
+                    )
+                    t = jnp.where(ok, tt, t)
+                    hit = jnp.where(
+                        ok, limat[:, 16 * c + 13: 16 * c + 14], hit)
+                    obj = jnp.where(
+                        ok, limat[:, 16 * c + 12: 16 * c + 13], obj)
+                return t, hit, obj
 
             def body(carry):
                 it, lit, _ = carry
@@ -235,58 +292,49 @@ def _phase_kernel(*refs, roots):
                     t = t_s[...]
                     hit = hit_s[...]
                     obj = obj_s[...]
-                    drain = [has_p[j] | is_leaf[j] for j in range(ROWS)]
-                    lrows = []
-                    for j in range(ROWS):
-                        src = jnp.where(
-                            has_p[j], pnd[j],
-                            jnp.where(is_leaf[j], -es[j] - 1, 0))
-                        lrows.append(ltris_ref[pl.ds(src, 1), :])
-                    lmat = jnp.concatenate(lrows, axis=0)        # (8, 128)
-                    limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
-                    leaf_v = jnp.concatenate(
-                        [jnp.full((1, 1), drain[j], jnp.int32)
-                         for j in range(ROWS)], axis=0) != 0
-
-                    for c in range(LEAF_TRIS):
-                        tm = lmat[:, 16 * c: 16 * c + 12]
-                        hx = dy * tm[:, 8:9] - dz * tm[:, 7:8]
-                        hy = dz * tm[:, 6:7] - dx * tm[:, 8:9]
-                        hz = dx * tm[:, 7:8] - dy * tm[:, 6:7]
-                        a = tm[:, 3:4] * hx + tm[:, 4:5] * hy + tm[:, 5:6] * hz
-                        det_ok = jnp.abs(a) >= TRI_DET_EPS
-                        f = 1.0 / jnp.where(det_ok, a, 1.0)
-                        sx = ox - tm[:, 0:1]
-                        sy = oy - tm[:, 1:2]
-                        sz = oz - tm[:, 2:3]
-                        u = f * (sx * hx + sy * hy + sz * hz)
-                        qx = sy * tm[:, 5:6] - sz * tm[:, 4:5]
-                        qy = sz * tm[:, 3:4] - sx * tm[:, 5:6]
-                        qz = sx * tm[:, 4:5] - sy * tm[:, 3:4]
-                        vv = f * (dx * qx + dy * qy + dz * qz)
-                        tt = f * (tm[:, 6:7] * qx + tm[:, 7:8] * qy
-                                  + tm[:, 8:9] * qz)
-                        ok = (
-                            det_ok & (u >= 0.0) & (u <= 1.0) & (vv >= 0.0)
-                            & ((u + vv) <= 1.0) & (tt > 0.0) & (tt < t)
-                            & m & leaf_v
-                        )
-                        t = jnp.where(ok, tt, t)
-                        hit = jnp.where(
-                            ok, limat[:, 16 * c + 13: 16 * c + 14], hit)
-                        obj = jnp.where(
-                            ok, limat[:, 16 * c + 12: 16 * c + 13], obj)
+                    if drain2:
+                        # TWO MT passes: the pending slot AND the current
+                        # leaf entry both drain this iteration (halves the
+                        # leaf-iteration count, and with it the stalls the
+                        # v1 A/B measured as the loss)
+                        passes = [
+                            ([jnp.where(has_p[j], pnd[j], 0)
+                              for j in range(ROWS)], has_p),
+                            ([jnp.where(is_leaf[j], -es[j] - 1, 0)
+                              for j in range(ROWS)], is_leaf),
+                        ]
+                    else:
+                        passes = [
+                            ([jnp.where(has_p[j], pnd[j],
+                                        jnp.where(is_leaf[j], -es[j] - 1, 0))
+                              for j in range(ROWS)],
+                             [has_p[j] | is_leaf[j] for j in range(ROWS)]),
+                        ]
+                    for srcs, dmask in passes:
+                        lrows = [ltris_ref[pl.ds(srcs[j], 1), :]
+                                 for j in range(ROWS)]
+                        lmat = jnp.concatenate(lrows, axis=0)    # (8, 128)
+                        limat = jax.lax.bitcast_convert_type(lmat, jnp.int32)
+                        leaf_v = jnp.concatenate(
+                            [jnp.full((1, 1), dmask[j], jnp.int32)
+                             for j in range(ROWS)], axis=0) != 0
+                        t, hit, obj = _mt_pass(lmat, limat, leaf_v, t, hit,
+                                               obj)
                     t_s[...] = t
                     hit_s[...] = hit
                     obj_s[...] = obj
 
                     alive = jnp.int32(0)
                     for j in range(ROWS):
-                        # pending update: a colliding row drains its slot
-                        # and stashes the current leaf; all other drains
-                        # empty the slot
-                        newp = jnp.where(is_leaf[j] & has_p[j],
-                                         -es[j] - 1, -1)
+                        # pending update: under drain2 BOTH the slot and
+                        # the current leaf drained, so the slot always
+                        # empties; otherwise a colliding row drains its
+                        # slot and stashes the current leaf
+                        if drain2:
+                            newp = jnp.int32(-1)
+                        else:
+                            newp = jnp.where(is_leaf[j] & has_p[j],
+                                             -es[j] - 1, -1)
                         pend_ref[j] = newp
                         # only rows whose CURRENT entry was a leaf consumed
                         # it -> pop; interior entries are held untouched
@@ -319,8 +367,9 @@ def _phase_kernel(*refs, roots):
             leafit_out[pid * GROUPS + g] = out[1]
 
 
-@functools.partial(jax.jit, static_argnames=("roots",))
-def traverse_phase(origin, direction, t_init, nodes, ltris, roots, *, active):
+@functools.partial(jax.jit, static_argnames=("roots", "drain2"))
+def traverse_phase(origin, direction, t_init, nodes, ltris, roots, *,
+                   active, drain2=False):
     ox_c, oy_c, oz_c = origin
     dx_c, dy_c, dz_c = direction
     n0 = ox_c.shape[0]
@@ -356,7 +405,7 @@ def traverse_phase(origin, direction, t_init, nodes, ltris, roots, *, active):
         jax.ShapeDtypeStruct((num_tiles,), jnp.int32),
     ]
     res = pl.pallas_call(
-        functools.partial(_phase_kernel, roots=roots),
+        functools.partial(_phase_kernel, roots=roots, drain2=drain2),
         grid=(num_steps,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -408,15 +457,25 @@ def _tiny_check():
     rt, rtri, robj, _, _, _ = pk.traverse_packet_slim(
         oc, dc, t0v, dev.pnodes, dev.pltris, dev.proots,
         active=jnp.asarray(act), interpret=interp)
-    vt, vtri, vobj, iters, leafit = traverse_phase(
-        oc, dc, t0v, dev.pnodes, dev.pltris, dev.proots,
-        active=jnp.asarray(act))
     m = act != 0
-    assert np.array_equal(np.asarray(vt)[m], np.asarray(rt)[m]), "t mismatch"
-    assert np.array_equal(np.asarray(vtri)[m], np.asarray(rtri)[m]), "tri"
-    assert np.array_equal(np.asarray(vobj)[m], np.asarray(robj)[m]), "obj"
-    it = int(np.asarray(iters).sum())
-    li = int(np.asarray(leafit).sum())
+    it = li = 0
+    for d2 in (False, True):
+        vt, vtri, vobj, iters, leafit = traverse_phase(
+            oc, dc, t0v, dev.pnodes, dev.pltris, dev.proots,
+            active=jnp.asarray(act), drain2=d2)
+        tag = "drain2" if d2 else "v1"
+        assert np.array_equal(np.asarray(vt)[m], np.asarray(rt)[m]), \
+            f"t mismatch ({tag})"
+        assert np.array_equal(np.asarray(vtri)[m], np.asarray(rtri)[m]), \
+            f"tri mismatch ({tag})"
+        assert np.array_equal(np.asarray(vobj)[m], np.asarray(robj)[m]), \
+            f"obj mismatch ({tag})"
+        it2 = int(np.asarray(iters).sum())
+        li2 = int(np.asarray(leafit).sum())
+        print(f"  {tag}: {it2} iters ({li2} leaf, {li2 / max(it2, 1):.1%})",
+              flush=True)
+        if not d2:
+            it, li = it2, li2
     from tools.kernel_lab2 import traverse_lab2
     _, _, _, biters, bleafs = traverse_lab2(
         oc, dc, t0v, dev.pnodes, dev.pltris, dev.proots,
@@ -485,7 +544,14 @@ def main():
         ("phase-split",
          lambda o_, d_, a_: traverse_phase(
              o_, d_, t0v, dev.pnodes, dev.pltris, dev.proots, active=a_)),
+        ("phase-split drain2",
+         lambda o_, d_, a_: traverse_phase(
+             o_, d_, t0v, dev.pnodes, dev.pltris, dev.proots, active=a_,
+             drain2=True)),
     ]
+    only = os.environ.get("PHASE_ONLY", "")
+    if only:
+        arms = [a for a in arms if only in a[0]]
     for label, f in arms:
         fj = jax.jit(f)
         try:
