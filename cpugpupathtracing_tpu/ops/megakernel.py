@@ -36,8 +36,9 @@ their lanes' columns untouched (states frozen), which is invisible --
 the renderer re-seeds per sample and dead lanes never shade.
 
 Gating (scene.megakernel_active): packet fast path, no instances, no
-mesh lights, power-of-two light count (the reference's modulo light pick
-is bit-exactly a mask only then), ADVANCED mode, AOVs off.
+mesh lights, ADVANCED mode, AOVs off.  Any light count works: the
+reference's modulo light pick is a bit mask for power-of-two counts and
+a restoring-division `_umod` chain otherwise (round-4 gate lift).
 
 Reference parity: TracePathAdvanced, Source/Main.cpp:396-579.
 """
@@ -121,6 +122,28 @@ def _u2f(v):
     lo = (vi & 0xFFFF).astype(jnp.float32)
     hi = jax.lax.shift_right_logical(vi, 16).astype(jnp.float32)
     return (hi * 65536.0 + lo) * jnp.float32(F32_SCALE)
+
+
+def _umod(v, k: int):
+    """u32 vector `v % k` for a compile-time constant k, Mosaic-safe.
+
+    Power-of-two k lowers to the bit mask (bit-identical to the
+    pre-round-4 kernels).  Otherwise restoring division: k << s spans
+    down from just under 2^32, each step keeping the invariant
+    r < (k << (s+1)) via one unsigned compare + select + subtract --
+    ~30 vector ops once per NEE draw, exactly RandomUInt() % k
+    (Include/Random.h:41-46; the reference's modulo light pick is
+    Source/Main.cpp:441)."""
+    if k & (k - 1) == 0:
+        return v & jnp.uint32(k - 1)
+    s = 32 - k.bit_length()
+    while (k << s) >= (1 << 32):
+        s -= 1
+    r = v
+    for sh in range(s, -1, -1):
+        c = jnp.uint32(k << sh)
+        r = jnp.where(r >= c, r - c, r)
+    return r
 
 
 def _select_mat_col(mats_ref, mat_idx, col, num_mats):
@@ -994,7 +1017,7 @@ def _shade_extend_kernel(
                 do_nee = active & (dw > 0.001)
                 state = _xs32(state)
                 li = jax.lax.bitcast_convert_type(
-                    state & jnp.uint32(num_lights - 1), jnp.int32
+                    _umod(state, num_lights), jnp.int32
                 )
 
                 def light_col(col):

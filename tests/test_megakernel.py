@@ -142,16 +142,26 @@ def test_megakernel_frame_stack_bitwise(force_packet):
 def test_gate_rejects_unsupported(force_packet):
     s = _scene(num_lights=2)
     dev = s.device()
-    # three lights: not a power of two -> the modulo light pick is no
-    # longer a bit mask, gate must refuse
-    s2 = _scene(num_lights=2)
-    light = s2.add_material(matlib.Material.light((1.0, 1.0, 1.0), 5.0))
-    i = s2.add_sphere("light2", (0.0, 8.0, 0.0), 1.0, light)
-    s2.mark_light(i)
-    assert not megakernel_active(s2.device(), RenderSettings())
     # AOV tracking keeps the reference-shaped path
     assert not megakernel_active(dev, RenderSettings(track_aovs=True))
     assert megakernel_active(dev, RenderSettings())
+
+
+def test_megakernel_three_lights(force_packet):
+    """Non-power-of-two light count (round-4 gate lift): the megakernel's
+    restoring-division light pick (_umod) must be bit-identical to the
+    XLA integrator's u32 modulo (Main.cpp:441 rand % num_lights)."""
+    s = _scene(num_lights=2)
+    light = s.add_material(matlib.Material.light((1.0, 1.0, 1.0), 5.0))
+    i = s.add_sphere("light2", (0.0, 8.0, 0.0), 1.0, light)
+    s.mark_light(i)
+    dev = s.device()
+    settings = RenderSettings(max_ray_depth=3)
+    assert megakernel_active(dev, settings)
+    idx = jnp.arange(64 * 32, dtype=jnp.int32)
+    _, ref = _trace(dev, settings, integrators.trace_advanced, idx=idx)
+    _, got = _trace(dev, settings, integrators.trace_advanced_mega, idx=idx)
+    _check(ref, got, settings.next_event_estimation)
 
 
 def _scene_instanced(num_inst: int = 3) -> Scene:
