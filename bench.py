@@ -55,12 +55,57 @@ def apply_bench_flags():
     return {}
 
 
+def run_sharded(scene, cam, settings, width, height, frames, spp, seed,
+                devices, shard_mode="pixels"):
+    """The --devices N bench body: render `frames` progressive frames of
+    the config through parallel/sharding.render_frame_sharded over an
+    N-device mesh.  Pixel sharding is bitwise identical to the
+    single-device bench path (tests/test_bench_devices.py pins it), so
+    a pod run needs no new code when hardware appears.  Returns
+    (pixels_u32 row-major, traced_rays_total, wall_seconds)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from cpugpupathtracing_tpu.models import camera as camlib
+    from cpugpupathtracing_tpu.parallel import sharding
+
+    mesh = sharding.make_mesh(devices)
+    dev = scene.device()
+    cam_arr = camlib.to_arrays(cam)
+    n = width * height
+    acc = jnp.zeros((n, 4), jnp.float32)
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    pixels = None
+    traced = 0
+    # compile + first frame outside the timed span (like the main path)
+    acc, pixels, tr = sharding.render_frame_sharded(
+        dev, cam_arr, acc, jnp.int32(0), lane, settings, width, height,
+        spp, seed, mesh, shard_mode,
+    )
+    traced += int(tr)
+    t0 = _time.time()
+    for f in range(frames):
+        acc, pixels, tr = sharding.render_frame_sharded(
+            dev, cam_arr, acc, jnp.int32((f + 1) * spp), lane, settings,
+            width, height, spp, seed, mesh, shard_mode,
+        )
+        traced += int(tr)
+    jax.block_until_ready(pixels)
+    wall = _time.time() - t0
+    return pixels, traced, wall
+
+
 def main():
     flags_env = apply_bench_flags()
     p = argparse.ArgumentParser()
     p.add_argument("size", nargs="*", type=int, help="width height [frames]")
     p.add_argument("--config", type=int, default=3, choices=[1, 2, 3, 4, 5])
     p.add_argument("--spp", type=int, default=1)
+    p.add_argument("--devices", type=int, default=0,
+                   help="render over an N-device jax.sharding mesh "
+                        "(pixel sharding; configs without a per-frame "
+                        "animation hook)")
     args = p.parse_args()
 
     from cpugpupathtracing_tpu.benchscenes import CONFIGS
@@ -78,6 +123,39 @@ def main():
         cam = cam.replace(aspect=width / height)
     if len(args.size) >= 3:
         frames = args.size[2]
+
+    if args.devices:
+        if hook is not None:
+            raise SystemExit(
+                "--devices does not support configs with a per-frame "
+                "animation hook (config 5); pick configs 1-4"
+            )
+        cfg = RenderConfig(width=width, height=height,
+                           samples_per_frame=args.spp)
+        nframes = frames or 32
+        pixels, traced, wall = run_sharded(
+            scene, cam, settings, width, height, nframes, args.spp,
+            cfg.seed, args.devices,
+        )
+        # traced counts frames+1 renders (compile frame included) but
+        # wall times only the last `nframes`: scale rays to the span
+        rays_timed = traced * nframes // (nframes + 1)
+        mrays = rays_timed / wall / 1e6
+        print(json.dumps({
+            "metric": f"Mrays/sec {name} ({width}x{height}, "
+                      f"{args.devices} devices)",
+            "value": round(mrays, 2),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / 100.0, 4),
+            "extra": {
+                "config": args.config,
+                "devices": args.devices,
+                "frames_timed": nframes,
+                "frame_ms": round(wall / nframes * 1000.0, 2),
+                "bench_flags": flags_env,
+            },
+        }))
+        return
 
     r = Renderer(
         scene,

@@ -1761,7 +1761,7 @@ def megakernel_active(dev: DeviceScene, settings) -> bool:
     if reason is not None and reason not in _logged_gate_reasons:
         _logged_gate_reasons.add(reason)
         log_warn("scene", "megakernel unavailable, falling back to the "
-                          "XLA integrator: %s", reason)
+                          "XLA integrator: {}", reason)
     return reason is None
 
 
