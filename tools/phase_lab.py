@@ -49,7 +49,15 @@ ON-CHIP VERDICT (config-3 bounce fan, 1.07M lanes, hits exact all arms):
 LOSS, and the decomposition is the finding: solving the two arm mixes
 gives an INTERIOR-ONLY iteration at ~870 ns -- removing the entire leaf
 phase (row load + 8-record Moller-Trumbore + payload selects) from the
-body saves only ~160 ns of the 1034 ns iteration.  The MT vector math is
+body saves only ~160 ns of the 1034 ns iteration.
+
+Methodology caveat (ADVICE r3): these arm timings are 4 block_until_
+ready-synced ~300 ms dispatches, not the chained-iteration harness
+(tools/profile_*.py) -- block_until_ready can return early through the
+tunnel, so the RELATIVE A/B verdict (both phase-split arms lose) is
+robust but the ABSOLUTE ns/iter decomposition inherits any sync bias.
+The round-4 smem/pipeline A/Bs re-judge the floor on full bench.py
+frames (>= 10 s pipelined spans), not on these numbers.  The MT vector math is
 almost entirely HIDDEN under the iteration's real critical path (scalar
 pop -> dynamic node/leaf row loads+copies -> slab -> mask extract ->
 push), so the width-scaled cost the ROWX fit measured is the row
@@ -530,11 +538,34 @@ def main():
     print(f"bounce population: {int(bact.sum()) / 1e6:.2f}M lanes",
           flush=True)
 
-    rt, rtri, _, _, _, _ = jax.block_until_ready(pk.traverse_packet_slim(
+    rt, rtri, robj, _, _, _ = jax.block_until_ready(pk.traverse_packet_slim(
         bo_c, bd_c, t0v, dev.pnodes, dev.pltris, dev.proots, active=bact,
         interpret=interp))
-    ref = (np.asarray(rt), np.asarray(rtri))
+    ref = (np.asarray(rt), np.asarray(rtri), np.asarray(robj))
     mref = np.asarray(bact) != 0
+
+    # ADVICE r3: the lab's fixed FSTACK (9*24, inherited from kernel_lab2)
+    # must cover this scene's DFS depth or pushes clamp silently and the
+    # perf verdict would come from wrong traversals -- recompute the tree
+    # depth from the slim table and assert the headroom scene.py enforces
+    ents = np.asarray(dev.pnodes).view(np.int32)[:, 48:56]
+    depth_by_row = {int(r): 1 for r in dev.proots}
+    frontier = [int(r) for r in dev.proots]
+    max_depth = 1
+    while frontier:
+        r = frontier.pop()
+        for e in ents[r]:
+            if 0 <= e < 0x40000000:  # interior child (SLIM_EMPTY sentinel)
+                d_ = depth_by_row[r] + 1
+                if depth_by_row.get(int(e), 0) < d_:
+                    depth_by_row[int(e)] = d_
+                    frontier.append(int(e))
+                    max_depth = max(max_depth, d_)
+    root_frames = (max(len(dev.proots) - 1, 0) + 7) // 8
+    need = max_depth + 1 + root_frames + 1
+    assert 9 * need <= FSTACK, (
+        f"lab FSTACK {FSTACK} < scene need {9 * need} "
+        f"(tree depth {max_depth}): clamped pushes would drop subtrees")
 
     arms = [
         ("fs+condpush baseline",
@@ -568,9 +599,11 @@ def main():
         dt = (time.perf_counter() - t0) / reps
         iters = int(np.asarray(res[3]).sum())
         extra = int(np.asarray(res[4]).sum())
-        vt, vtri = np.asarray(res[0]), np.asarray(res[1])
+        vt, vtri, vobj = (np.asarray(res[0]), np.asarray(res[1]),
+                          np.asarray(res[2]))
         good = (np.array_equal(vt[mref], ref[0][mref])
-                and np.array_equal(vtri[mref], ref[1][mref]))
+                and np.array_equal(vtri[mref], ref[1][mref])
+                and np.array_equal(vobj[mref], ref[2][mref]))
         print(f"{label:22s} {dt * 1e3:8.1f} ms  {iters:9d} iters  "
               f"{dt * 1e9 / max(iters, 1):6.0f} ns/iter  "
               f"aux={extra:9d}  exact={good}", flush=True)
