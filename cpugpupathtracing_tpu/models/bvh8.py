@@ -422,6 +422,59 @@ def to_slim_occl(w: BVH8) -> BVH8Slim:
     return BVH8Slim(nodes=nodes, ltris=ltris, max_depth=w.max_depth)
 
 
+def slim_side_tables(nodes: np.ndarray,
+                     roots: tuple[int, ...]) -> tuple[np.ndarray, int]:
+    """SMEM entry side table for a slim 8-wide node table (round-4
+    row-load-floor attack, CPUGPU_SMEMTREE).
+
+    Returns (ents, nvirt): ents is (B + nvirt, 8) i32 holding each node
+    row's 8 pre-encoded child entries (the bitcast of node cols 48..55),
+    plus `nvirt` VIRTUAL rows appended at the end whose entries are the
+    extra roots `roots[1:]` in chunks of 8 (padded with SLIM_EMPTY).
+    With entries in SMEM the kernel's frame stack shrinks to 2 words
+    (node row, pass mask): a push is 2 scalar stores instead of 9 and
+    the 8 per-row vector->scalar entry extracts disappear; a pop reads
+    the child entry as ents[frame_node, ctz(mask)].  Root seeding
+    pushes one frame per virtual row ((B + vi, full mask)); virtual
+    rows are never slab-tested, only their entries are read.
+
+    On the benchmark dragon (~5k rows) the table is ~160 KB -- under
+    the measured SMEM input-operand ceiling (tools/smem_probe.py: 635 KB
+    compiles and executes; the round-3 'exceeds SMEM' rejection was a
+    scratch allocation, not an input)."""
+    if nodes.shape[1] != 64:
+        raise ValueError("side tables are for 8-wide 64-col slim nodes")
+    ents = np.ascontiguousarray(nodes.view(np.int32)[:, 48:56])
+    extra = [int(r) for r in roots[1:]]
+    vrows = []
+    while extra:
+        chunk, extra = extra[:8], extra[8:]
+        row = np.full((8,), SLIM_EMPTY, np.int32)
+        row[: len(chunk)] = chunk
+        vrows.append(row)
+    if vrows:
+        ents = np.concatenate([ents, np.stack(vrows)], axis=0)
+    return ents, len(vrows)
+
+
+def slim_bounds48(nodes: np.ndarray) -> np.ndarray:
+    """(B, 48) bounds-only node table (CPUGPU_SMEMTREE=48): the entry /
+    count columns move to the SMEM side table and the row shrinks 25%
+    (256 -> 192 bytes/load) -- aimed at the measured row-load iteration
+    floor.  Empty child slots get NaN bounds: every slab comparison
+    against NaN is False under any min/max NaN semantics, so the
+    kernel's per-child `valid` entry compare is dropped entirely (the
+    64-col table needs it because a direction-agnostic slab test can
+    spuriously pass an empty slot's inverted bounds)."""
+    if nodes.shape[1] != 64:
+        raise ValueError("bounds48 is derived from 8-wide 64-col nodes")
+    b = np.ascontiguousarray(nodes[:, :48])
+    empty = nodes.view(np.int32)[:, 48:56] == SLIM_EMPTY
+    for k in range(8):
+        b[empty[:, k], 6 * k : 6 * k + 6] = np.nan
+    return b
+
+
 def occl_payload(w: BVH8, tri_normal: np.ndarray) -> np.ndarray:
     """(NO, 128) payload rows parallel to `to_slim_occl(w)`'s leaf rows:
     record k of a row carries [nx, ny, nz, obj(i32, stamped 0 -- the

@@ -756,13 +756,17 @@ def trace_advanced_mega(
     mk_nodes, mk_ltris, fused_nn = packet_tables(dev)
     mk_roots = dev.proots
     mk_width = dev.packet_width
+    mk_ents = dev.pents if not instanced else None
     pay_kw = {}
     if dev.poccl_pay is not None and not instanced:
         # CPUGPU_LEAF14: the closest-hit traversal runs the leaf-14
         # tables with the parallel payload rows (hits exact; -14%
         # bounce / -22% interior iterations offline)
         mk_nodes, mk_ltris = dev.poccl_nodes, dev.poccl_ltris
+        if dev.poccl_nodes48 is not None:
+            mk_nodes = dev.poccl_nodes48
         mk_roots, mk_width, fused_nn = dev.poccl_roots, 8, 0
+        mk_ents = dev.poccl_ents
         pay_kw = dict(pay=dev.poccl_pay)
     static = dict(
         roots=mk_roots,
@@ -781,6 +785,7 @@ def trace_advanced_mega(
         fused_nn=fused_nn,
         width=mk_width,
         rowx=rowx,
+        ents=mk_ents,
         **pay_kw,
     )
     if instanced:
@@ -842,15 +847,15 @@ def trace_advanced_mega(
                     roots=sh_roots, num_sph=num_sph, num_pln=num_pln,
                     interpret=interpret, frame_stack=frame_stack,
                     cond_push=cond_push, fused_nn=0, width=8, occl=True,
-                    rowx=rowx,
+                    rowx=rowx, ents=dev.poccl_ents,
                 )
             else:
                 sh_nodes, sh_ltris = mk_nodes, mk_ltris
                 shadow_static = dict(
-                    roots=dev.proots, num_sph=num_sph, num_pln=num_pln,
+                    roots=mk_roots, num_sph=num_sph, num_pln=num_pln,
                     interpret=interpret, frame_stack=frame_stack,
                     cond_push=cond_push, fused_nn=fused_nn,
-                    width=dev.packet_width, rowx=rowx,
+                    width=mk_width, rowx=rowx, ents=mk_ents,
                 )
                 if instanced:
                     shadow_static.update(

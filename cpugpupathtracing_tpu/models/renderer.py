@@ -396,6 +396,9 @@ class Renderer:
             "accumulated_frames": self.num_accumulated,
             "mean_energy": self.mean_energy,
             "paused": self.pause_rendering,
+            # the reference scene tree's per-object readout, incl.
+            # per-BVH node count / depth / area (Source/BVH.cpp:149-186)
+            "objects": self.scene.object_stats(),
         }
 
     def profile(self, log_dir: str):

@@ -243,6 +243,18 @@ class DeviceScene:
     # bvh8.occl_payload): record k's [normal, obj, id] at the same
     # stride-9 offsets as poccl_ltris' geometry record
     poccl_pay: jnp.ndarray = None    # (NO, 128)
+    # SMEM entry side tables (CPUGPU_SMEMTREE=1|48, bvh8.slim_side_
+    # tables): per-node child entries + virtual root rows, read as
+    # scalar SMEM loads so frames shrink to 2 words.  The 48-col
+    # bounds-only node tables (mode "48", bvh8.slim_bounds48) replace
+    # pnodes/poccl_nodes in packet_tables()/occl_tables() when built;
+    # entries are topology-static so TLAS refits never touch pents
+    # (mode 48 is skipped for instanced scenes -- the refit splice
+    # writes 64-col rows)
+    pents: jnp.ndarray = None        # (BP + V, 8) i32
+    pnodes48: jnp.ndarray = None     # (BP, 48) f32, NaN empties
+    poccl_ents: jnp.ndarray = None   # (BO + V, 8) i32
+    poccl_nodes48: jnp.ndarray = None  # (BO, 48) f32
     # world bounds (ray-reordering morton quantization)
     world_lo: jnp.ndarray = None        # (3,) f32
     world_inv_extent: jnp.ndarray = None  # (3,) f32
@@ -800,6 +812,48 @@ class Scene:
         obj.bvh = obj.bvh.rebuild(build_option, max_leaf_size=DEVICE_MAX_LEAF)
         obj.build_option = build_option
         self._device = None
+
+    def object_stats(self) -> list[dict]:
+        """The reference scene tree's per-object readout
+        (Source/BVH.cpp:149-186 shows node count / max depth / total
+        node area per BVH; Source/Main.cpp:859-933 lists every object
+        with its primitive kind and material).  Mesh objects report
+        their binary BVH: node count, max depth, triangle count, build
+        heuristic, and the summed node area (GetAABBVolume over every
+        node, Source/Primitives.cpp:280-284 -- the xy+yz+zx half-area
+        form the reference displays)."""
+        kinds = {PRIM_MESH: "mesh", PRIM_SPHERE: "sphere",
+                 PRIM_PLANE: "plane"}
+        out = []
+        for i, obj in enumerate(self.objects):
+            rec = {
+                "index": i,
+                "name": obj.name,
+                "kind": kinds.get(obj.kind, str(obj.kind)),
+                "material": obj.mat_index,
+                "is_light": i in self.light_indices,
+            }
+            if obj.kind == PRIM_SPHERE and obj.sphere is not None:
+                rec["center"] = list(obj.sphere[0])
+                rec["radius"] = obj.sphere[1]
+            if obj.kind == PRIM_PLANE and obj.plane is not None:
+                rec["point"] = list(obj.plane[0])
+                rec["normal"] = list(obj.plane[1])
+            if obj.bvh is not None:
+                b = obj.bvh
+                rec["bvh"] = {
+                    "node_count": int(b.nodes_min.shape[0]),
+                    "max_depth": int(b.max_depth),
+                    "triangles": int(b.tri_indices.shape[0]),
+                    "build_option": BuildOption(obj.build_option).name,
+                    "total_node_area": float(
+                        np.sum(bvhlib._half_area(b.nodes_min, b.nodes_max))
+                    ),
+                }
+                if obj.instances is not None:
+                    rec["instances"] = int(obj.instances.shape[0])
+            out.append(rec)
+        return out
 
     # -- device snapshot --
 
@@ -1633,7 +1687,58 @@ class Scene:
                 pfused=_fuse_packet_tables(dev.pnodes, dev.pltris),
                 pfused_nn=int(dev.pnodes.shape[0]),
             )
+        dev = self._build_smem_side_tables(dev)
         return dev
+
+    @staticmethod
+    def _build_smem_side_tables(dev: "DeviceScene") -> "DeviceScene":
+        """CPUGPU_SMEMTREE=1|48 (round-4 row-load-floor attack): attach
+        the SMEM entry side tables (bvh8.slim_side_tables) and, in mode
+        "48", the bounds-only node tables (bvh8.slim_bounds48) that
+        packet_tables()/occl_tables() swap in.  Entries are topology-
+        static, so TLAS refit splices (floats only) never invalidate
+        pents; mode 48 is restricted to non-instanced scenes because
+        the refit splice writes full 64-col rows.  The kernels degrade
+        to the plain decode whenever the mode is incompatible with the
+        resolved kernel flags (traverse_packet_slim._resolve_smem)."""
+        from cpugpupathtracing_tpu.models.bvh8 import (
+            slim_bounds48,
+            slim_side_tables,
+        )
+        from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
+            FRAMESTACK_DEFAULT,
+            ROWX_DEFAULT,
+            SMEMTREE_DEFAULT,
+        )
+
+        machinery = dev.num_instances > 0 and not dev.packet_flattened
+        if (
+            SMEMTREE_DEFAULT not in ("1", "48")
+            or dev.traversal != "packet"
+            or not dev.proots
+            or dev.packet_width != 8
+            or dev.pfused is not None
+            or machinery
+        ):
+            return dev
+        pn = np.asarray(dev.pnodes)
+        ents, _ = slim_side_tables(pn, dev.proots)
+        upd = dict(pents=jnp.asarray(ents))
+        if dev.poccl_nodes is not None:
+            on = np.asarray(dev.poccl_nodes)
+            oents, _ = slim_side_tables(on, dev.poccl_roots)
+            upd["poccl_ents"] = jnp.asarray(oents)
+        want48 = (
+            SMEMTREE_DEFAULT == "48"
+            and FRAMESTACK_DEFAULT
+            and ROWX_DEFAULT == 1
+            and dev.num_instances == 0
+        )
+        if want48:
+            upd["pnodes48"] = jnp.asarray(slim_bounds48(pn))
+            if dev.poccl_nodes is not None:
+                upd["poccl_nodes48"] = jnp.asarray(slim_bounds48(on))
+        return dataclasses.replace(dev, **upd)
 
 
 def reorder_key(dev: DeviceScene, origin, direction, act, bits: int = 5):
@@ -1703,10 +1808,15 @@ def packet_path_active(dev: DeviceScene) -> bool:
 def packet_tables(dev: DeviceScene):
     """(nodes, ltris, fused_nn) for the packet kernels: the unified
     fused table when the snapshot built one (CPUGPU_FUSED=1 and no
-    instance machinery), the split tables otherwise.  With the fused
-    table the ltris argument is staged but unread by the kernel."""
+    instance machinery), the bounds-only 48-col table when the SMEM
+    side-table mode built one (CPUGPU_SMEMTREE=48 -- pass
+    ents=dev.pents alongside), the split tables otherwise.  With the
+    fused table the ltris argument is staged but unread by the
+    kernel."""
     if dev.pfused is not None:
         return dev.pfused, dev.pltris, dev.pfused_nn
+    if dev.pnodes48 is not None:
+        return dev.pnodes48, dev.pltris, 0
     return dev.pnodes, dev.pltris, 0
 
 
@@ -1714,10 +1824,13 @@ def occl_tables(dev: DeviceScene):
     """(nodes, ltris, roots) of the occlusion-specialized any-hit tree
     (CPUGPU_OCCL=1, bvh8.to_slim_occl), or None when the snapshot kept
     shadow rays on the shading tables (flag off, instanced scene, or
-    stack-depth fallback)."""
+    stack-depth fallback).  Nodes come in the 48-col bounds-only form
+    when CPUGPU_SMEMTREE=48 built it (pass ents=dev.poccl_ents)."""
     if dev.poccl_nodes is None:
         return None
-    return dev.poccl_nodes, dev.poccl_ltris, dev.poccl_roots
+    nodes = (dev.poccl_nodes48 if dev.poccl_nodes48 is not None
+             else dev.poccl_nodes)
+    return nodes, dev.poccl_ltris, dev.poccl_roots
 
 
 def megakernel_gate_reason(dev: DeviceScene, settings) -> str | None:
@@ -1851,6 +1964,7 @@ def intersect_scene(
             inst_root=dev.inst_blas_root_packet if machinery else None,
             fused_nn=p_fused_nn,
             width=dev.packet_width,
+            ents=dev.pents if not machinery else None,
         )
         mesh_normal = jnp.stack(nrm_c, axis=1)
         mesh_hit = tri >= 0

@@ -57,7 +57,8 @@ from cpugpupathtracing_tpu.ops.traverse_packet_slim import (
     RESTORE, FSTACK_FRAMES, FRAMESTACK_DEFAULT, PIPELINED_DEFAULT,
     NEAREST_DEFAULT, CONDPUSH_DEFAULT, ROWX_DEFAULT, _check_table_width,
     _ctz8, _frame_mask, _frame_pop, _frame_push, _leaf_tests,
-    _resolve_rowx, _resolve_width_flags, _sub_min, _sub_max,
+    _resolve_rowx, _resolve_smem, _resolve_width_flags, _smem_pop,
+    _smem_push, _smem_seed, _sub_min, _sub_max,
 )
 
 TILE = 1024
@@ -160,7 +161,8 @@ def _emit_traversal(
     count_iters=False, num_inst=0, iid_ref=None, rays_ref=None,
     inst_inv_ref=None, inst_root_ref=None, frame_stack=False, fused_nn=0,
     pipelined=False, entry2_ref=None, nearest=False, cond_push=False,
-    width=WIDTH, occl=False, pay_ref=None, rowx=1,
+    width=WIDTH, occl=False, pay_ref=None, rowx=1, ents_ref=None,
+    smem_mode=0, smem_nn=0,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
@@ -194,6 +196,11 @@ def _emit_traversal(
     FR = width + 1
     LM = (1 << width) - 1
     FSTK = FR * FSTACK_FRAMES
+    if smem_mode:
+        # SMEM entry side table (traverse_packet_slim CPUGPU_SMEMTREE):
+        # 2-word frames (node row, pass mask)
+        FR = 2
+        FSTK = 2 * FSTACK_FRAMES
 
     def inv_dir(d):
         return jnp.where(d == 0.0, BIG, 1.0 / d)
@@ -204,7 +211,9 @@ def _emit_traversal(
 
     for j in range(ROWS):
         entry_ref[j] = roots[0]
-        if frame_stack:
+        if frame_stack and smem_mode:
+            _smem_seed(stack_ref, sptr_ref, j, roots, smem_nn, width)
+        elif frame_stack:
             # remaining roots seed whole frames (width entries + mask);
             # see ops/traverse_packet_slim.py for the frame scheme
             nroots = len(roots) - 1
@@ -288,7 +297,10 @@ def _emit_traversal(
                 can = sp > 0
                 if any_hit:
                     can = can & rl
-                if frame_stack:
+                if frame_stack and smem_mode:
+                    ent, sp2 = _smem_pop(
+                        stack_ref, ents_ref, j, sp, can, nearest, width)
+                elif frame_stack:
                     base = jnp.maximum(sp - FR, 0)
                     mw = stack_ref[j, base + width]
                     kk, rem = _frame_pop(mw, nearest, width)
@@ -325,7 +337,8 @@ def _emit_traversal(
                     pmat_next = jnp.concatenate(uprows, axis=0)
 
             nmat = lmat[:, :NC] if fused_nn else nmat_c
-            imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
+            imat = (None if smem_mode == 2 else
+                    jax.lax.bitcast_convert_type(nmat, jnp.int32))
             leaf_v = jnp.concatenate(
                 [jnp.full((SUB, 1), leaf_s[j], jnp.int32)
                  for j in range(ROWS)],
@@ -352,12 +365,21 @@ def _emit_traversal(
             mxz = [jnp.maximum(tz1[k], tz2[k]) for k in R]
             tmin = [jnp.maximum(jnp.maximum(mnx[k], mny[k]), mnz[k]) for k in R]
             tmax = [jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k]) for k in R]
-            valid = [imat[:, EO + k : EO + k + 1] != SLIM_EMPTY for k in R]
-            bm = [
-                (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
-                & m & int_v & valid[k]
-                for k in R
-            ]
+            if smem_mode == 2:
+                # bounds-only rows: NaN empties fail every compare
+                bm = [
+                    (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
+                    & m & int_v
+                    for k in R
+                ]
+            else:
+                valid = [imat[:, EO + k : EO + k + 1] != SLIM_EMPTY
+                         for k in R]
+                bm = [
+                    (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
+                    & m & int_v & valid[k]
+                    for k in R
+                ]
             fin = [
                 _sub_min(
                     jnp.min(jnp.where(bm[k], tmin[k], jnp.inf), axis=1,
@@ -376,6 +398,20 @@ def _emit_traversal(
             for j in range(ROWS):
                 sp = sptr_ref[j]
                 w = fs_mask[SUB * j, 0]
+                if frame_stack and smem_mode:
+                    # 2-word frame: (current node row, mask)
+                    base_p = jnp.minimum(sp, FSTK - 2)
+                    pushc = int_s[j] & ((w & LM) != 0)
+                    _smem_push(stack_ref, j, base_p, entries[j], w,
+                               pushc, cond_push)
+                    sp = sp + jnp.where(pushc, 2, 0)
+                    sptr_ref[j] = sp
+                    entry_ref[j] = entry2_ref[j]
+                    row_alive = (nexts[j] != DONE) | (sp > 0)
+                    if any_hit:
+                        row_alive = row_alive & (row_live_v[SUB * j, 0] != 0)
+                    alive = alive + jnp.where(row_alive, 1, 0)
+                    continue
                 es_ = [imat[SUB * j, EO + k] for k in range(width)]
                 if frame_stack:
                     base_p = jnp.minimum(sp, FSTK - FR)
@@ -499,7 +535,8 @@ def _emit_traversal(
             nmat = jnp.concatenate(nrows, axis=0)
             lmat = jnp.concatenate(lrows, axis=0)
         pmat = jnp.concatenate(prows, axis=0) if pay_ref is not None else None
-        imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
+        imat = (None if smem_mode == 2 else
+                jax.lax.bitcast_convert_type(nmat, jnp.int32))
         leaf_v = jnp.concatenate(
             [jnp.full((SUB, 1), leaf_s[j], jnp.int32) for j in range(ROWS)],
             axis=0,
@@ -531,12 +568,20 @@ def _emit_traversal(
         mxz = [jnp.maximum(tz1[k], tz2[k]) for k in R]
         tmin = [jnp.maximum(jnp.maximum(mnx[k], mny[k]), mnz[k]) for k in R]
         tmax = [jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k]) for k in R]
-        valid = [imat[:, EO + k : EO + k + 1] != SLIM_EMPTY for k in R]
-        bm = [
-            (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
-            & m & int_v & valid[k]
-            for k in R
-        ]
+        if smem_mode == 2:
+            # bounds-only rows: NaN empties fail every compare
+            bm = [
+                (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
+                & m & int_v
+                for k in R
+            ]
+        else:
+            valid = [imat[:, EO + k : EO + k + 1] != SLIM_EMPTY for k in R]
+            bm = [
+                (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
+                & m & int_v & valid[k]
+                for k in R
+            ]
         child_dmin = [
             _sub_min(
                 jnp.min(jnp.where(bm[k], tmin[k], jnp.inf), axis=1,
@@ -567,6 +612,24 @@ def _emit_traversal(
                 live = live & (row_live_v[SUB * j, 0] != 0)
             interior = int_s[j]
             sp = sptr_ref[j]
+
+            if frame_stack and smem_mode:
+                # 2-word frame push (node row, mask) + side-table pop;
+                # non-instanced only (resolved upstream)
+                w = fs_mask[SUB * j, 0]
+                base_p = jnp.minimum(sp, FSTK - 2)
+                pushc = (w & LM) != 0
+                _smem_push(stack_ref, j, base_p, e, w, pushc, cond_push)
+                sp = sp + jnp.where(pushc, 2, 0)
+                can = live & (sp > 0)
+                nxt, sp = _smem_pop(
+                    stack_ref, ents_ref, j, sp, can, nearest, width)
+                nxt = jnp.where(can, nxt, DONE)
+                sptr_ref[j] = sp
+                entry_ref[j] = nxt
+                alive = alive + jnp.where(nxt != DONE, 1, 0)
+                continue
+
             es_ = [imat[SUB * j, EO + k] for k in range(width)]
 
             if frame_stack:
@@ -801,6 +864,7 @@ def _shade_extend_kernel(
     nee, rr, cosine, ref_pdf, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
     interp=False, cond_push=False, width=WIDTH, with_pay=False, rowx=1,
+    smem_mode=0, smem_nn=0,
 ):
     """One integrator depth minus the shadow resolve: traversal + the
     full TracePathAdvanced shading body (Source/Main.cpp:396-579).
@@ -809,10 +873,14 @@ def _shade_extend_kernel(
     rowx: wider packet rows (see _emit_traversal); the shading body is
     lane-elementwise so only the tile geometry changes."""
     i = 0
+    ents_ref = None
+    if smem_mode:
+        ents_ref = tail[0]
+        i = 1
     pay_ref = None
     if with_pay:
-        pay_ref = tail[0]
-        i = 1
+        pay_ref = tail[i]
+        i += 1
     if num_inst:
         inst_inv_ref, inst_nrm_ref, inst_root_ref = tail[i : i + 3]
         i += 3
@@ -923,6 +991,7 @@ def _shade_extend_kernel(
                 pipelined=pipelined, entry2_ref=entry2_ref,
                 nearest=nearest, cond_push=cond_push, width=width,
                 occl=with_pay, pay_ref=pay_ref, rowx=rowx,
+                ents_ref=ents_ref, smem_mode=smem_mode, smem_nn=smem_nn,
             )
             t, tri, obj, mnx, mny, mnz = trav[:6]
             if count_iters:
@@ -1272,12 +1341,17 @@ def _shadow_resolve_kernel(
     roots, num_sph, num_pln, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
     interp=False, cond_push=False, width=WIDTH, occl=False, rowx=1,
+    smem_mode=0, smem_nn=0,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
     i = 0
+    ents_ref = None
+    if smem_mode:
+        ents_ref = tail[0]
+        i = 1
     if num_inst:
-        inst_inv_ref, inst_root_ref = tail[0:2]
-        i = 2
+        inst_inv_ref, inst_root_ref = tail[i : i + 2]
+        i += 2
     else:
         inst_inv_ref = inst_root_ref = None
     (
@@ -1340,6 +1414,7 @@ def _shadow_resolve_kernel(
                 pipelined=pipelined, entry2_ref=entry2_ref,
                 nearest=nearest, cond_push=cond_push, width=width,
                 occl=occl, rowx=rowx,
+                ents_ref=ents_ref, smem_mode=smem_mode, smem_nn=smem_nn,
             )
             t, tri = trav[0], trav[1]
             if count_iters:
@@ -1410,7 +1485,7 @@ def shade_extend(
     nee, rr, cosine, ref_pdf, interpret=False, count_iters=False,
     inst_inv=None, inst_nrm=None, inst_root=None, frame_stack=None,
     fused_nn=0, pipelined=None, nearest=None, cond_push=None, width=8,
-    pay=None, rowx=None,
+    pay=None, rowx=None, ents=None,
 ):
     """One fused depth step (minus shadow resolve) over the wavefront.
 
@@ -1439,7 +1514,6 @@ def shade_extend(
             "the plain non-instanced 8-wide split-table kernel")
     frame_stack, nearest = _resolve_width_flags(
         width, num_inst, frame_stack, nearest, any_hit=False)
-    _check_table_width(nodes, width, fused_nn)
     if pipelined is None:
         pipelined = PIPELINED_DEFAULT and not num_inst
     elif pipelined and num_inst:
@@ -1449,14 +1523,19 @@ def shade_extend(
     if cond_push is None:
         cond_push = CONDPUSH_DEFAULT and frame_stack
     rowx = _resolve_rowx(rowx, num_inst, fused_nn, width, nearest)
+    ents, smem_mode, smem_nn = _resolve_smem(
+        ents, nodes, roots, frame_stack, num_inst, fused_nn, width, rowx)
+    _check_table_width(nodes, width, fused_nn, smem_mode)
 
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if smem_mode else [])
         + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if pay is not None else [])
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 if num_inst else [])
         + [pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)] * 14
     )
+    ents_inputs = (ents.astype(jnp.int32),) if smem_mode else ()
     pay_inputs = (pay,) if pay is not None else ()
     inst_inputs = (inst_inv, inst_nrm, inst_root) if num_inst else ()
     out_specs = [
@@ -1487,7 +1566,8 @@ def shade_extend(
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM(
             (ROWS,
-             (width + 1) * FSTACK_FRAMES if frame_stack else STACK),
+             ((2 if smem_mode else width + 1) * FSTACK_FRAMES
+              if frame_stack else STACK)),
             jnp.int32,
         ),
     ]
@@ -1510,6 +1590,7 @@ def shade_extend(
             pipelined=pipelined, nearest=nearest and frame_stack,
             interp=interpret, cond_push=cond_push and frame_stack,
             width=width, with_pay=pay is not None, rowx=rowx,
+            smem_mode=smem_mode, smem_nn=smem_nn,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -1521,7 +1602,7 @@ def shade_extend(
         ),
         interpret=interpret,
     )(nodes, ltris, mats, lights, sph, pln, sphmat, plnmat, objmat, depth,
-      *pay_inputs, *inst_inputs, *cols)
+      *ents_inputs, *pay_inputs, *inst_inputs, *cols)
     n0 = rays[0].shape[0]
     iters = res[24] if count_iters else None
     res = [r[:n0] for r in res[:24]]
@@ -1548,7 +1629,7 @@ def shadow_resolve(
     *, roots, num_sph, num_pln, interpret=False, count_iters=False,
     inst_inv=None, inst_root=None, frame_stack=None, fused_nn=0,
     pipelined=None, nearest=None, cond_push=None, width=8, occl=False,
-    rowx=None,
+    rowx=None, ents=None,
 ):
     """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)
     (plus per-sub-tile iteration counts when count_iters).  inst_inv /
@@ -1574,7 +1655,6 @@ def shadow_resolve(
             "split-table kernel")
     frame_stack, nearest = _resolve_width_flags(
         width, num_inst, frame_stack, nearest, any_hit=True)
-    _check_table_width(nodes, width, fused_nn)
     if pipelined is None:
         pipelined = PIPELINED_DEFAULT and not num_inst
     elif pipelined and num_inst:
@@ -1584,12 +1664,17 @@ def shadow_resolve(
     if cond_push is None:
         cond_push = CONDPUSH_DEFAULT and frame_stack
     rowx = _resolve_rowx(rowx, num_inst, fused_nn, width, nearest)
+    ents, smem_mode, smem_nn = _resolve_smem(
+        ents, nodes, roots, frame_stack, num_inst, fused_nn, width, rowx)
+    _check_table_width(nodes, width, fused_nn, smem_mode)
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if smem_mode else [])
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 if num_inst else [])
         + [pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)] * 14
     )
+    ents_inputs = (ents.astype(jnp.int32),) if smem_mode else ()
     inst_inputs = (inst_inv, inst_root) if num_inst else ()
     out_specs = [
         pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
@@ -1609,7 +1694,8 @@ def shadow_resolve(
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM(
             (ROWS,
-             (width + 1) * FSTACK_FRAMES if frame_stack else STACK),
+             ((2 if smem_mode else width + 1) * FSTACK_FRAMES
+              if frame_stack else STACK)),
             jnp.int32,
         ),
     ]
@@ -1630,6 +1716,7 @@ def shadow_resolve(
             pipelined=pipelined, nearest=nearest and frame_stack,
             interp=interpret, cond_push=cond_push and frame_stack,
             width=width, occl=occl, rowx=rowx,
+            smem_mode=smem_mode, smem_nn=smem_nn,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -1640,7 +1727,7 @@ def shadow_resolve(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(nodes, ltris, sph, pln, *inst_inputs, *cols)
+    )(nodes, ltris, sph, pln, *ents_inputs, *inst_inputs, *cols)
     n0 = shadow_o[0].shape[0]
     if count_iters:
         return tuple(r[:n0] for r in res[:3]) + (res[3],)

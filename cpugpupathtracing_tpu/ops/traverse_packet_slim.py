@@ -104,6 +104,18 @@ NEAREST_DEFAULT = os.environ.get("CPUGPU_NEAREST", "") == "1"
 # when the mask is non-zero) and is never observed.  Read at import.
 CONDPUSH_DEFAULT = os.environ.get("CPUGPU_CONDPUSH", "") == "1"
 
+# CPUGPU_SMEMTREE=1|48: SMEM ENTRY SIDE TABLE (round-4 row-load-floor
+# attack).  The per-node child entries move out of the node row into an
+# SMEM i32 (B + V, 8) input (bvh8.slim_side_tables); the frame stack
+# shrinks to 2 words (node row, pass mask) so a push is 2 scalar
+# stores instead of 9 and the 8 per-row vector->scalar entry extracts
+# disappear -- a pop reads ents[frame_node, ctz(mask)] instead.  "48"
+# additionally swaps the node table for the bounds-only (B, 48) form
+# (bvh8.slim_bounds48, NaN empties, no per-child valid compare): 25%
+# fewer node-row bytes per dynamic load.  Frame-stack scheme only,
+# plain non-instanced 8-wide split tables, rowx 1.  Read at import.
+SMEMTREE_DEFAULT = os.environ.get("CPUGPU_SMEMTREE", "")
+
 # CPUGPU_ROWX=2|4: WIDER PACKET ROWS -- each of the 8 per-tile stacks
 # drives 2 or 4 sublanes (256 / 512 rays) instead of 1 (128).  The
 # scalar pop/push/load chain that dominates the ~1.1-1.4 us iteration
@@ -219,6 +231,90 @@ def _frame_push(stack_ref, j, base_p, slots, w, pushc, cond_push):
         _do()
 
 
+def _resolve_smem(ents, nodes, roots, frame_stack, num_inst, fused_nn,
+                  width, rowx):
+    """Shared SMEM side-table resolution (slim kernel + megakernels).
+
+    Returns (ents', smem_mode, smem_nn): mode 2 when the node table is
+    the bounds-only 48-col form, mode 1 for the 64-col table with a
+    side table, 0 when off.  The scheme needs the frame-stack 8-wide
+    non-instanced split-table kernel at rowx 1; with a 64-col table an
+    incompatible combination silently drops the side table (so the
+    CPUGPU_SMEMTREE env default composes with any scene), but a 48-col
+    table CANNOT be traversed without it -- that mismatch raises."""
+    if ents is None:
+        if nodes.shape[1] == 48:
+            raise ValueError(
+                "a 48-col bounds-only node table requires the SMEM entry "
+                "side table (pass ents=bvh8.slim_side_tables(...))")
+        return None, 0, 0
+    incompatible = (not frame_stack or num_inst or fused_nn
+                    or width != 8 or rowx != 1)
+    if incompatible:
+        if nodes.shape[1] == 48:
+            raise ValueError(
+                "48-col node tables need the frame-stack non-instanced "
+                "8-wide split-table kernel at rowx 1")
+        return None, 0, 0
+    mode = 2 if nodes.shape[1] == 48 else 1
+    nvirt = (len(roots) - 1 + width - 1) // width
+    return ents, mode, ents.shape[0] - nvirt
+
+
+def _smem_push(stack_ref, j, base_p, node_e, w, pushc, cond_push):
+    """2-word frame store for the SMEM side-table scheme: (node row,
+    pass mask).  Same never-observed-junk-frame contract as
+    _frame_push (the caller advances sp on `pushc` either way) -- but
+    the node word of an UNCONDITIONAL junk store is clamped to 0: a
+    junk frame at slot 0 is read (masked) by the sp == 0 pop, and its
+    node word indexes the SMEM side table, so it must stay in-bounds
+    (DONE / leaf entries would not be)."""
+    if cond_push:
+        def _do():
+            stack_ref[j, base_p] = node_e
+            stack_ref[j, base_p + 1] = w
+        pl.when(pushc)(_do)
+    else:
+        stack_ref[j, base_p] = jnp.where(pushc, node_e, 0)
+        stack_ref[j, base_p + 1] = w
+
+
+def _smem_pop(stack_ref, ents_ref, j, sp, can, nearest, width=WIDTH):
+    """One pop from row j's 2-word frame stack: reads the top frame's
+    (node, mask), takes the next slot via _frame_pop, and fetches the
+    child entry from the SMEM side table.  Stack slot 0 is always
+    seeded (0 when no root frames), so the masked junk pop at sp == 0
+    indexes a valid ents row.  Returns (entry, sp')."""
+    base = jnp.maximum(sp - 2, 0)
+    fnode = stack_ref[j, base]
+    mw = stack_ref[j, base + 1]
+    kk, rem = _frame_pop(mw, nearest, width)
+    ent = ents_ref[fnode, kk]
+    stack_ref[j, base + 1] = jnp.where(can, rem, mw)
+    sp2 = jnp.where(can & ((rem & ((1 << width) - 1)) == 0), base, sp)
+    return ent, sp2
+
+
+def _smem_seed(stack_ref, sptr_ref, j, roots, smem_nn, width=WIDTH):
+    """Root seeding for the 2-word frame scheme: extra roots live in
+    the side table's virtual rows (smem_nn + vi), one frame per chunk
+    of `width`.  Slot 0 is zero-initialized when there are no root
+    frames so the sp == 0 junk pop stays in-bounds."""
+    nroots = len(roots) - 1
+    nf = 0
+    pos = 0
+    while pos < nroots:
+        cnt = min(width, nroots - pos)
+        stack_ref[j, 2 * nf] = smem_nn + nf
+        stack_ref[j, 2 * nf + 1] = (1 << cnt) - 1
+        nf += 1
+        pos += cnt
+    if nf == 0:
+        stack_ref[j, 0] = 0
+        stack_ref[j, 1] = 0
+    sptr_ref[j] = 2 * nf
+
+
 def _resolve_width_flags(width, num_inst, frame_stack, nearest, any_hit):
     """Shared width flag resolution (slim kernel + the megakernels).
 
@@ -248,12 +344,15 @@ def _resolve_width_flags(width, num_inst, frame_stack, nearest, any_hit):
     return frame_stack, nearest
 
 
-def _check_table_width(nodes, width: int, fused_nn: int) -> None:
+def _check_table_width(nodes, width: int, fused_nn: int,
+                       smem_mode: int = 0) -> None:
     """A width-8 decode on a (B, 128) width-16 table (or vice versa)
     reads bounds columns as entries and traverses garbage -- catch the
     mismatch loudly.  Non-fused tables are 64 cols at width 8 and 128
-    at width 16; fused tables are one 128-col row either way."""
-    expect = 128 if (width == 16 or fused_nn) else 64
+    at width 16; fused tables are one 128-col row either way; the
+    bounds-only side-table form (CPUGPU_SMEMTREE=48) is 48 cols."""
+    expect = 128 if (width == 16 or fused_nn) else (
+        48 if smem_mode == 2 else 64)
     if nodes.shape[1] != expect:
         raise ValueError(
             f"packet node table has {nodes.shape[1]} cols but width="
@@ -370,7 +469,8 @@ def _traverse_kernel(
     count_iters: bool, frame_stack: bool = False, fused_nn: int = 0,
     pipelined: bool = False, nearest: bool = False, interp: bool = False,
     cond_push: bool = False, width: int = WIDTH, occl: bool = False,
-    with_pay: bool = False, rowx: int = 1,
+    with_pay: bool = False, rowx: int = 1, smem_mode: int = 0,
+    smem_nn: int = 0,
 ):
     # node-arity locals: width 8 = the classic (B, 64) slim row, width
     # 16 = one full (B, 128) row (16x6 bounds, entries at 96, counts at
@@ -396,6 +496,12 @@ def _traverse_kernel(
     if with_pay:
         # leaf-14 closest-hit payload table, right after ltris
         pay_ref = refs.pop(2)
+    ents_ref = None
+    if smem_mode:
+        # SMEM entry side table, after ltris (and pay when present)
+        ents_ref = refs.pop(2)
+        FR = 2
+        FSTK = 2 * FSTACK_FRAMES
     if count_iters:
         # the iters output ref sits after the 8 regular outputs, before
         # the scratch refs; inputs = nodes, ltris [, inst x2] + 8 ray ops
@@ -469,7 +575,10 @@ def _traverse_kernel(
 
             for j in range(ROWS):
                 entry_ref[j] = roots[0]
-                if frame_stack:
+                if frame_stack and smem_mode:
+                    _smem_seed(stack_ref, sptr_ref, j, roots, smem_nn,
+                               width)
+                elif frame_stack:
                     # remaining roots seed whole 9-slot frames (8 + mask)
                     nroots = len(roots) - 1
                     nf = 0
@@ -573,7 +682,11 @@ def _traverse_kernel(
                         can = sp > 0
                         if any_hit:
                             can = can & rl
-                        if frame_stack:
+                        if frame_stack and smem_mode:
+                            ent, sp2 = _smem_pop(
+                                stack_ref, ents_ref, j, sp, can, nearest,
+                                width)
+                        elif frame_stack:
                             base = jnp.maximum(sp - FR, 0)
                             mw = stack_ref[j, base + width]
                             kk, rem = _frame_pop(mw, nearest, width)
@@ -617,7 +730,8 @@ def _traverse_kernel(
 
                     # ---- (2) vector: slab + leaf on CURRENT ----
                     nmat = lmat[:, :NC] if fused_nn else nmat_c
-                    imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
+                    imat = (None if smem_mode == 2 else
+                            jax.lax.bitcast_convert_type(nmat, jnp.int32))
                     leaf_v = jnp.concatenate(
                         [jnp.full((SUB, 1), leaf_s[j], jnp.int32)
                          for j in range(ROWS)], axis=0,
@@ -644,12 +758,23 @@ def _traverse_kernel(
                             for k in R]
                     tmax = [jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k])
                             for k in R]
-                    valid = [imat[:, EO + k : EO + k + 1] != SLIM_EMPTY for k in R]
-                    bm = [
-                        (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
-                        & m & int_v & valid[k]
-                        for k in R
-                    ]
+                    if smem_mode == 2:
+                        # bounds-only rows: empty slots carry NaN bounds,
+                        # every comparison below is False -- no entry
+                        # columns to compare
+                        bm = [
+                            (tmax[k] >= tmin[k]) & (tmin[k] < t)
+                            & (tmax[k] > 0.0) & m & int_v
+                            for k in R
+                        ]
+                    else:
+                        valid = [imat[:, EO + k : EO + k + 1] != SLIM_EMPTY
+                                 for k in R]
+                        bm = [
+                            (tmax[k] >= tmin[k]) & (tmin[k] < t)
+                            & (tmax[k] > 0.0) & m & int_v & valid[k]
+                            for k in R
+                        ]
                     fin = [
                         jnp.min(jnp.where(bm[k], tmin[k], jnp.inf), axis=1,
                                 keepdims=True)
@@ -672,6 +797,22 @@ def _traverse_kernel(
                     for j in range(ROWS):
                         sp = sptr_ref[j]
                         w = fs_mask[SUB * j, 0]
+                        if frame_stack and smem_mode:
+                            # 2-word frame: (current node row, mask); the
+                            # child entries stay in the SMEM side table
+                            base_p = jnp.minimum(sp, FSTK - 2)
+                            pushc = int_s[j] & ((w & LM) != 0)
+                            _smem_push(stack_ref, j, base_p, entries[j],
+                                       w, pushc, cond_push)
+                            sp = sp + jnp.where(pushc, 2, 0)
+                            sptr_ref[j] = sp
+                            entry_ref[j] = entry2_ref[j]
+                            row_alive = (nexts[j] != DONE) | (sp > 0)
+                            if any_hit:
+                                row_alive = row_alive & (
+                                    row_live_v[SUB * j, 0] != 0)
+                            alive = alive + jnp.where(row_alive, 1, 0)
+                            continue
                         es_ = [imat[SUB * j, EO + k] for k in range(width)]
                         if frame_stack:
                             base_p = jnp.minimum(sp, FSTK - FR)
@@ -814,7 +955,8 @@ def _traverse_kernel(
                     nmat = jnp.concatenate(nrows, axis=0)      # (8*SUB, 64)
                     lmat = jnp.concatenate(lrows, axis=0)      # (8*SUB, 128)
                 pmat = jnp.concatenate(prows, axis=0) if with_pay else None
-                imat = jax.lax.bitcast_convert_type(nmat, jnp.int32)
+                imat = (None if smem_mode == 2 else
+                        jax.lax.bitcast_convert_type(nmat, jnp.int32))
                 leaf_v = jnp.concatenate(
                     [jnp.full((SUB, 1), leaf_s[j], jnp.int32)
                      for j in range(ROWS)],
@@ -859,13 +1001,21 @@ def _traverse_kernel(
                 tmax = [
                     jnp.minimum(jnp.minimum(mxx[k], mxy[k]), mxz[k]) for k in R
                 ]
-                valid = [imat[:, EO + k : EO + k + 1] != SLIM_EMPTY
-                         for k in R]
-                bm = [
-                    (tmax[k] >= tmin[k]) & (tmin[k] < t) & (tmax[k] > 0.0)
-                    & m & int_v & valid[k]
-                    for k in R
-                ]
+                if smem_mode == 2:
+                    # bounds-only rows: NaN empties fail every compare
+                    bm = [
+                        (tmax[k] >= tmin[k]) & (tmin[k] < t)
+                        & (tmax[k] > 0.0) & m & int_v
+                        for k in R
+                    ]
+                else:
+                    valid = [imat[:, EO + k : EO + k + 1] != SLIM_EMPTY
+                             for k in R]
+                    bm = [
+                        (tmax[k] >= tmin[k]) & (tmin[k] < t)
+                        & (tmax[k] > 0.0) & m & int_v & valid[k]
+                        for k in R
+                    ]
                 child_dmin = [
                     _sub_min(
                         jnp.min(
@@ -907,6 +1057,25 @@ def _traverse_kernel(
                         live = live & (row_live_v[SUB * j, 0] != 0)
                     interior = int_s[j]
                     sp = sptr_ref[j]
+
+                    if frame_stack and smem_mode:
+                        # 2-word frame push (node row, mask) + side-table
+                        # pop; non-instanced only (resolved upstream)
+                        w = fs_mask[SUB * j, 0]
+                        base_p = jnp.minimum(sp, FSTK - 2)
+                        pushc = (w & LM) != 0
+                        _smem_push(stack_ref, j, base_p, e, w, pushc,
+                                   cond_push)
+                        sp = sp + jnp.where(pushc, 2, 0)
+                        can = live & (sp > 0)
+                        nxt, sp = _smem_pop(
+                            stack_ref, ents_ref, j, sp, can, nearest,
+                            width)
+                        nxt = jnp.where(can, nxt, DONE)
+                        sptr_ref[j] = sp
+                        entry_ref[j] = nxt
+                        alive = alive + jnp.where(nxt != DONE, 1, 0)
+                        continue
 
                     es_ = [imat[SUB * j, EO + k] for k in range(width)]
 
@@ -1122,7 +1291,7 @@ def traverse_packet_slim(
     fused_nn: int = 0, pipelined: bool | None = None,
     nearest: bool | None = None, cond_push: bool | None = None,
     width: int = 8, occl: bool = False, pay=None,
-    rowx: int | None = None,
+    rowx: int | None = None, ents=None,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
@@ -1172,7 +1341,6 @@ def traverse_packet_slim(
     # full shading-complete LEAF-14 closest-hit mode.
     frame_stack, nearest = _resolve_width_flags(
         width, 1 if instanced else 0, frame_stack, nearest, any_hit)
-    _check_table_width(nodes, width, fused_nn)
     if pipelined is None:
         # the pipelined body runs on fused OR split tables (split issues
         # both speculative row loads); only the instance machinery's
@@ -1187,6 +1355,10 @@ def traverse_packet_slim(
         cond_push = CONDPUSH_DEFAULT and frame_stack
     rowx = _resolve_rowx(
         rowx, 1 if instanced else 0, fused_nn, width, nearest)
+    ents, smem_mode, smem_nn = _resolve_smem(
+        ents, nodes, roots, frame_stack,
+        1 if instanced else 0, fused_nn, width, rowx)
+    _check_table_width(nodes, width, fused_nn, smem_mode)
     step = GROUPS * TILE
     n = -(-n0 // step) * step
     num_steps = n // step
@@ -1215,14 +1387,17 @@ def traverse_packet_slim(
     if pay is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         inputs.append(pay)
+    if smem_mode:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(ents.astype(jnp.int32))
+    if frame_stack:
+        stack_slots = (2 if smem_mode else width + 1) * FSTACK_FRAMES
+    else:
+        stack_slots = STACK
     scratch = [
         pltpu.SMEM((ROWS,), jnp.int32),
         pltpu.SMEM((ROWS,), jnp.int32),
-        pltpu.SMEM(
-            (ROWS,
-             (width + 1) * FSTACK_FRAMES if frame_stack else STACK),
-            jnp.int32,
-        ),
+        pltpu.SMEM((ROWS, stack_slots), jnp.int32),
     ]
     if pipelined:
         scratch.append(pltpu.SMEM((ROWS,), jnp.int32))  # entry2 (next)
@@ -1283,6 +1458,8 @@ def traverse_packet_slim(
             occl=occl,
             with_pay=pay is not None,
             rowx=rowx,
+            smem_mode=smem_mode,
+            smem_nn=smem_nn,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
