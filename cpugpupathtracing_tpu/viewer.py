@@ -10,14 +10,27 @@ HTTP and a small HTML page polls it, overlays the stats panel
 
   GET  /            the viewer page (image + stats + key capture)
   GET  /frame.png   current progressive framebuffer (low-compression PNG)
-  GET  /stats.json  the stats-panel numbers (Renderer.metrics())
+  GET  /stats.json  the stats-panel numbers (Renderer.metrics()), incl.
+                    the scene tree's per-object records with BVH node
+                    count / max depth / total node area
+                    (Source/BVH.cpp:149-186)
   POST /input       {"key": "w|a|s|d|space|shift", "dt": seconds}
                     reference fly-camera translation (Main.cpp:112-118:
                     W/S -> -/+z, A/D -> -/+x, Space/Shift -> +/-y, speed
                     2.0); any movement resets accumulation (Main.cpp:292)
   POST /control     {"pause": bool} | {"render_mode": name} |
                     {"debug_mode": name} | {"max_ray_depth": int, ...}
-                    the ImGui panel's writable knobs (Main.cpp:860-905)
+                    the ImGui panel's writable knobs (Main.cpp:860-905),
+                    plus the scene-tree editors (Main.cpp:859-933):
+                    {"set_material": {"index": i, <Material fields to
+                    change>}} per-object material edit (Main.cpp:263-265),
+                    {"set_sphere": {"index": obj, "center": [x,y,z],
+                    "radius": r}} / {"set_plane": {"index": obj, "point":
+                    [...], "normal": [...]}} primitive drag widgets
+                    (Source/Primitives.cpp:385-415), and
+                    {"rebuild_bvh": {"index": obj, "build_option":
+                    "sah_split_intervals"|...}} the rebuild combo
+                    (Source/BVH.cpp:149-186)
 
 The server runs on a daemon thread and never blocks the render loop: it
 snapshots the latest finished frame under a lock.  Rendering itself
@@ -31,7 +44,10 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from cpugpupathtracing_tpu.config import DebugRenderMode, RenderMode
+import dataclasses
+
+from cpugpupathtracing_tpu.config import BuildOption, DebugRenderMode, RenderMode
+from cpugpupathtracing_tpu.models.materials import Material
 from cpugpupathtracing_tpu.utils import image as imagelib
 from cpugpupathtracing_tpu.utils.log import log_info
 
@@ -51,6 +67,11 @@ _KEY_DELTAS = {
 
 _RENDER_MODES = {m.name.lower(): m for m in RenderMode}
 _DEBUG_MODES = {m.name.lower(): m for m in DebugRenderMode}
+_BUILD_OPTIONS = {m.name.lower(): m for m in BuildOption}
+# Material edit surface: every per-material ImGui widget
+# (Source/Main.cpp:256-266 -- albedo/specular/refractivity/absorption/
+# ior/emissive/intensity/is_light); tuples arrive as 3-element lists
+_MAT_FIELDS = {f.name: f.type for f in dataclasses.fields(Material)}
 
 _PAGE = """<!doctype html>
 <html><head><title>cpugpupathtracing-tpu</title><style>
@@ -229,6 +250,51 @@ class LiveViewer:
         if updates:
             r.set_settings(r.settings.replace(**updates))
             ok = True
+
+        # ---- scene-tree editors (Main.cpp:859-933) ----
+        try:
+            if "set_material" in payload:
+                p = dict(payload["set_material"])
+                idx = int(p.pop("index"))
+                cur = r.scene.materials[idx]
+                fields = {}
+                for k, v in p.items():
+                    if k not in _MAT_FIELDS:
+                        return False
+                    fields[k] = (
+                        tuple(float(x) for x in v) if isinstance(v, list)
+                        else (bool(v) if k == "is_light" else float(v))
+                    )
+                r.set_material(idx, dataclasses.replace(cur, **fields))
+                ok = True
+            if "set_sphere" in payload:
+                p = payload["set_sphere"]
+                r.set_sphere(
+                    int(p["index"]),
+                    tuple(float(x) for x in p["center"]),
+                    float(p["radius"]),
+                )
+                ok = True
+            if "set_plane" in payload:
+                p = payload["set_plane"]
+                r.set_plane(
+                    int(p["index"]),
+                    tuple(float(x) for x in p["point"]),
+                    tuple(float(x) for x in p["normal"]),
+                )
+                ok = True
+            if "rebuild_bvh" in payload:
+                p = payload["rebuild_bvh"]
+                opt = _BUILD_OPTIONS.get(
+                    str(p.get("build_option", "")).lower())
+                if opt is None:
+                    return False
+                r.rebuild_bvh(int(p["index"]), opt)
+                ok = True
+        except (KeyError, IndexError, TypeError, ValueError, RuntimeError):
+            # bad index / wrong primitive kind / malformed payload: the
+            # editors reject rather than crash the viewer thread
+            return False
         return ok
 
     def serve_frames(self, frames: int | None = None) -> None:

@@ -118,6 +118,67 @@ def test_control_panel_knobs(viewer):
     assert not body["ok"]
 
 
+def test_scene_tree_editors(viewer):
+    """Round-4 control-surface closure: the scene-tree editors
+    (Main.cpp:859-933) over /control -- material, sphere, plane (via a
+    renderer with one), and BVH rebuild with a heuristic choice."""
+    r = viewer.renderer
+    # material editor: partial update merges over the current material
+    code, body = _post(viewer, "/control", {
+        "set_material": {"index": 0, "albedo": [0.9, 0.1, 0.2],
+                         "specular": 0.5}})
+    assert body["ok"]
+    m = r.scene.materials[0]
+    assert m.albedo == (0.9, 0.1, 0.2) and m.specular == 0.5
+    assert r.num_accumulated == 0  # material edit resets (Main.cpp:263-265)
+
+    # sphere editor (object 1 is the light sphere)
+    code, body = _post(viewer, "/control", {
+        "set_sphere": {"index": 1, "center": [5.0, 7.0, 5.0],
+                       "radius": 2.5}})
+    assert body["ok"]
+    assert r.scene.objects[1].sphere == ((5.0, 7.0, 5.0), 2.5)
+
+    # BVH rebuild with a heuristic combo choice (Source/BVH.cpp:149-186)
+    before = r.scene.objects[0].build_option
+    code, body = _post(viewer, "/control", {
+        "rebuild_bvh": {"index": 0, "build_option": "naive_split"}})
+    assert body["ok"]
+    from cpugpupathtracing_tpu.config import BuildOption
+    assert r.scene.objects[0].build_option == BuildOption.NAIVE_SPLIT
+    assert r.scene.objects[0].build_option != before or \
+        before == BuildOption.NAIVE_SPLIT
+
+    # malformed requests reject without crashing the server thread
+    for bad in (
+        {"set_material": {"index": 99, "albedo": [1, 1, 1]}},
+        {"set_sphere": {"index": 0, "center": [0, 0, 0], "radius": 1.0}},
+        {"rebuild_bvh": {"index": 0, "build_option": "nope"}},
+        {"set_material": {"index": 0, "not_a_field": 1.0}},
+    ):
+        code, body = _post(viewer, "/control", bad)
+        assert not body["ok"], bad
+    # the server is still alive and serving
+    code, _, _ = _get(viewer, "/stats.json")
+    assert code == 200
+
+
+def test_stats_include_per_object_bvh(viewer):
+    """Per-object BVH stats in /stats.json (Source/BVH.cpp:149-186)."""
+    viewer.renderer.render_frame()
+    viewer.publish()
+    _, _, body = _get(viewer, "/stats.json")
+    stats = json.loads(body)
+    objs = stats["objects"]
+    assert objs[0]["kind"] == "mesh"
+    bvh = objs[0]["bvh"]
+    assert bvh["node_count"] >= 1 and bvh["max_depth"] >= 1
+    assert bvh["triangles"] == 12  # the cube
+    assert bvh["total_node_area"] > 0
+    assert objs[1]["kind"] == "sphere" and objs[1]["is_light"]
+    assert objs[1]["radius"] == 3.0
+
+
 def test_serve_frames_bounded(viewer):
     viewer.serve_frames(2)
     assert viewer.renderer.num_accumulated == 2
