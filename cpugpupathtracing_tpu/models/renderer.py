@@ -263,6 +263,60 @@ class Renderer:
 
     # ---- frame loop ----
 
+    def _spp_substeps(self, spp: int) -> bool:
+        """True when a multi-spp frame should run as spp pipelined
+        1-spp sub-dispatches of the SAME executable instead of one
+        spp-unrolled program (round-4 config-4 closure).
+
+        The unrolled program was measured BELOW the 1-spp executable
+        per-ray on the chip (4.73 vs 5.42 Mrays/s at 8 spp -- the 8x
+        body blows up scheduling/liveness), and its compile time scales
+        with spp (the spf=256 CPU compile measured 9x the render).
+        Sub-steps reuse the warm 1-spp executable, so per-ray
+        throughput matches the 1-spp frame by construction; dispatches
+        pipeline (no host syncs between), and RNG streams are keyed by
+        the global sample counter either way, so the image is identical
+        up to accumulator fp add order.  Debug render modes keep the
+        unrolled path (their pixels show the CURRENT frame averaged
+        over all spp, which sub-steps would narrow to the last sample);
+        COMPARISON keeps it too (same reason).  CPUGPU_SPP_UNROLL=1
+        restores the old behavior for A/B."""
+        import os as _os
+
+        return (
+            spp > 1
+            and self.settings.debug_render_mode == DebugRenderMode.NONE
+            and self.settings.render_mode != RenderMode.COMPARISON
+            and _os.environ.get("CPUGPU_SPP_UNROLL") != "1"
+        )
+
+    def _dispatch_frame(self, spp: int):
+        """Dispatch one progressive frame's kernels (no host syncs);
+        returns (traced, esum) as lazy device scalars."""
+        w, h = self.config.width, self.config.height
+        sub = 1 if self._spp_substeps(spp) else spp
+        traced_t = esum_t = None
+        for _ in range(spp // sub):
+            acc, pixels, traced, esum = _guarded_frame_kernel(
+                self.scene.device(),
+                camlib.to_arrays(self.camera),
+                self._accumulator,
+                jnp.asarray(self._sample_counter, jnp.int32),
+                self._lane,
+                self.settings,
+                w,
+                h,
+                sub,
+                self.config.seed,
+            )
+            self._accumulator = acc
+            self._pixels = pixels
+            self._sample_counter += sub
+            self.num_accumulated += sub
+            traced_t = traced if traced_t is None else traced_t + traced
+            esum_t = esum if esum_t is None else esum_t + esum
+        return traced_t, esum_t
+
     def render_frame(self, sync: bool = True):
         """Trace one progressive frame (Render(), Main.cpp:691-755).
         No-op while paused (Main.cpp:693-696).
@@ -275,24 +329,7 @@ class Renderer:
         if self.pause_rendering:
             return None
         t0 = time.perf_counter()
-        w, h = self.config.width, self.config.height
-        spp = self.config.samples_per_frame
-        self.num_accumulated += spp
-        acc, pixels, traced, esum = _guarded_frame_kernel(
-            self.scene.device(),
-            camlib.to_arrays(self.camera),
-            self._accumulator,
-            jnp.asarray(self._sample_counter, jnp.int32),
-            self._lane,
-            self.settings,
-            w,
-            h,
-            spp,
-            self.config.seed,
-        )
-        self._accumulator = acc
-        self._pixels = pixels
-        self._sample_counter += spp
+        traced, esum = self._dispatch_frame(self.config.samples_per_frame)
         if not sync:
             # energy/stat counters are the caller's to drain; pixels
             # and accumulator state are already chained on device
@@ -300,7 +337,7 @@ class Renderer:
         self.stats.traced_rays = int(traced)
         self.stats.total_traced_rays += int(traced)
         self.total_energy_received += float(esum)
-        jax.block_until_ready(pixels)
+        jax.block_until_ready(self._pixels)
         dt = time.perf_counter() - t0
         self.stats.frame_time_ms = dt * 1000.0
         self.stats.fps = 1.0 / dt if dt > 0 else 0.0
@@ -323,27 +360,11 @@ class Renderer:
         if self.pause_rendering or frames <= 0:
             return 0
         t0 = time.perf_counter()
-        w, h = self.config.width, self.config.height
         spp = self.config.samples_per_frame
         traced_t = None
         esum_t = None
         for _ in range(frames):
-            self.num_accumulated += spp
-            acc, pixels, traced, esum = _guarded_frame_kernel(
-                self.scene.device(),
-                camlib.to_arrays(self.camera),
-                self._accumulator,
-                jnp.asarray(self._sample_counter, jnp.int32),
-                self._lane,
-                self.settings,
-                w,
-                h,
-                spp,
-                self.config.seed,
-            )
-            self._accumulator = acc
-            self._pixels = pixels
-            self._sample_counter += spp
+            traced, esum = self._dispatch_frame(spp)
             traced_t = traced if traced_t is None else traced_t + traced
             esum_t = esum if esum_t is None else esum_t + esum
         jax.block_until_ready(self._pixels)
