@@ -379,7 +379,7 @@ class BVH8Slim:
         return self.nodes.shape[1] // 8
 
 
-def to_slim_occl(w: BVH8) -> BVH8Slim:
+def to_slim_occl(w: BVH8, rows_per_leaf: int = 1) -> BVH8Slim:
     """Re-encode a BVH8 (leaf_max <= OCCL_TRIS) into occlusion-only
     leaf-blocked tables for any-hit shadow traversal.
 
@@ -398,23 +398,38 @@ def to_slim_occl(w: BVH8) -> BVH8Slim:
 
     Node rows keep the exact slim encoding (bounds, pre-encoded entries,
     EMPTY sentinels); `width` must be 8 (shadow traversal always runs
-    the 8-wide kernel)."""
+    the 8-wide kernel).
+
+    rows_per_leaf=2 (CPUGPU_OCCL2, round-4 fat-shadow-leaf attack):
+    each leaf owns TWO consecutive ltris rows (up to 28 records: 0..13
+    in row 2k, 14..27 in row 2k+1) over a leaf_max<=28 collapse, and
+    the pre-encoded leaf entry is -(leaf_index + 1) with
+    row0 = 2 * leaf_index.  The d0 shadow fan is a per-ray node-walk
+    floor (key-insensitive, ~241k iterations), and occlusion tolerates
+    far fatter leaves than closest-hit: the 14-record rows already
+    bought -13% at FLAT ns/iteration (the leaf ALU hides under the
+    scalar pop -> row-load chain, tools/occl_lab.py), so halving leaf
+    pops again is the remaining tree-shape lever."""
     if w.width != 8:
         raise ValueError("occlusion tables are 8-wide only")
+    if rows_per_leaf not in (1, 2):
+        raise ValueError("rows_per_leaf must be 1 or 2")
+    max_tris = OCCL_TRIS * rows_per_leaf
     nodes = w.nodes.copy()
     cidx = nodes[:, 48:56].view(np.int32)
     ccnt = nodes[:, 56:64].view(np.int32)
     is_leaf = ccnt > 0
-    if is_leaf.any() and int(ccnt[is_leaf].max()) > OCCL_TRIS:
-        raise ValueError(f"occlusion tables need leaf_max <= {OCCL_TRIS}")
+    if is_leaf.any() and int(ccnt[is_leaf].max()) > max_tris:
+        raise ValueError(f"occlusion tables need leaf_max <= {max_tris}")
 
     starts = cidx[is_leaf]
     counts = ccnt[is_leaf]
     nl = len(starts)
-    ltris = np.zeros((max(nl, 1), 128), np.float32)
-    for row, (st, c) in enumerate(zip(starts, counts)):
+    ltris = np.zeros((max(nl, 1) * rows_per_leaf, 128), np.float32)
+    for leaf, (st, c) in enumerate(zip(starts, counts)):
         for k in range(int(c)):
-            base = OCCL_STRIDE * k
+            row = leaf * rows_per_leaf + k // OCCL_TRIS
+            base = OCCL_STRIDE * (k % OCCL_TRIS)
             ltris[row, base : base + 9] = w.tris9[st + k]
     leaf_rows = np.arange(nl, dtype=np.int32)
     cidx[is_leaf] = -(leaf_rows + 1)

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from cpugpupathtracing_tpu.config import DebugRenderMode, DiffusePdfMode, RenderSettings
 from cpugpupathtracing_tpu.models.scene import (
+    PACKET_OCCL2,
     DeviceScene,
     active_bit,
     hit_surface,
@@ -848,6 +849,7 @@ def trace_advanced_mega(
                     interpret=interpret, frame_stack=frame_stack,
                     cond_push=cond_push, fused_nn=0, width=8, occl=True,
                     rowx=rowx, ents=dev.poccl_ents,
+                    occl_rows=2 if PACKET_OCCL2 else 1,
                 )
             else:
                 sh_nodes, sh_ltris = mk_nodes, mk_ltris

@@ -77,6 +77,22 @@ PACKET_OCCL = os.environ.get("CPUGPU_OCCL", "") == "1"
 # Implies the occl tables; same scene restrictions.
 PACKET_LEAF14 = os.environ.get("CPUGPU_LEAF14", "") == "1"
 
+# CPUGPU_OCCL2=1 (round-4 fat-shadow-leaf attack): the occlusion tables
+# use TWO-row leaves (leaf_max=28 SAH-DP collapse; records 0..13 in row
+# 2k, 14..27 in row 2k+1).  The shadow fan's cost is a per-ray
+# node-walk floor, and tools/occl_lab.py measured the 14-record rows at
+# FLAT ns/iteration (the leaf ALU hides under the scalar pop ->
+# row-load chain), so halving leaf pops again is the remaining
+# tree-shape lever; the occluded bit stays bitwise identical.  Implies
+# CPUGPU_OCCL; incompatible with CPUGPU_LEAF14 (any-hit only).
+PACKET_OCCL2 = os.environ.get("CPUGPU_OCCL2", "") == "1"
+if PACKET_OCCL2:
+    PACKET_OCCL = True
+    if PACKET_LEAF14:
+        raise RuntimeError("CPUGPU_OCCL2 (2-row any-hit leaves) cannot "
+                           "combine with CPUGPU_LEAF14 (closest-hit "
+                           "payload rows)")
+
 # CPUGPU_PACKET_TREE selects how the DEVICE-SIDE slim packet tree is
 # constructed from each mesh.  The binary BVH the user sees (rebuild
 # panel, heatmaps, the wide/skip/binary paths) always follows the
@@ -147,18 +163,25 @@ def _build_occl_cache(obj) -> tuple:
     instance repack gather (_occl_repack_perm)."""
     from cpugpupathtracing_tpu.models import bvh8 as bvh8lib
 
+    rows = 2 if PACKET_OCCL2 else 1
     pb = obj.bvh.rebuild(BuildOption.SAH_SPLIT_PRIMITIVES, max_leaf_size=8)
-    w = bvh8lib.collapse_sah(pb, leaf_max=bvh8lib.OCCL_TRIS)
+    w = bvh8lib.collapse_sah(pb, leaf_max=bvh8lib.OCCL_TRIS * rows)
     cidx = w.nodes[:, 48:56].view(np.int32)
     ccnt = w.nodes[:, 56:64].view(np.int32)
     is_leaf = ccnt > 0
     starts, counts = cidx[is_leaf], ccnt[is_leaf]
-    rec_tid = np.full((max(len(starts), 1), bvh8lib.OCCL_TRIS), -1, np.int32)
-    for row, (st, c) in enumerate(zip(starts, counts)):
-        rec_tid[row, : int(c)] = w.leaf_tri_id[st : st + int(c)]
+    # rec_tid stays per-ROW (14 records) so the flattened-instance
+    # repack gather is leaf-width agnostic
+    rec_tid = np.full(
+        (max(len(starts), 1) * rows, bvh8lib.OCCL_TRIS), -1, np.int32)
+    for leaf, (st, c) in enumerate(zip(starts, counts)):
+        for k in range(int(c)):
+            rec_tid[leaf * rows + k // bvh8lib.OCCL_TRIS,
+                    k % bvh8lib.OCCL_TRIS] = w.leaf_tri_id[st + k]
     pay = (bvh8lib.occl_payload(w, pb.tri_normal)
            if PACKET_LEAF14 else None)
-    return (obj.bvh, bvh8lib.to_slim_occl(w), rec_tid, pay)
+    return (obj.bvh, bvh8lib.to_slim_occl(w, rows_per_leaf=rows),
+            rec_tid, pay)
 
 
 @jax.jit
@@ -995,6 +1018,7 @@ class Scene:
         pnode_off = pleaf_off = 0
         onodes_l, oltris_l, oroots = [], [], []
         onode_off = oleaf_off = odepth = 0
+        orows_ = 2 if PACKET_OCCL2 else 1  # ltris rows per occl leaf
         inst_inv_l, inst_nrm_l, inst_root_l, inst_obj_l = [], [], [], []
         p_inst_root_l = []
         refit_inst_objs = []  # (obj idx, BLAS root AABB) per instanced obj
@@ -1189,7 +1213,10 @@ class Scene:
                                 ocidx = orow[:, 48:56].view(i32)
                                 occnt = orow[:, 56:64].view(i32)
                                 ocidx[occnt == 0] += onode_off
-                                ocidx[occnt > 0] -= oleaf_off
+                                # leaf entries encode the leaf INDEX
+                                # (row = index * rows_per_leaf), so the
+                                # merge rebases by the LEAF offset
+                                ocidx[occnt > 0] -= oleaf_off // orows_
                                 onodes_l.append(orow)
                                 oltris_l.append(po.ltris)  # repack target
                                 if po_pay is not None:
@@ -1207,7 +1234,8 @@ class Scene:
                             ocidx = orow[:, 48:56].view(i32)
                             occnt = orow[:, 56:64].view(i32)
                             ocidx[occnt == 0] += onode_off
-                            ocidx[occnt > 0] -= oleaf_off
+                            # leaf-INDEX rebase (see the instanced arm)
+                            ocidx[occnt > 0] -= oleaf_off // orows_
                             onodes_l.append(orow)
                             oltris_l.append(po.ltris)
                             if po_pay is not None:

@@ -162,7 +162,7 @@ def _emit_traversal(
     inst_inv_ref=None, inst_root_ref=None, frame_stack=False, fused_nn=0,
     pipelined=False, entry2_ref=None, nearest=False, cond_push=False,
     width=WIDTH, occl=False, pay_ref=None, rowx=1, ents_ref=None,
-    smem_mode=0, smem_nn=0,
+    smem_mode=0, smem_nn=0, occl_rows=1,
 ):
     """Trace-time emission of the while-loop traversal for one sub-tile.
 
@@ -263,11 +263,13 @@ def _emit_traversal(
                 )
 
         def pipe_body(carry):
-            pmat = None
+            pmat = lmat2 = None
             if fused_nn:
                 t, hit, obj, nx, ny, nz, lmat = carry[:7]
             elif pay_ref is not None:
                 t, hit, obj, nx, ny, nz, nmat_c, lmat, pmat = carry[:9]
+            elif occl_rows == 2:
+                t, hit, obj, nx, ny, nz, nmat_c, lmat, lmat2 = carry[:9]
             else:
                 t, hit, obj, nx, ny, nz, nmat_c, lmat = carry[:8]
             m = m_act
@@ -278,7 +280,7 @@ def _emit_traversal(
                     SUB)
 
             entries, leaf_s, int_s, nexts = [], [], [], []
-            urows, ulrows, uprows = [], [], []
+            urows, ulrows, uprows, ulrows2 = [], [], [], []
             for j in range(ROWS):
                 e = entry_ref[j]
                 entries.append(e)
@@ -321,18 +323,23 @@ def _emit_traversal(
                     )
                 else:
                     nn_i = jnp.where((nxt != DONE) & (nxt >= 0), nxt, 0)
-                    nl_i = jnp.where(nxt < 0, -nxt - 1, 0)
+                    nl_i = jnp.where(nxt < 0, (-nxt - 1) * occl_rows, 0)
                     urows.extend([nodes_ref[pl.ds(nn_i, 1), :]] * SUB)
                     ulrows.extend([ltris_ref[pl.ds(nl_i, 1), :]] * SUB)
+                    if occl_rows == 2:
+                        ulrows2.extend(
+                            [ltris_ref[pl.ds(nl_i + 1, 1), :]] * SUB)
                     if pay_ref is not None:
                         uprows.extend([pay_ref[pl.ds(nl_i, 1), :]] * SUB)
-            pmat_next = None
+            pmat_next = lmat2_next = None
             if fused_nn:
                 lmat_next = jnp.concatenate(urows, axis=0)
                 nmat_next = None
             else:
                 nmat_next = jnp.concatenate(urows, axis=0)
                 lmat_next = jnp.concatenate(ulrows, axis=0)
+                if occl_rows == 2:
+                    lmat2_next = jnp.concatenate(ulrows2, axis=0)
                 if pay_ref is not None:
                     pmat_next = jnp.concatenate(uprows, axis=0)
 
@@ -393,6 +400,10 @@ def _emit_traversal(
             t, hit, obj, nx, ny, nz, _ = _leaf_tests(
                 lmat, ox0, oy0, oz0, dx0, dy0, dz0, m, leaf_v,
                 t, hit, obj, nx, ny, nz, occl=occl, pmat=pmat)
+            if occl_rows == 2:
+                t, hit, obj, nx, ny, nz, _ = _leaf_tests(
+                    lmat2, ox0, oy0, oz0, dx0, dy0, dz0, m, leaf_v,
+                    t, hit, obj, nx, ny, nz, occl=True)
 
             alive = jnp.int32(0)
             for j in range(ROWS):
@@ -441,6 +452,8 @@ def _emit_traversal(
             if not fused_nn:
                 out = out + (nmat_next,)
             out = out + (lmat_next,)
+            if occl_rows == 2:
+                out = out + (lmat2_next,)
             if pay_ref is not None:
                 out = out + (pmat_next,)
             if count_iters:
@@ -458,6 +471,8 @@ def _emit_traversal(
         if not fused_nn:
             init_p.append(nmat0)
         init_p.append(lmat0)
+        if occl_rows == 2:
+            init_p.append(lmat0)  # dummy second leaf row
         if pay_ref is not None:
             init_p.append(pmat0)
         if count_iters:
@@ -498,6 +513,7 @@ def _emit_traversal(
                 SUB)                                       # (8*SUB, 1)
 
         nrows, lrows, prows, leaf_s, int_s = [], [], [], [], []
+        lrows2 = []
         if fused_nn:
             # unified node|leaf table: one dynamic load + one address
             # select per row (see ops/traverse_packet_slim.py fused_nn)
@@ -525,15 +541,18 @@ def _emit_traversal(
                 else:
                     interior = live & (e >= 0)
                 node = jnp.where(interior, e, 0)
-                lrow = jnp.where(leaf, -e - 1, 0)
+                lrow = jnp.where(leaf, (-e - 1) * occl_rows, 0)
                 nrows.extend([nodes_ref[pl.ds(node, 1), :]] * SUB)
                 lrows.extend([ltris_ref[pl.ds(lrow, 1), :]] * SUB)
+                if occl_rows == 2:
+                    lrows2.extend([ltris_ref[pl.ds(lrow + 1, 1), :]] * SUB)
                 if pay_ref is not None:
                     prows.extend([pay_ref[pl.ds(lrow, 1), :]] * SUB)
                 leaf_s.append(leaf)
                 int_s.append(interior)
             nmat = jnp.concatenate(nrows, axis=0)
             lmat = jnp.concatenate(lrows, axis=0)
+        lmat2 = jnp.concatenate(lrows2, axis=0) if occl_rows == 2 else None
         pmat = jnp.concatenate(prows, axis=0) if pay_ref is not None else None
         imat = (None if smem_mode == 2 else
                 jax.lax.bitcast_convert_type(nmat, jnp.int32))
@@ -597,6 +616,11 @@ def _emit_traversal(
             t, hit, obj, nx, ny, nz,
             hiid=hiid if instanced else None,
             iid_v=iid_v if instanced else None, occl=occl, pmat=pmat)
+        if occl_rows == 2:
+            # second row of the fat occlusion leaf (CPUGPU_OCCL2)
+            t, hit, obj, nx, ny, nz, _ = _leaf_tests(
+                lmat2, ox, oy, oz, dx, dy, dz, m, leaf_v,
+                t, hit, obj, nx, ny, nz, occl=True)
 
         # ---- per-row scalar control: push children, pop next ----
         if frame_stack:
@@ -1341,7 +1365,7 @@ def _shadow_resolve_kernel(
     roots, num_sph, num_pln, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
     interp=False, cond_push=False, width=WIDTH, occl=False, rowx=1,
-    smem_mode=0, smem_nn=0,
+    smem_mode=0, smem_nn=0, occl_rows=1,
 ):
     """NEE shadow any-hit + energy resolve (Main.cpp:452-463)."""
     i = 0
@@ -1415,6 +1439,7 @@ def _shadow_resolve_kernel(
                 nearest=nearest, cond_push=cond_push, width=width,
                 occl=occl, rowx=rowx,
                 ents_ref=ents_ref, smem_mode=smem_mode, smem_nn=smem_nn,
+                occl_rows=occl_rows,
             )
             t, tri = trav[0], trav[1]
             if count_iters:
@@ -1535,7 +1560,9 @@ def shade_extend(
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 if num_inst else [])
         + [pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)] * 14
     )
-    ents_inputs = (ents.astype(jnp.int32),) if smem_mode else ()
+    # FLAT 1-D layout: see traverse_packet_slim._smem_pop
+    ents_inputs = ((ents.astype(jnp.int32).reshape(-1),)
+                   if smem_mode else ())
     pay_inputs = (pay,) if pay is not None else ()
     inst_inputs = (inst_inv, inst_nrm, inst_root) if num_inst else ()
     out_specs = [
@@ -1621,7 +1648,7 @@ def shade_extend(
     static_argnames=("roots", "num_sph", "num_pln", "interpret",
                      "count_iters", "frame_stack", "fused_nn", "pipelined",
                      "cond_push",
-                     "nearest", "width", "occl", "rowx"),
+                     "nearest", "width", "occl", "rowx", "occl_rows"),
 )
 def shadow_resolve(
     nodes, ltris, sph, pln,
@@ -1629,7 +1656,7 @@ def shadow_resolve(
     *, roots, num_sph, num_pln, interpret=False, count_iters=False,
     inst_inv=None, inst_root=None, frame_stack=None, fused_nn=0,
     pipelined=None, nearest=None, cond_push=None, width=8, occl=False,
-    rowx=None, ents=None,
+    rowx=None, ents=None, occl_rows=1,
 ):
     """Shadow any-hit + NEE energy add.  Returns energy' (3-tuple)
     (plus per-sub-tile iteration counts when count_iters).  inst_inv /
@@ -1653,6 +1680,8 @@ def shadow_resolve(
         raise ValueError(
             "occlusion tables require the plain non-instanced 8-wide "
             "split-table kernel")
+    if occl_rows == 2 and not occl:
+        raise ValueError("occl_rows=2 (CPUGPU_OCCL2) requires occl tables")
     frame_stack, nearest = _resolve_width_flags(
         width, num_inst, frame_stack, nearest, any_hit=True)
     if pipelined is None:
@@ -1674,7 +1703,9 @@ def shadow_resolve(
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 if num_inst else [])
         + [pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)] * 14
     )
-    ents_inputs = (ents.astype(jnp.int32),) if smem_mode else ()
+    # FLAT 1-D layout: see traverse_packet_slim._smem_pop
+    ents_inputs = ((ents.astype(jnp.int32).reshape(-1),)
+                   if smem_mode else ())
     inst_inputs = (inst_inv, inst_root) if num_inst else ()
     out_specs = [
         pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
@@ -1716,7 +1747,7 @@ def shadow_resolve(
             pipelined=pipelined, nearest=nearest and frame_stack,
             interp=interpret, cond_push=cond_push and frame_stack,
             width=width, occl=occl, rowx=rowx,
-            smem_mode=smem_mode, smem_nn=smem_nn,
+            smem_mode=smem_mode, smem_nn=smem_nn, occl_rows=occl_rows,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

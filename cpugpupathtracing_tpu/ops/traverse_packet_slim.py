@@ -282,14 +282,18 @@ def _smem_push(stack_ref, j, base_p, node_e, w, pushc, cond_push):
 def _smem_pop(stack_ref, ents_ref, j, sp, can, nearest, width=WIDTH):
     """One pop from row j's 2-word frame stack: reads the top frame's
     (node, mask), takes the next slot via _frame_pop, and fetches the
-    child entry from the SMEM side table.  Stack slot 0 is always
-    seeded (0 when no root frames), so the masked junk pop at sp == 0
-    indexes a valid ents row.  Returns (entry, sp')."""
+    child entry from the FLAT 1-D SMEM side table at node*width + slot
+    (a 2-D (B, 8) SMEM input window pads each row to 512 bytes -- 16x
+    waste that blew the 1 MB SMEM budget on the benchmark tree,
+    rejected by the AOT compiler as 'Allocation would exceed memory';
+    the 1-D window is dense).  Stack slot 0 is always seeded (0 when
+    no root frames), so the masked junk pop at sp == 0 stays
+    in-bounds.  Returns (entry, sp')."""
     base = jnp.maximum(sp - 2, 0)
     fnode = stack_ref[j, base]
     mw = stack_ref[j, base + 1]
     kk, rem = _frame_pop(mw, nearest, width)
-    ent = ents_ref[fnode, kk]
+    ent = ents_ref[fnode * width + kk]
     stack_ref[j, base + 1] = jnp.where(can, rem, mw)
     sp2 = jnp.where(can & ((rem & ((1 << width) - 1)) == 0), base, sp)
     return ent, sp2
@@ -470,7 +474,7 @@ def _traverse_kernel(
     pipelined: bool = False, nearest: bool = False, interp: bool = False,
     cond_push: bool = False, width: int = WIDTH, occl: bool = False,
     with_pay: bool = False, rowx: int = 1, smem_mode: int = 0,
-    smem_nn: int = 0,
+    smem_nn: int = 0, occl_rows: int = 1,
 ):
     # node-arity locals: width 8 = the classic (B, 64) slim row, width
     # 16 = one full (B, 128) row (16x6 bounds, entries at 96, counts at
@@ -642,13 +646,17 @@ def _traverse_kernel(
                         )
 
                 def pipe_body(carry):
-                    pmat = None
+                    pmat = lmat2 = None
                     if fused_nn:
                         t, hit, obj, nx, ny, nz, depth, lmat = carry[:8]
                         ncar = 8
                     elif with_pay:
                         (t, hit, obj, nx, ny, nz, depth, nmat_c, lmat,
                          pmat) = carry[:10]
+                        ncar = 10
+                    elif occl_rows == 2:
+                        (t, hit, obj, nx, ny, nz, depth, nmat_c, lmat,
+                         lmat2) = carry[:10]
                         ncar = 10
                     else:
                         t, hit, obj, nx, ny, nz, depth, nmat_c, lmat = (
@@ -663,7 +671,7 @@ def _traverse_kernel(
 
                     # ---- (1) scalar: pop NEXT + issue its loads ----
                     entries, leaf_s, int_s, nexts, sps = [], [], [], [], []
-                    urows, ulrows, uprows = [], [], []
+                    urows, ulrows, uprows, ulrows2 = [], [], [], []
                     for j in range(ROWS):
                         e = entry_ref[j]
                         entries.append(e)
@@ -711,20 +719,26 @@ def _traverse_kernel(
                         else:
                             nn_i = jnp.where(
                                 (nxt != DONE) & (nxt >= 0), nxt, 0)
-                            nl_i = jnp.where(nxt < 0, -nxt - 1, 0)
+                            nl_i = jnp.where(
+                                nxt < 0, (-nxt - 1) * occl_rows, 0)
                             urows.extend([nodes_ref[pl.ds(nn_i, 1), :]] * SUB)
                             ulrows.extend(
                                 [ltris_ref[pl.ds(nl_i, 1), :]] * SUB)
+                            if occl_rows == 2:
+                                ulrows2.extend(
+                                    [ltris_ref[pl.ds(nl_i + 1, 1), :]] * SUB)
                             if with_pay:
                                 uprows.extend(
                                     [pay_ref[pl.ds(nl_i, 1), :]] * SUB)
-                    pmat_next = None
+                    pmat_next = lmat2_next = None
                     if fused_nn:
                         lmat_next = jnp.concatenate(urows, axis=0)
                         nmat_next = None
                     else:
                         nmat_next = jnp.concatenate(urows, axis=0)
                         lmat_next = jnp.concatenate(ulrows, axis=0)
+                        if occl_rows == 2:
+                            lmat2_next = jnp.concatenate(ulrows2, axis=0)
                         if with_pay:
                             pmat_next = jnp.concatenate(uprows, axis=0)
 
@@ -791,6 +805,11 @@ def _traverse_kernel(
                     t, hit, obj, nx, ny, nz, _ = _leaf_tests(
                         lmat, ox0, oy0, oz0, dx0, dy0, dz0, m, leaf_v,
                         t, hit, obj, nx, ny, nz, occl=occl, pmat=pmat)
+                    if occl_rows == 2:
+                        # second row of the fat occlusion leaf
+                        t, hit, obj, nx, ny, nz, _ = _leaf_tests(
+                            lmat2, ox0, oy0, oz0, dx0, dy0, dz0, m, leaf_v,
+                            t, hit, obj, nx, ny, nz, occl=True)
 
                     # ---- (3) scalar: push CURRENT's children; rotate ----
                     alive = jnp.int32(0)
@@ -844,6 +863,8 @@ def _traverse_kernel(
                     if not fused_nn:
                         out = out + (nmat_next,)
                     out = out + (lmat_next,)
+                    if occl_rows == 2:
+                        out = out + (lmat2_next,)
                     if with_pay:
                         out = out + (pmat_next,)
                     if count_iters:
@@ -862,6 +883,8 @@ def _traverse_kernel(
                 if not fused_nn:
                     init_p.append(nmat0)
                 init_p.append(lmat0)
+                if occl_rows == 2:
+                    init_p.append(lmat0)  # dummy second leaf row
                 if with_pay:
                     init_p.append(pmat0)
                 if count_iters:
@@ -914,6 +937,7 @@ def _traverse_kernel(
 
                 # ---- per-row entry decode + row loads (scalar control) ----
                 nrows, lrows, prows, leaf_s, int_s = [], [], [], [], []
+                lrows2 = []
                 if fused_nn:
                     # unified node|leaf table (scene._fuse_packet_tables):
                     # every live entry is a direct row index, so ONE
@@ -945,15 +969,20 @@ def _traverse_kernel(
                         else:
                             interior = live & (e >= 0)
                         node = jnp.where(interior, e, 0)
-                        lrow = jnp.where(leaf, -e - 1, 0)
+                        lrow = jnp.where(leaf, (-e - 1) * occl_rows, 0)
                         nrows.extend([nodes_ref[pl.ds(node, 1), :]] * SUB)
                         lrows.extend([ltris_ref[pl.ds(lrow, 1), :]] * SUB)
+                        if occl_rows == 2:
+                            lrows2.extend(
+                                [ltris_ref[pl.ds(lrow + 1, 1), :]] * SUB)
                         if with_pay:
                             prows.extend([pay_ref[pl.ds(lrow, 1), :]] * SUB)
                         leaf_s.append(leaf)
                         int_s.append(interior)
                     nmat = jnp.concatenate(nrows, axis=0)      # (8*SUB, 64)
                     lmat = jnp.concatenate(lrows, axis=0)      # (8*SUB, 128)
+                lmat2 = (jnp.concatenate(lrows2, axis=0)
+                         if occl_rows == 2 else None)
                 pmat = jnp.concatenate(prows, axis=0) if with_pay else None
                 imat = (None if smem_mode == 2 else
                         jax.lax.bitcast_convert_type(nmat, jnp.int32))
@@ -1039,6 +1068,11 @@ def _traverse_kernel(
                     hiid=hiid if instanced else None,
                     iid_v=iid_v if instanced else None, occl=occl,
                     pmat=pmat)
+                if occl_rows == 2:
+                    # second row of the fat occlusion leaf (CPUGPU_OCCL2)
+                    t, hit, obj, nx, ny, nz, _ = _leaf_tests(
+                        lmat2, ox, oy, oz, dx, dy, dz, m, leaf_v,
+                        t, hit, obj, nx, ny, nz, occl=True)
 
                 # ---- per-row control (scalar): push children, pop next ----
                 if frame_stack:
@@ -1281,7 +1315,8 @@ def _traverse_kernel(
     jax.jit,
     static_argnames=("roots", "interpret", "any_hit", "count_depth",
                      "count_iters", "frame_stack", "fused_nn", "pipelined",
-                     "nearest", "cond_push", "width", "occl", "rowx"),
+                     "nearest", "cond_push", "width", "occl", "rowx",
+                     "occl_rows"),
 )
 def traverse_packet_slim(
     origin, direction, t_init, nodes, ltris, roots,
@@ -1291,7 +1326,7 @@ def traverse_packet_slim(
     fused_nn: int = 0, pipelined: bool | None = None,
     nearest: bool | None = None, cond_push: bool | None = None,
     width: int = 8, occl: bool = False, pay=None,
-    rowx: int | None = None, ents=None,
+    rowx: int | None = None, ents=None, occl_rows: int = 1,
 ):
     """Slim packet traversal with shading-complete hit payloads.
 
@@ -1335,6 +1370,12 @@ def traverse_packet_slim(
     if pay is not None and not occl:
         raise ValueError("the payload table (bvh8.occl_payload) rides "
                          "the leaf-14 occl tables (occl=True)")
+    if occl_rows not in (1, 2):
+        raise ValueError("occl_rows must be 1 or 2")
+    if occl_rows == 2 and (not occl or pay is not None):
+        raise ValueError(
+            "occl_rows=2 (CPUGPU_OCCL2 fat shadow leaves) requires the "
+            "bare occlusion tables (occl=True, no payload rows)")
     # occl + any_hit=False without pay is a t-only query (exact t and
     # iteration counts; hit is a 0/1 flag and the shading payloads are
     # garbage) -- used by the offline tree labs.  With pay, occl is the
@@ -1389,7 +1430,8 @@ def traverse_packet_slim(
         inputs.append(pay)
     if smem_mode:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        inputs.append(ents.astype(jnp.int32))
+        # FLAT layout: see _smem_pop (2-D SMEM windows pad rows to 512 B)
+        inputs.append(ents.astype(jnp.int32).reshape(-1))
     if frame_stack:
         stack_slots = (2 if smem_mode else width + 1) * FSTACK_FRAMES
     else:
@@ -1460,6 +1502,7 @@ def traverse_packet_slim(
             rowx=rowx,
             smem_mode=smem_mode,
             smem_nn=smem_nn,
+            occl_rows=occl_rows,
         ),
         grid=(num_steps,),
         in_specs=in_specs,

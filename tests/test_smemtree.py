@@ -93,6 +93,23 @@ def test_smemtree_bitwise_golden(tmp_path, mode):
     )
 
 
+def test_occl2_bitwise_golden(tmp_path):
+    """CPUGPU_OCCL2 (2-row 28-record occlusion leaves): the occluded
+    bit is an OR over the same triangle set, so the image is bitwise
+    identical; composition with the SMEM side tables included."""
+    flags = {"CPUGPU_FRAMESTACK": "1", "CPUGPU_CONDPUSH": "1",
+             "CPUGPU_PIPELINED": "1", "CPUGPU_OCCL": "1",
+             "CPUGPU_PACKET_TREE": "sweep_dp"}
+    base = _render(tmp_path, "obase", flags)
+    for name, extra in (
+        ("occl2", {"CPUGPU_OCCL2": "1"}),
+        ("occl2_smem", {"CPUGPU_OCCL2": "1", "CPUGPU_SMEMTREE": "1"}),
+    ):
+        got = _render(tmp_path, name, {**flags, **extra})
+        np.testing.assert_array_equal(
+            base, got, err_msg=f"{extra} changed the image")
+
+
 def test_smemtree_pipelined_bitwise(tmp_path):
     """The picked production combo (framestack+condpush+pipelined+occl)
     with and without the side tables."""

@@ -70,11 +70,11 @@ def check_parity(n_rays: int = 2048, chunk: int = 512, seed: int = 5) -> dict:
 
     t, hit, obj, normal, depth, _iid = tps.traverse_packet_slim(
         o, d, t0, p_nodes, p_ltris, dev.proots, fused_nn=p_fused_nn,
-        width=dev.packet_width,
+        width=dev.packet_width, ents=dev.pents,
     )
     _, hit_any, _, _, _, _ = tps.traverse_packet_slim(
         o, d, t0, p_nodes, p_ltris, dev.proots, any_hit=True,
-        fused_nn=p_fused_nn, width=dev.packet_width,
+        fused_nn=p_fused_nn, width=dev.packet_width, ents=dev.pents,
     )
 
     bts, bidxs = [], []
@@ -109,13 +109,14 @@ def check_parity(n_rays: int = 2048, chunk: int = 512, seed: int = 5) -> dict:
     # CPUGPU_OCCL / CPUGPU_LEAF14: the benched megakernels route shadow
     # any-hits (and, under LEAF14, the closest-hit traversal itself)
     # over the leaf-14 occl tables -- prove THOSE compiled kernels too.
-    from cpugpupathtracing_tpu.models.scene import occl_tables
+    from cpugpupathtracing_tpu.models.scene import PACKET_OCCL2, occl_tables
 
     occ = occl_tables(dev)
     if occ is not None:
         onodes, oltris, oroots = occ
         _, ohit, *_ = tps.traverse_packet_slim(
             o, d, t0, onodes, oltris, oroots, any_hit=True, occl=True,
+            ents=dev.poccl_ents, occl_rows=2 if PACKET_OCCL2 else 1,
         )
         o_mism = int(((np.asarray(ohit) >= 0) != hm).sum())
         assert o_mism == 0, (
