@@ -231,6 +231,32 @@ def main():
 
     mrays = rays / wall / 1e6
     frame_ms = wall / frames * 1000.0
+
+    # pct_of_kernel_floor: measured frame time vs this ALGORITHM's
+    # machine floor on this chip (README "Roofline").  The floor is the
+    # packet kernel's VPU ISSUE cost alone -- measured per-iteration
+    # vector work (8-child slab ~250 ns after op-stage-major emission +
+    # 8-record Moller-Trumbore ~390 ns at 1 op/cycle) with the scalar
+    # pop -> row-load chain PERFECTLY hidden and the non-traversal
+    # skeleton free, times the measured per-frame kernel iteration
+    # count (tools/profile_census.py exact counts, round-3 picked
+    # combo).  >1 headroom remains by definition; the field answers
+    # "how close is this frame to the current algorithm's ceiling",
+    # not "how close to 100 Mrays/s".  Only configs with recorded
+    # iteration censuses carry the field.
+    FLOOR_NS_PER_ITER = 640.0
+    ITERS_PER_FRAME = {
+        3: 733_000,   # glass dragon 1080p, sweep_dp+occl sort schedule
+        4: 733_000,   # same scene/rays per sample (per-spp basis below)
+    }
+    pct_floor = None
+    if args.config in ITERS_PER_FRAME and frames:
+        floor_ms = (
+            ITERS_PER_FRAME[args.config] * FLOOR_NS_PER_ITER * 1e-6
+            * (args.spp if args.config in (3, 4) else 1)
+        )
+        pct_floor = round(min(1.0, floor_ms / max(frame_ms, 1e-9)), 3)
+
     result = {
         "metric": f"Mrays/sec/chip {name} ({width}x{height}, spp {args.spp})",
         "value": round(mrays, 2),
@@ -238,6 +264,7 @@ def main():
         "vs_baseline": round(mrays / 100.0, 4),
         "extra": {
             "config": args.config,
+            "pct_of_kernel_floor": pct_floor,
             "frame_ms": round(frame_ms, 2),
             "rays_per_frame": rays // frames,
             "resolution": f"{width}x{height}",
