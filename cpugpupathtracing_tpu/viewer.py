@@ -17,7 +17,15 @@ HTTP and a small HTML page polls it, overlays the stats panel
   POST /input       {"key": "w|a|s|d|space|shift", "dt": seconds}
                     reference fly-camera translation (Main.cpp:112-118:
                     W/S -> -/+z, A/D -> -/+x, Space/Shift -> +/-y, speed
-                    2.0); any movement resets accumulation (Main.cpp:292)
+                    2.0); any movement resets accumulation (Main.cpp:292).
+                    {"mouse_dx": px, "mouse_dy": px} forwards relative
+                    mouse movement (Input::UpdateMousePosition,
+                    Source/Input.cpp:64-78): the deltas are recorded and
+                    surfaced in /stats.json exactly like
+                    GetMouseMoveRel -- and, faithfully to the reference,
+                    the camera IGNORES them (Main.cpp:109 fetches
+                    mouse_move and never reads it; the camera cannot
+                    rotate)
   POST /control     {"pause": bool} | {"render_mode": name} |
                     {"debug_mode": name} | {"max_ray_depth": int, ...}
                     the ImGui panel's writable knobs (Main.cpp:860-905),
@@ -30,7 +38,12 @@ HTTP and a small HTML page polls it, overlays the stats panel
                     (Source/Primitives.cpp:385-415), and
                     {"rebuild_bvh": {"index": obj, "build_option":
                     "sah_split_intervals"|...}} the rebuild combo
-                    (Source/BVH.cpp:149-186)
+                    (Source/BVH.cpp:149-186), and
+                    {"mouse_capture": bool} the capture toggle
+                    (Window::SetMouseCapture, Source/Window.cpp:183-194;
+                    left-click captures / right-click releases in the
+                    main loop, Main.cpp:279-290 -- the page maps these
+                    to pointer lock)
 
 The server runs on a daemon thread and never blocks the render loop: it
 snapshots the latest finished frame under a lock.  Rendering itself
@@ -106,6 +119,19 @@ window.addEventListener("keydown", async (e) => {
     await fetch("/control", {method: "POST", body: JSON.stringify({toggle_pause: true})});
   }
 });
+// mouse capture via pointer lock: left-click captures, right-click /
+// Esc releases (the reference main loop's toggles, Main.cpp:279-290)
+img.addEventListener("click", () => img.requestPointerLock());
+img.addEventListener("contextmenu", (e) => { e.preventDefault(); document.exitPointerLock(); });
+document.addEventListener("pointerlockchange", () => {
+  fetch("/control", {method: "POST", body: JSON.stringify(
+    {mouse_capture: document.pointerLockElement === img})});
+});
+document.addEventListener("mousemove", (e) => {
+  if (document.pointerLockElement !== img) return;
+  fetch("/input", {method: "POST", body: JSON.stringify(
+    {mouse_dx: e.movementX, mouse_dy: e.movementY})});
+});
 </script></body></html>"""
 
 
@@ -120,6 +146,12 @@ class LiveViewer:
         self._lock = threading.Lock()
         self._png: bytes = b""
         self._stats: dict = {}
+        # mouse state (Input::Data, Source/Input.cpp:64-78 +
+        # Window.cpp:183-194): relative move of the last input event
+        # and the capture flag; the camera ignores the deltas exactly
+        # like the reference (Main.cpp:109)
+        self.mouse_move_rel = (0.0, 0.0)
+        self.mouse_captured = False
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -160,10 +192,16 @@ class LiveViewer:
                     self._send(400, "text/plain", b"bad json")
                     return
                 if self.path == "/input":
-                    ok = viewer.apply_input(
-                        str(payload.get("key", "")),
-                        float(payload.get("dt", 1.0 / 60.0)),
-                    )
+                    if "mouse_dx" in payload or "mouse_dy" in payload:
+                        ok = viewer.apply_mouse(
+                            float(payload.get("mouse_dx", 0.0)),
+                            float(payload.get("mouse_dy", 0.0)),
+                        )
+                    else:
+                        ok = viewer.apply_input(
+                            str(payload.get("key", "")),
+                            float(payload.get("dt", 1.0 / 60.0)),
+                        )
                     self._send(200 if ok else 400, "application/json",
                                json.dumps({"ok": ok}).encode())
                 elif self.path == "/control":
@@ -201,6 +239,13 @@ class LiveViewer:
         rgba = self.renderer.image_rgba8()
         png = imagelib.png_bytes(rgba, compress_level=1)
         stats = self.renderer.metrics()
+        # the input panel's mouse readout (GetMouseMoveRel + capture
+        # flag); per-frame relative semantics: reset after snapshot
+        stats["input"] = {
+            "mouse_move_rel": list(self.mouse_move_rel),
+            "mouse_captured": self.mouse_captured,
+        }
+        self.mouse_move_rel = (0.0, 0.0)
         with self._lock:
             self._png = png
             self._stats = stats
@@ -216,6 +261,21 @@ class LiveViewer:
         self.renderer.move_camera((delta[0] * v, delta[1] * v, delta[2] * v))
         return True
 
+    def apply_mouse(self, dx: float, dy: float) -> bool:
+        """Record relative mouse movement (Input::UpdateMousePosition ->
+        GetMouseMoveRel, Source/Input.cpp:64-84).  Faithful to the
+        reference: the camera FETCHES this every frame and never uses
+        it (Main.cpp:109; the screen-plane camera cannot rotate), so
+        the deltas are tracked, surfaced in stats, and change nothing."""
+        self.mouse_move_rel = (float(dx), float(dy))
+        return True
+
+    def set_mouse_capture(self, capture: bool) -> bool:
+        """Window::SetMouseCapture (Source/Window.cpp:183-194): the
+        page's pointer lock stands in for ShowCursor/ClipCursor."""
+        self.mouse_captured = bool(capture)
+        return True
+
     def apply_control(self, payload: dict) -> bool:
         r = self.renderer
         ok = False
@@ -225,6 +285,8 @@ class LiveViewer:
         if "pause" in payload:
             r.set_paused(bool(payload["pause"]))
             ok = True
+        if "mouse_capture" in payload:
+            ok = self.set_mouse_capture(bool(payload["mouse_capture"]))
         if "render_mode" in payload:
             mode = _RENDER_MODES.get(str(payload["render_mode"]).lower())
             if mode is None:

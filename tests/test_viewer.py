@@ -179,6 +179,32 @@ def test_stats_include_per_object_bvh(viewer):
     assert objs[1]["radius"] == 3.0
 
 
+def test_mouse_input_and_capture(viewer):
+    """The reference's mouse machinery (Input.cpp:64-84, Window.cpp:
+    183-194, Main.cpp:279-290): deltas + capture are forwarded and
+    surfaced in stats -- and, faithful to the reference, the camera
+    IGNORES the deltas (Main.cpp:109 fetches mouse_move and never
+    reads it)."""
+    r = viewer.renderer
+    cam_before = r.camera.pos
+    code, body = _post(viewer, "/control", {"mouse_capture": True})
+    assert body["ok"] and viewer.mouse_captured
+    code, body = _post(viewer, "/input", {"mouse_dx": 12.0, "mouse_dy": -3.0})
+    assert body["ok"]
+    assert viewer.mouse_move_rel == (12.0, -3.0)
+    assert r.camera.pos == cam_before  # the cannot-rotate quirk
+    r.render_frame()
+    viewer.publish()
+    _, _, bstats = _get(viewer, "/stats.json")
+    stats = json.loads(bstats)
+    assert stats["input"]["mouse_move_rel"] == [12.0, -3.0]
+    assert stats["input"]["mouse_captured"] is True
+    # per-frame relative semantics: consumed by the snapshot
+    assert viewer.mouse_move_rel == (0.0, 0.0)
+    _post(viewer, "/control", {"mouse_capture": False})
+    assert not viewer.mouse_captured
+
+
 def test_serve_frames_bounded(viewer):
     viewer.serve_frames(2)
     assert viewer.renderer.num_accumulated == 2
