@@ -1740,6 +1740,15 @@ class Scene:
         )
 
         machinery = dev.num_instances > 0 and not dev.packet_flattened
+        # small-tree gate: the side tables won config 3 (+25%, 5079-row
+        # dragon tree) but LOST config 2 outright (20.6 -> 11.0 Mrays/s
+        # on the ~hundreds-row duck tree, round-4 on-chip A/B) -- the
+        # per-launch/per-step SMEM operand staging isn't amortized when
+        # rays finish in a handful of iterations.  One global flag pick
+        # must stay safe for every scene, so the build keys on tree
+        # size; override via CPUGPU_SMEMTREE_MIN_NODES.
+        min_nodes = int(os.environ.get("CPUGPU_SMEMTREE_MIN_NODES")
+                        or "2048")
         if (
             SMEMTREE_DEFAULT not in ("1", "48")
             or dev.traversal != "packet"
@@ -1747,6 +1756,7 @@ class Scene:
             or dev.packet_width != 8
             or dev.pfused is not None
             or machinery
+            or int(dev.pnodes.shape[0]) < min_nodes
         ):
             return dev
         pn = np.asarray(dev.pnodes)
