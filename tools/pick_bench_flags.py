@@ -93,6 +93,24 @@ COMBOS = {
         "CPUGPU_PACKET_TREE": "w16", "CPUGPU_FUSED": "1",
         "CPUGPU_PIPELINED": "1", "CPUGPU_CONDPUSH": "1",
     },
+    # SMEM entry side tables on top of the round-3 pick (round-4,
+    # tools/run_r4_smem.sh: the round-4 WINNER at 6.76 Mrays/s)
+    "c3_smem1": {
+        "CPUGPU_PACKET_TREE": "sweep_dp", "CPUGPU_FRAMESTACK": "1",
+        "CPUGPU_CONDPUSH": "1", "CPUGPU_PIPELINED": "1",
+        "CPUGPU_OCCL": "1", "CPUGPU_SMEMTREE": "1",
+    },
+    "c3_smem48": {
+        "CPUGPU_PACKET_TREE": "sweep_dp", "CPUGPU_FRAMESTACK": "1",
+        "CPUGPU_CONDPUSH": "1", "CPUGPU_PIPELINED": "1",
+        "CPUGPU_OCCL": "1", "CPUGPU_SMEMTREE": "48",
+    },
+    # 2-row fat occlusion leaves (round-4, measured LOSS 5.19)
+    "c3_occl2": {
+        "CPUGPU_PACKET_TREE": "sweep_dp", "CPUGPU_FRAMESTACK": "1",
+        "CPUGPU_CONDPUSH": "1", "CPUGPU_PIPELINED": "1",
+        "CPUGPU_OCCL": "1", "CPUGPU_OCCL2": "1",
+    },
     # occlusion-specialized any-hit tables on top of the picked combo
     # (round-3 third wave, tools/run_r3_occl.sh)
     "c3_occl": {
