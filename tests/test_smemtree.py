@@ -69,6 +69,10 @@ def _render(tmp_path, name, env_extra):
     env.pop("PYTHONPATH", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["CPUGPU_TPU_FORCE_PACKET"] = "1"
+    # the production build gates side tables on >= 2048 nodes (small
+    # trees measured a perf loss on chip); the BITWISE contract is what
+    # this suite pins, so force the build on the tiny test tree
+    env["CPUGPU_SMEMTREE_MIN_NODES"] = "1"
     env.update(env_extra)
     subprocess.run(
         [sys.executable, "-c", _RENDER_SNIPPET, str(out)],
