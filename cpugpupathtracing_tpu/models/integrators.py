@@ -900,11 +900,15 @@ def trace_advanced_mega(
         return nc
 
     def sort_boundary(d):
-        # sort only the first three depth boundaries: beyond that the
-        # surviving fans are tiny and the stale (depth-2) morton order
+        # sort only the first N depth boundaries (default 3): beyond
+        # that the surviving fans are tiny and the stale morton order
         # costs fewer extra kernel iterations (+26k on the benchmark
-        # census) than two more ~21 ms full-wavefront sorts
-        return d < min(3, settings.max_ray_depth)
+        # census) than more ~21 ms full-wavefront sorts.  Image
+        # bitwise-invariant (restore sorts return lane order), so the
+        # boundary is a pure perf knob: CPUGPU_SORT_DEPTHS, read at
+        # trace time like CPUGPU_SHADOW_SORT.
+        nd = int(os.environ.get("CPUGPU_SORT_DEPTHS") or "3")
+        return d < min(nd, settings.max_ray_depth)
 
     # Python-unrolled depth loop (the two Pallas kernels dominate compile
     # time and are shared across depths): unlike the scan in
