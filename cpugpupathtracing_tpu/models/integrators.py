@@ -933,6 +933,68 @@ def trace_advanced_mega(
     return state, TraceResult(energy, carry["traced"], zeros, zeros)
 
 
+def trace_advanced_frame(
+    dev: DeviceScene,
+    settings: RenderSettings,
+    origin,
+    direction,
+    state,
+    idx=None,
+) -> tuple[jnp.ndarray, TraceResult]:
+    """TracePathAdvanced via the whole-frame Pallas kernel
+    (ops/pt_frame_kernel.py): every depth, the packet BVH traversal,
+    the shading body, and the NEE shadow resolve run inside ONE launch
+    with rays resident in registers -- no per-depth HBM carries, sorts,
+    or dispatches.  Per-lane energy/state/traced are bitwise equal to
+    the unsorted megakernel path in interpret mode
+    (tests/test_pt_frame.py); gate via scene.pt_frame_active.  `idx`
+    is unused (no wavefront sorting -- the gate limits this path to
+    trees small enough that unsorted fans stay cheap).  AOVs are not
+    tracked (returned as zeros)."""
+    from cpugpupathtracing_tpu.ops import pt_frame_kernel as pfk
+
+    del idx
+    n = origin.shape[0]
+    nee = settings.next_event_estimation and dev.num_lights > 0
+    interpret = jax.default_backend() != "tpu"
+    mk_nodes, mk_ltris, fused_nn = packet_tables(dev)
+    occl = occl_tables(dev)
+    kw = {}
+    if occl is not None:
+        sh_nodes, sh_ltris, sh_roots = occl
+        kw = dict(
+            sh_nodes=sh_nodes, sh_ltris=sh_ltris, sh_roots=sh_roots,
+            sh_ents=dev.poccl_ents, occl=True,
+            occl_rows=2 if PACKET_OCCL2 else 1,
+        )
+    energy, state, traced = pfk.pt_frame(
+        mk_nodes, mk_ltris, dev.mk_mats, dev.mk_lights,
+        dev.mk_sph, dev.mk_pln, dev.mk_sph_mat, dev.mk_pln_mat,
+        dev.mk_objmat,
+        (origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2]),
+        state,
+        roots=dev.proots,
+        num_mats=int(dev.mk_mats.shape[0]),
+        num_lights=dev.num_lights,
+        num_sph=int(dev.sph_center.shape[0]),
+        num_pln=int(dev.pln_point.shape[0]),
+        num_objs=int(dev.mk_objmat.shape[0]),
+        nee=nee,
+        rr=settings.russian_roulette,
+        cosine=settings.cosine_weighted_diffuse,
+        ref_pdf=settings.diffuse_pdf_mode == DiffusePdfMode.REFERENCE,
+        depths=settings.max_ray_depth + 1,
+        interpret=interpret,
+        fused_nn=fused_nn,
+        width=dev.packet_width,
+        ents=dev.pents,
+        **kw,
+    )
+    zeros = jnp.zeros((n,), jnp.int32)
+    return state, TraceResult(energy, traced, zeros, zeros)
+
+
 def trace_brute(
     dev: DeviceScene,
     settings: RenderSettings,

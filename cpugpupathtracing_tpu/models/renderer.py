@@ -58,12 +58,20 @@ def trace_sample(dev, settings, origin, direction, state, idx):
     (parallel/sharding.py), so both run the identical integrator +
     packet + wavefront-sorting code.  COMPARISON splits the frame and is
     handled by the caller."""
-    from cpugpupathtracing_tpu.models.scene import megakernel_active
+    from cpugpupathtracing_tpu.models.scene import (
+        megakernel_active,
+        pt_frame_active,
+    )
 
     if settings.render_mode == RenderMode.BRUTE_FORCE:
         fn = integrators.trace_brute
     elif settings.render_mode == RenderMode.ADVANCED:
         if (
+            pt_frame_active(dev, settings)
+            and settings.debug_render_mode == DebugRenderMode.NONE
+        ):
+            fn = integrators.trace_advanced_frame
+        elif (
             megakernel_active(dev, settings)
             and settings.debug_render_mode == DebugRenderMode.NONE
         ):
@@ -89,32 +97,45 @@ def trace_sample(dev, settings, origin, direction, state, idx):
 
 
 def _guarded_frame_kernel(dev, *args):
-    """render_frame_kernel with a one-time fallback: if the whole-frame
-    Whitted kernel is what we are about to compile and Mosaic rejects
-    it, disable it process-wide (scene.disable_whitted_kernel) and
-    re-trace on the XLA wavefront path instead of failing every frame.
-    The kernel has interpret-mode coverage but compiles on the real
-    chip only in production; a new Mosaic version must never take the
-    renderer down."""
+    """render_frame_kernel with a one-time fallback: if a whole-frame
+    kernel (Whitted analytic, or the advanced path-tracing kernel) is
+    what we are about to compile and Mosaic rejects it, disable it
+    process-wide (scene.disable_whitted_kernel /
+    scene.disable_pt_frame_kernel) and re-trace on the fallback path
+    instead of failing every frame.  Both kernels have interpret-mode
+    coverage but compile on the real chip only in production; a new
+    Mosaic version must never take the renderer down."""
     try:
         return render_frame_kernel(dev, *args)
     except Exception as exc:  # pragma: no cover - chip-compiler only
         from cpugpupathtracing_tpu.models.scene import (
+            disable_pt_frame_kernel,
             disable_whitted_kernel,
+            pt_frame_active,
             whitted_kernel_active,
         )
 
         settings = args[4]
         if (
-            settings.render_mode != RenderMode.WHITTED
-            or not whitted_kernel_active(dev, settings)
+            settings.render_mode == RenderMode.WHITTED
+            and whitted_kernel_active(dev, settings)
         ):
+            log_warn(
+                "whole-frame Whitted kernel failed to compile; "
+                f"falling back to the XLA path: {exc}"
+            )
+            disable_whitted_kernel()
+        elif (
+            settings.render_mode == RenderMode.ADVANCED
+            and pt_frame_active(dev, settings)
+        ):
+            log_warn(
+                "whole-frame PT kernel failed to compile; falling back "
+                f"to the per-depth megakernels: {exc}"
+            )
+            disable_pt_frame_kernel()
+        else:
             raise
-        log_warn(
-            "whole-frame Whitted kernel failed to compile; "
-            f"falling back to the XLA path: {exc}"
-        )
-        disable_whitted_kernel()
         jax.clear_caches()
         return render_frame_kernel(dev, *args)
 
@@ -501,11 +522,20 @@ class Renderer:
     # ---- checkpoint / resume ----
 
     def _fingerprint(self) -> str:
+        """Checkpoint validity key: scene geometry/materials + camera +
+        config + render mode.  Settings TOGGLES (max depth, NEE, cosine,
+        RR) are deliberately excluded: in the reference they do NOT
+        reset the live accumulator (Main.cpp:859-875 -- new samples just
+        blend in), so a toggle must not invalidate a saved checkpoint
+        either.  A render-mode change DOES reset (Main.cpp:876-877), so
+        it stays in the key."""
         h = hashlib.sha256()
         dev = self.scene.device()
         for arr in (dev.nodes8, dev.tris9, dev.mat.albedo, dev.mat.emissive):
             h.update(np.asarray(arr).tobytes())
-        h.update(repr((self.camera, self.config, self.settings)).encode())
+        h.update(
+            repr((self.camera, self.config, self.settings.render_mode)).encode()
+        )
         return h.hexdigest()[:16]
 
     def save_checkpoint(self, path: str) -> None:

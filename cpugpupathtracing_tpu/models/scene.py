@@ -1916,6 +1916,70 @@ def megakernel_active(dev: DeviceScene, settings) -> bool:
     return reason is None
 
 
+def pt_frame_gate_reason(dev: DeviceScene, settings) -> str | None:
+    """Why ADVANCED mode must fall back from the whole-frame
+    path-tracing kernel (ops/pt_frame_kernel.py) to the per-depth
+    megakernel pipeline, or None when it can run.  On top of the
+    megakernel's own gates: no instance machinery (the whole-frame
+    kernel emits the plain traversal only), no leaf-14 closest-hit
+    tables, no fused tables, and a SMALL tree -- the kernel never
+    re-sorts the wavefront, so unsorted scattered fans must stay cheap,
+    which they are only when the node-walk is a handful of iterations
+    (the config-2 shape).  CPUGPU_PTFRAME_MAX_NODES overrides the
+    tree-size bound; CPUGPU_NO_PTFRAME=1 opts out (A/B baseline);
+    CPUGPU_FORCE_PTFRAME=1 lifts the tree-size bound (sweeps)."""
+    if _pt_frame_disabled:
+        return "disabled after a compile failure"
+    if os.environ.get("CPUGPU_NO_PTFRAME") == "1":
+        return "CPUGPU_NO_PTFRAME=1"
+    mk_reason = megakernel_gate_reason(dev, settings)
+    if mk_reason is not None:
+        return mk_reason
+    if dev.num_instances > 0 and not dev.packet_flattened:
+        return "TLAS instance machinery (flattened scenes qualify)"
+    if dev.poccl_pay is not None:
+        return "leaf-14 closest-hit tables (CPUGPU_LEAF14)"
+    if dev.pfused is not None:
+        return "fused packet tables"
+    if settings.max_ray_depth > 32:
+        return "max_ray_depth > 32"
+    max_nodes = int(os.environ.get("CPUGPU_PTFRAME_MAX_NODES") or "2048")
+    if (
+        int(dev.pnodes.shape[0]) > max_nodes
+        and os.environ.get("CPUGPU_FORCE_PTFRAME") != "1"
+    ):
+        return (f"{int(dev.pnodes.shape[0])}-row tree > unsorted-fan "
+                f"budget {max_nodes}")
+    return None
+
+
+# runtime kill switch, same pattern as the whitted kernel's below
+_pt_frame_disabled = False
+
+
+def disable_pt_frame_kernel() -> None:
+    global _pt_frame_disabled
+    _pt_frame_disabled = True
+
+
+def pt_frame_active(dev: DeviceScene, settings) -> bool:
+    """True when ADVANCED mode should run the whole-frame path-tracing
+    kernel instead of the per-depth megakernels; logs each distinct
+    fallback reason once (shared ledger with megakernel_active)."""
+    reason = pt_frame_gate_reason(dev, settings)
+    if (
+        reason is not None
+        and ("ptframe:" + reason) not in _logged_gate_reasons
+        # the megakernel gate logs its own reasons; only log the
+        # pt-frame-specific ones here
+        and megakernel_gate_reason(dev, settings) is None
+    ):
+        _logged_gate_reasons.add("ptframe:" + reason)
+        log_warn("scene", "whole-frame PT kernel unavailable, using the "
+                          "per-depth megakernels: {}", reason)
+    return reason is None
+
+
 # runtime kill switch: flipped by the renderer's compile-failure
 # fallback so one Mosaic rejection downgrades to the XLA path for the
 # rest of the process instead of failing every subsequent frame

@@ -878,6 +878,352 @@ def _analytic_tests(sph_ref, pln_ref, ox, oy, oz, dx, dy, dz,
     return t, kind
 
 
+def _shade_surface(
+    mats_ref, lights_ref, sph_ref, pln_ref, sphmat_ref, plnmat_ref,
+    objmat_ref,
+    ox, oy, oz, dx, dy, dz, state, tpx, tpy, tpz, enx, eny, enz,
+    active, is_spec, depth0,
+    t, tri, obj, mnx, mny, mnz,
+    *, num_mats, num_lights, num_sph, num_pln, num_objs,
+    nee, rr, cosine, ref_pdf,
+):
+    """The full TracePathAdvanced shading body (Source/Main.cpp:396-579)
+    on traversal results, in registers: analytic prim tests, hit
+    surface, light-hit emission (w/ NEE double-count guard), NEE light
+    sampling, Russian roulette, lobe selection, dielectric/Fresnel/Beer
+    and the bounce-ray update.  Shared op for op by the per-depth
+    megakernel (_shade_extend_kernel) and the whole-frame path-tracing
+    kernel (ops/pt_frame_kernel.py) so both are bitwise-identical in
+    interpret mode.
+
+    active/is_spec/depth0: bool registers.  t/tri/obj/mn*: the mesh
+    traversal's nearest hit (normals already in world space).
+
+    Returns (nox, noy, noz, ndx, ndy, ndz, state, tpx, tpy, tpz,
+    enx, eny, enz, active', spec_i, sneed, so_x, so_y, so_z,
+    tlx, tly, tlz, stmax, c_r, c_g, c_b): the bounced rays, updated
+    carry, and the NEE shadow fan (sneed bool; stmax raw -- callers
+    storing it mask with sneed)."""
+    shape = ox.shape
+    kind = jnp.zeros(shape, jnp.int32)
+    t, kind = _analytic_tests(
+        sph_ref, pln_ref, ox, oy, oz, dx, dy, dz, t, kind,
+        num_sph, num_pln,
+    )
+
+    hit_any = (tri >= 0) | (kind > 0)
+    miss = active & ~hit_any
+    active = active & ~miss
+
+    # ---- hit surface (GetRayHitResult, Main.cpp:325-338) ----
+    px = ox + dx * t
+    py = oy + dy * t
+    pz = oz + dz * t
+    nx, ny, nz = mnx, mny, mnz
+    # mat chain: mesh payload obj -> material via objmat table
+    mat_idx = jnp.full(shape, objmat_ref[0], jnp.int32)
+    for o in range(1, num_objs):
+        mat_idx = jnp.where(obj == o, objmat_ref[o], mat_idx)
+    for s in range(num_sph):
+        is_s = kind == 1 + s
+        cxs, cys, czs = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]
+        vx, vy, vz = px - cxs, py - cys, pz - czs
+        l_s = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+        nx = jnp.where(is_s, vx / l_s, nx)
+        ny = jnp.where(is_s, vy / l_s, ny)
+        nz = jnp.where(is_s, vz / l_s, nz)
+        mat_idx = jnp.where(is_s, sphmat_ref[s], mat_idx)
+    for p in range(num_pln):
+        is_p = kind == 1 + num_sph + p
+        nx = jnp.where(is_p, pln_ref[p, 3], nx)
+        ny = jnp.where(is_p, pln_ref[p, 4], ny)
+        nz = jnp.where(is_p, pln_ref[p, 5], nz)
+        mat_idx = jnp.where(is_p, plnmat_ref[p], mat_idx)
+
+    def mat_col(col):
+        return _select_mat_col(mats_ref, mat_idx, col, num_mats)
+
+    alb_r = mat_col(M_ALBEDO)
+    alb_g = mat_col(M_ALBEDO + 1)
+    alb_b = mat_col(M_ALBEDO + 2)
+    m_spec = mat_col(M_SPECULAR)
+    m_refr = mat_col(M_REFRACT)
+    m_ior = mat_col(M_IOR)
+    is_light = mat_col(13) > 0.5
+
+    # ---- light hit (Main.cpp:424-431) ----
+    hit_light = active & is_light
+    if nee:
+        add_em = hit_light & (depth0 | is_spec)
+    else:
+        add_em = hit_light
+    inten = mat_col(M_INTENSITY)
+    enx = enx + jnp.where(add_em, tpx * mat_col(M_EMISSIVE) * inten, 0.0)
+    eny = eny + jnp.where(add_em, tpy * mat_col(M_EMISSIVE + 1) * inten, 0.0)
+    enz = enz + jnp.where(add_em, tpz * mat_col(M_EMISSIVE + 2) * inten, 0.0)
+    active = active & ~hit_light
+
+    dw = jnp.maximum(0.0, 1.0 - m_spec - m_refr)
+    brdf_r = alb_r * INV_PI
+    brdf_g = alb_g * INV_PI
+    brdf_b = alb_b * INV_PI
+
+    # ---- NEE (Main.cpp:439-465; sample_light draw layout) ----
+    if nee:
+        do_nee = active & (dw > 0.001)
+        state = _xs32(state)
+        li = jax.lax.bitcast_convert_type(
+            _umod(state, num_lights), jnp.int32
+        )
+
+        def light_col(col):
+            out = jnp.full(shape, lights_ref[0, col], jnp.float32)
+            for l in range(1, num_lights):
+                out = jnp.where(li == l, lights_ref[l, col], out)
+            return out
+
+        lcx = light_col(L_CENTER)
+        lcy = light_col(L_CENTER + 1)
+        lcz = light_col(L_CENTER + 2)
+        lrad = light_col(L_RADIUS)
+        larea = light_col(L_AREA)
+        lem_r = light_col(L_EMISSION)
+        lem_g = light_col(L_EMISSION + 1)
+        lem_b = light_col(L_EMISSION + 2)
+
+        # random_point_sphere_facing (Source/Primitives.cpp:214-220)
+        tpx_c, tpy_c, tpz_c = px - lcx, py - lcy, pz - lcz
+        l_tp = jnp.sqrt(tpx_c * tpx_c + tpy_c * tpy_c + tpz_c * tpz_c)
+        fx, fy, fz = tpx_c / l_tp, tpy_c / l_tp, tpz_c / l_tp
+        state = _xs32(state)
+        u1 = _u2f(state)
+        state = _xs32(state)
+        u2 = _u2f(state)
+        zz = 1.0 - 2.0 * u1
+        rr_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
+        phi = TWO_PI * u2
+        sx_ = rr_ * jnp.cos(phi)
+        sy_ = rr_ * jnp.sin(phi)
+        sz_ = zz
+        flip = jnp.where(sx_ * fx + sy_ * fy + sz_ * fz < 0.0, -1.0, 1.0)
+        sx_, sy_, sz_ = sx_ * flip, sy_ * flip, sz_ * flip
+        lpx = lcx + lrad * sx_
+        lpy = lcy + lrad * sy_
+        lpz = lcz + lrad * sz_
+        r_d = jnp.maximum(lrad, 1e-20)
+        lnx = (lpx - lcx) / r_d
+        lny = (lpy - lcy) / r_d
+        lnz = (lpz - lcz) / r_d
+        # stream-layout dummies (sample_light's no-mesh-light arm)
+        state = _xs32(state)
+        state = _xs32(state)
+        state = _xs32(state)
+
+        tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
+        dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+        d_d = jnp.maximum(dist, 1e-20)
+        tlx, tly, tlz = tlx / d_d, tly / d_d, tlz / d_d
+        ndotl = nx * tlx + ny * tly + nz * tlz
+        nldotl = -(lnx * tlx + lny * tly + lnz * tlz)
+        facing = (ndotl > 0.0) & (nldotl > 0.0)
+        sneed = do_nee & facing
+        solid = (nldotl * larea) / jnp.maximum(dist * dist, 1e-20)
+        s_ = ndotl * solid
+        nl_f = jnp.float32(num_lights)
+        c_r = jnp.where(sneed, tpx * s_ * brdf_r * lem_r * nl_f * dw, 0.0)
+        c_g = jnp.where(sneed, tpy * s_ * brdf_g * lem_g * nl_f * dw, 0.0)
+        c_b = jnp.where(sneed, tpz * s_ * brdf_b * lem_b * nl_f * dw, 0.0)
+        so_x = px + tlx * RAY_NUDGE
+        so_y = py + tly * RAY_NUDGE
+        so_z = pz + tlz * RAY_NUDGE
+        stmax = dist - 2.0 * RAY_NUDGE
+    else:
+        sneed = jnp.zeros(shape, jnp.int32) != 0
+        c_r = c_g = c_b = jnp.zeros(shape, jnp.float32)
+        so_x = so_y = so_z = jnp.zeros(shape, jnp.float32)
+        tlx = tly = tlz = jnp.zeros(shape, jnp.float32)
+        stmax = jnp.zeros(shape, jnp.float32)
+
+    # ---- Russian roulette (Main.cpp:468-475) ----
+    if rr:
+        surv = jnp.clip(
+            jnp.maximum(jnp.maximum(alb_r, alb_g), alb_b), 0.1, 1.0
+        )
+        state = _xs32(state)
+        r_rr = _u2f(state)
+        die = active & (surv < r_rr)
+        active = active & ~die
+        tpx = jnp.where(active, tpx / surv, tpx)
+        tpy = jnp.where(active, tpy / surv, tpy)
+        tpz = jnp.where(active, tpz / surv, tpz)
+
+    # ---- lobe selection (Main.cpp:478-570) ----
+    state = _xs32(state)
+    r_lobe = _u2f(state)
+    sel_spec = active & (r_lobe < m_spec)
+    sel_diel = active & ~sel_spec & (r_lobe < m_spec + m_refr)
+    sel_diff = active & ~sel_spec & ~sel_diel
+
+    ddn = dx * nx + dy * ny + dz * nz
+    rfx = dx - 2.0 * nx * ddn
+    rfy = dy - 2.0 * ny * ddn
+    rfz = dz - 2.0 * nz * ddn
+
+    cosi_raw = jnp.clip(ddn, -1.0, 1.0)
+    outside = cosi_raw < 0.0
+    inside = ~outside
+    cosi = jnp.abs(cosi_raw)
+    etai = jnp.where(outside, 1.0, m_ior)
+    etat = jnp.where(outside, m_ior, 1.0)
+    nrx = jnp.where(outside, nx, -nx)
+    nry = jnp.where(outside, ny, -ny)
+    nrz = jnp.where(outside, nz, -nz)
+    eta = etai / etat
+    kk = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    tir = kk < 0.0
+    coef = eta * cosi - jnp.sqrt(jnp.maximum(kk, 0.0))
+    rx = dx * eta + coef * nrx
+    ry = dy * eta + coef * nry
+    rz = dz * eta + coef * nrz
+    l_r = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+    rx, ry, rz = rx / l_r, ry / l_r, rz / l_r
+    angle_in = ddn
+    angle_out = rx * nx + ry * ny + rz * nz
+    s_pol = (etai * angle_in - etat * angle_out) / (
+        etai * angle_in + etat * angle_out
+    )
+    p_pol = (etai * angle_out - etat * angle_in) / (
+        etai * angle_out + etat * angle_in
+    )
+    fr = 0.5 * (s_pol * s_pol + p_pol * p_pol)
+    fr = jnp.where(tir, 1.0, fr)
+    state = _xs32(state)
+    r_fr = _u2f(state)
+    choose_refract = r_fr > fr
+
+    # ---- diffuse bounce (Main.cpp:548-568) ----
+    state = _xs32(state)
+    u1 = _u2f(state)
+    state = _xs32(state)
+    u2 = _u2f(state)
+    zz = 1.0 - 2.0 * u1
+    rr2 = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
+    phi = TWO_PI * u2
+    ux = rr2 * jnp.cos(phi)
+    uy = rr2 * jnp.sin(phi)
+    uz = zz
+    if cosine:
+        # normalize_safe(normal + d, fallback=normal)
+        wx, wy, wz = nx + ux, ny + uy, nz + uz
+        len_sq = wx * wx + wy * wy + wz * wz
+        ok_l = len_sq > 1e-20
+        scale_l = jnp.where(
+            ok_l, jax.lax.rsqrt(jnp.maximum(len_sq, 1e-20)), 0.0
+        )
+        dfx = jnp.where(ok_l, wx * scale_l, nx)
+        dfy = jnp.where(ok_l, wy * scale_l, ny)
+        dfz = jnp.where(ok_l, wz * scale_l, nz)
+        ndotr = dfx * nx + dfy * ny + dfz * nz
+        if ref_pdf:
+            weight = ndotr / jnp.float32(1.0 / TWO_PI)
+        else:
+            weight = ndotr / (jnp.maximum(ndotr, 1e-6) / PI)
+    else:
+        fl2 = jnp.where(ux * nx + uy * ny + uz * nz < 0.0, -1.0, 1.0)
+        dfx, dfy, dfz = ux * fl2, uy * fl2, uz * fl2
+        ndotr = dfx * nx + dfy * ny + dfz * nz
+        if ref_pdf:
+            weight = ndotr / (jnp.maximum(ndotr, 1e-6) / PI)
+        else:
+            weight = ndotr / jnp.float32(1.0 / TWO_PI)
+
+    ab_r = mat_col(M_ABSORB)
+    ab_g = mat_col(M_ABSORB + 1)
+    ab_b = mat_col(M_ABSORB + 2)
+    beer_r = jnp.exp(-ab_r * t)
+    beer_g = jnp.exp(-ab_g * t)
+    beer_b = jnp.exp(-ab_b * t)
+
+    diel_bounce = sel_diel & ~tir
+    diel_refract = diel_bounce & choose_refract
+    diel_reflect = diel_bounce & ~choose_refract
+
+    ndir_x = jnp.where(sel_spec | diel_reflect, rfx, dx)
+    ndir_y = jnp.where(sel_spec | diel_reflect, rfy, dy)
+    ndir_z = jnp.where(sel_spec | diel_reflect, rfz, dz)
+    ndir_x = jnp.where(diel_refract, rx, ndir_x)
+    ndir_y = jnp.where(diel_refract, ry, ndir_y)
+    ndir_z = jnp.where(diel_refract, rz, ndir_z)
+    ndir_x = jnp.where(sel_diff, dfx, ndir_x)
+    ndir_y = jnp.where(sel_diff, dfy, ndir_y)
+    ndir_z = jnp.where(sel_diff, dfz, ndir_z)
+
+    mul_any = sel_spec | diel_reflect | diel_refract
+    tm_r = jnp.where(mul_any, alb_r, 1.0)
+    tm_g = jnp.where(mul_any, alb_g, 1.0)
+    tm_b = jnp.where(mul_any, alb_b, 1.0)
+    ref_in = diel_refract & inside
+    tm_r = jnp.where(ref_in, alb_r * beer_r, tm_r)
+    tm_g = jnp.where(ref_in, alb_g * beer_g, tm_g)
+    tm_b = jnp.where(ref_in, alb_b * beer_b, tm_b)
+    tm_r = jnp.where(sel_diff, weight * brdf_r, tm_r)
+    tm_g = jnp.where(sel_diff, weight * brdf_g, tm_g)
+    tm_b = jnp.where(sel_diff, weight * brdf_b, tm_b)
+    tpx = tpx * tm_r
+    tpy = tpy * tm_g
+    tpz = tpz * tm_b
+
+    bounced = sel_spec | diel_bounce | sel_diff
+    # specular flag tracked in i32: a where() with bool arms
+    # lowers through an i8 vector Mosaic cannot truncate
+    spec_i = jnp.where(
+        sel_spec | diel_bounce, jnp.int32(1), is_spec.astype(jnp.int32)
+    )
+    spec_i = jnp.where(sel_diff, jnp.int32(0), spec_i)
+
+    nox = jnp.where(bounced, px + ndir_x * RAY_NUDGE, ox)
+    noy = jnp.where(bounced, py + ndir_y * RAY_NUDGE, oy)
+    noz = jnp.where(bounced, pz + ndir_z * RAY_NUDGE, oz)
+    ndx = jnp.where(bounced, ndir_x, dx)
+    ndy = jnp.where(bounced, ndir_y, dy)
+    ndz = jnp.where(bounced, ndir_z, dz)
+
+    return (nox, noy, noz, ndx, ndy, ndz, state, tpx, tpy, tpz,
+            enx, eny, enz, active, spec_i, sneed,
+            so_x, so_y, so_z, tlx, tly, tlz, stmax, c_r, c_g, c_b)
+
+
+def _analytic_occluded_nee(sph_ref, pln_ref, ox, oy, oz, dx, dy, dz,
+                           tmax, sneed, occluded, num_sph, num_pln):
+    """Fold the analytic sphere/plane occluders into the shadow-fan
+    occlusion bit (Main.cpp:452-453's IntersectScene over analytic
+    objects), op for op the loops of _shadow_resolve_kernel -- shared
+    with the whole-frame path-tracing kernel."""
+    for s in range(num_sph):
+        cxs, cys, czs = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]
+        rsq = sph_ref[s, S_RSQ]
+        elx, ely, elz = cxs - ox, cys - oy, czs - oz
+        tca = elx * dx + ely * dy + elz * dz
+        d2 = (elx * elx + ely * ely + elz * elz) - tca * tca
+        thc = jnp.sqrt(jnp.maximum(rsq - d2, 0.0))
+        t0 = tca - thc
+        t1 = tca + thc
+        ts = jnp.where(t0 < 0.0, t1, t0)
+        vs = (tca >= 0.0) & (d2 <= rsq) & (ts >= 0.0) & (ts < tmax)
+        occluded = occluded | (vs & sneed)
+    for p in range(num_pln):
+        nxp, nyp, nzp = pln_ref[p, 3], pln_ref[p, 4], pln_ref[p, 5]
+        pxp, pyp, pzp = pln_ref[p, 0], pln_ref[p, 1], pln_ref[p, 2]
+        denom = dx * nxp + dy * nyp + dz * nzp
+        den_ok = jnp.abs(denom) > PLANE_DENOM_EPS
+        tp = ((pxp - ox) * nxp + (pyp - oy) * nyp + (pzp - oz) * nzp) / (
+            jnp.where(den_ok, denom, 1.0)
+        )
+        vp = den_ok & (tp > 0.0) & (tp < tmax)
+        occluded = occluded | (vp & sneed)
+    return occluded
+
+
 def _shade_extend_kernel(
     nodes_ref, ltris_ref, mats_ref, lights_ref, sph_ref, pln_ref,
     sphmat_ref, plnmat_ref, objmat_ref, depth_ref,
@@ -1042,288 +1388,20 @@ def _shade_extend_kernel(
                 mnx = jnp.where(winst, wx / wls, mnx)
                 mny = jnp.where(winst, wy / wls, mny)
                 mnz = jnp.where(winst, wz / wls, mnz)
-            kind = jnp.zeros(shape, jnp.int32)
-            t, kind = _analytic_tests(
-                sph_ref, pln_ref, ox, oy, oz, dx, dy, dz, t, kind,
-                num_sph, num_pln,
+            (
+                nox, noy, noz, ndx, ndy, ndz, state, tpx, tpy, tpz,
+                enx, eny, enz, active, spec_i, sneed,
+                so_x, so_y, so_z, tlx, tly, tlz, stmax, c_r, c_g, c_b,
+            ) = _shade_surface(
+                mats_ref, lights_ref, sph_ref, pln_ref, sphmat_ref,
+                plnmat_ref, objmat_ref,
+                ox, oy, oz, dx, dy, dz, state, tpx, tpy, tpz,
+                enx, eny, enz, active, is_spec, depth0,
+                t, tri, obj, mnx, mny, mnz,
+                num_mats=num_mats, num_lights=num_lights,
+                num_sph=num_sph, num_pln=num_pln, num_objs=num_objs,
+                nee=nee, rr=rr, cosine=cosine, ref_pdf=ref_pdf,
             )
-
-            hit_any = (tri >= 0) | (kind > 0)
-            miss = active & ~hit_any
-            active = active & ~miss
-
-            # ---- hit surface (GetRayHitResult, Main.cpp:325-338) ----
-            px = ox + dx * t
-            py = oy + dy * t
-            pz = oz + dz * t
-            nx, ny, nz = mnx, mny, mnz
-            # mat chain: mesh payload obj -> material via objmat table
-            mat_idx = jnp.full(shape, objmat_ref[0], jnp.int32)
-            for o in range(1, num_objs):
-                mat_idx = jnp.where(obj == o, objmat_ref[o], mat_idx)
-            for s in range(num_sph):
-                is_s = kind == 1 + s
-                cxs, cys, czs = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]
-                vx, vy, vz = px - cxs, py - cys, pz - czs
-                l_s = jnp.sqrt(vx * vx + vy * vy + vz * vz)
-                nx = jnp.where(is_s, vx / l_s, nx)
-                ny = jnp.where(is_s, vy / l_s, ny)
-                nz = jnp.where(is_s, vz / l_s, nz)
-                mat_idx = jnp.where(is_s, sphmat_ref[s], mat_idx)
-            for p in range(num_pln):
-                is_p = kind == 1 + num_sph + p
-                nx = jnp.where(is_p, pln_ref[p, 3], nx)
-                ny = jnp.where(is_p, pln_ref[p, 4], ny)
-                nz = jnp.where(is_p, pln_ref[p, 5], nz)
-                mat_idx = jnp.where(is_p, plnmat_ref[p], mat_idx)
-
-            def mat_col(col):
-                return _select_mat_col(mats_ref, mat_idx, col, num_mats)
-
-            alb_r = mat_col(M_ALBEDO)
-            alb_g = mat_col(M_ALBEDO + 1)
-            alb_b = mat_col(M_ALBEDO + 2)
-            m_spec = mat_col(M_SPECULAR)
-            m_refr = mat_col(M_REFRACT)
-            m_ior = mat_col(M_IOR)
-            is_light = mat_col(13) > 0.5
-
-            # ---- light hit (Main.cpp:424-431) ----
-            hit_light = active & is_light
-            if nee:
-                add_em = hit_light & (depth0 | is_spec)
-            else:
-                add_em = hit_light
-            inten = mat_col(M_INTENSITY)
-            enx = enx + jnp.where(add_em, tpx * mat_col(M_EMISSIVE) * inten, 0.0)
-            eny = eny + jnp.where(add_em, tpy * mat_col(M_EMISSIVE + 1) * inten, 0.0)
-            enz = enz + jnp.where(add_em, tpz * mat_col(M_EMISSIVE + 2) * inten, 0.0)
-            active = active & ~hit_light
-
-            dw = jnp.maximum(0.0, 1.0 - m_spec - m_refr)
-            brdf_r = alb_r * INV_PI
-            brdf_g = alb_g * INV_PI
-            brdf_b = alb_b * INV_PI
-
-            # ---- NEE (Main.cpp:439-465; sample_light draw layout) ----
-            if nee:
-                do_nee = active & (dw > 0.001)
-                state = _xs32(state)
-                li = jax.lax.bitcast_convert_type(
-                    _umod(state, num_lights), jnp.int32
-                )
-
-                def light_col(col):
-                    out = jnp.full(shape, lights_ref[0, col], jnp.float32)
-                    for l in range(1, num_lights):
-                        out = jnp.where(li == l, lights_ref[l, col], out)
-                    return out
-
-                lcx = light_col(L_CENTER)
-                lcy = light_col(L_CENTER + 1)
-                lcz = light_col(L_CENTER + 2)
-                lrad = light_col(L_RADIUS)
-                larea = light_col(L_AREA)
-                lem_r = light_col(L_EMISSION)
-                lem_g = light_col(L_EMISSION + 1)
-                lem_b = light_col(L_EMISSION + 2)
-
-                # random_point_sphere_facing (Source/Primitives.cpp:214-220)
-                tpx_c, tpy_c, tpz_c = px - lcx, py - lcy, pz - lcz
-                l_tp = jnp.sqrt(tpx_c * tpx_c + tpy_c * tpy_c + tpz_c * tpz_c)
-                fx, fy, fz = tpx_c / l_tp, tpy_c / l_tp, tpz_c / l_tp
-                state = _xs32(state)
-                u1 = _u2f(state)
-                state = _xs32(state)
-                u2 = _u2f(state)
-                zz = 1.0 - 2.0 * u1
-                rr_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
-                phi = TWO_PI * u2
-                sx_ = rr_ * jnp.cos(phi)
-                sy_ = rr_ * jnp.sin(phi)
-                sz_ = zz
-                flip = jnp.where(sx_ * fx + sy_ * fy + sz_ * fz < 0.0, -1.0, 1.0)
-                sx_, sy_, sz_ = sx_ * flip, sy_ * flip, sz_ * flip
-                lpx = lcx + lrad * sx_
-                lpy = lcy + lrad * sy_
-                lpz = lcz + lrad * sz_
-                r_d = jnp.maximum(lrad, 1e-20)
-                lnx = (lpx - lcx) / r_d
-                lny = (lpy - lcy) / r_d
-                lnz = (lpz - lcz) / r_d
-                # stream-layout dummies (sample_light's no-mesh-light arm)
-                state = _xs32(state)
-                state = _xs32(state)
-                state = _xs32(state)
-
-                tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
-                dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
-                d_d = jnp.maximum(dist, 1e-20)
-                tlx, tly, tlz = tlx / d_d, tly / d_d, tlz / d_d
-                ndotl = nx * tlx + ny * tly + nz * tlz
-                nldotl = -(lnx * tlx + lny * tly + lnz * tlz)
-                facing = (ndotl > 0.0) & (nldotl > 0.0)
-                sneed = do_nee & facing
-                solid = (nldotl * larea) / jnp.maximum(dist * dist, 1e-20)
-                s_ = ndotl * solid
-                nl_f = jnp.float32(num_lights)
-                c_r = jnp.where(sneed, tpx * s_ * brdf_r * lem_r * nl_f * dw, 0.0)
-                c_g = jnp.where(sneed, tpy * s_ * brdf_g * lem_g * nl_f * dw, 0.0)
-                c_b = jnp.where(sneed, tpz * s_ * brdf_b * lem_b * nl_f * dw, 0.0)
-                so_x = px + tlx * RAY_NUDGE
-                so_y = py + tly * RAY_NUDGE
-                so_z = pz + tlz * RAY_NUDGE
-                stmax = dist - 2.0 * RAY_NUDGE
-            else:
-                sneed = jnp.zeros(shape, jnp.int32) != 0
-                c_r = c_g = c_b = jnp.zeros(shape, jnp.float32)
-                so_x = so_y = so_z = jnp.zeros(shape, jnp.float32)
-                tlx = tly = tlz = jnp.zeros(shape, jnp.float32)
-                stmax = jnp.zeros(shape, jnp.float32)
-
-            # ---- Russian roulette (Main.cpp:468-475) ----
-            if rr:
-                surv = jnp.clip(
-                    jnp.maximum(jnp.maximum(alb_r, alb_g), alb_b), 0.1, 1.0
-                )
-                state = _xs32(state)
-                r_rr = _u2f(state)
-                die = active & (surv < r_rr)
-                active = active & ~die
-                tpx = jnp.where(active, tpx / surv, tpx)
-                tpy = jnp.where(active, tpy / surv, tpy)
-                tpz = jnp.where(active, tpz / surv, tpz)
-
-            # ---- lobe selection (Main.cpp:478-570) ----
-            state = _xs32(state)
-            r_lobe = _u2f(state)
-            sel_spec = active & (r_lobe < m_spec)
-            sel_diel = active & ~sel_spec & (r_lobe < m_spec + m_refr)
-            sel_diff = active & ~sel_spec & ~sel_diel
-
-            ddn = dx * nx + dy * ny + dz * nz
-            rfx = dx - 2.0 * nx * ddn
-            rfy = dy - 2.0 * ny * ddn
-            rfz = dz - 2.0 * nz * ddn
-
-            cosi_raw = jnp.clip(ddn, -1.0, 1.0)
-            outside = cosi_raw < 0.0
-            inside = ~outside
-            cosi = jnp.abs(cosi_raw)
-            etai = jnp.where(outside, 1.0, m_ior)
-            etat = jnp.where(outside, m_ior, 1.0)
-            nrx = jnp.where(outside, nx, -nx)
-            nry = jnp.where(outside, ny, -ny)
-            nrz = jnp.where(outside, nz, -nz)
-            eta = etai / etat
-            kk = 1.0 - eta * eta * (1.0 - cosi * cosi)
-            tir = kk < 0.0
-            coef = eta * cosi - jnp.sqrt(jnp.maximum(kk, 0.0))
-            rx = dx * eta + coef * nrx
-            ry = dy * eta + coef * nry
-            rz = dz * eta + coef * nrz
-            l_r = jnp.sqrt(rx * rx + ry * ry + rz * rz)
-            rx, ry, rz = rx / l_r, ry / l_r, rz / l_r
-            angle_in = ddn
-            angle_out = rx * nx + ry * ny + rz * nz
-            s_pol = (etai * angle_in - etat * angle_out) / (
-                etai * angle_in + etat * angle_out
-            )
-            p_pol = (etai * angle_out - etat * angle_in) / (
-                etai * angle_out + etat * angle_in
-            )
-            fr = 0.5 * (s_pol * s_pol + p_pol * p_pol)
-            fr = jnp.where(tir, 1.0, fr)
-            state = _xs32(state)
-            r_fr = _u2f(state)
-            choose_refract = r_fr > fr
-
-            # ---- diffuse bounce (Main.cpp:548-568) ----
-            state = _xs32(state)
-            u1 = _u2f(state)
-            state = _xs32(state)
-            u2 = _u2f(state)
-            zz = 1.0 - 2.0 * u1
-            rr2 = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
-            phi = TWO_PI * u2
-            ux = rr2 * jnp.cos(phi)
-            uy = rr2 * jnp.sin(phi)
-            uz = zz
-            if cosine:
-                # normalize_safe(normal + d, fallback=normal)
-                wx, wy, wz = nx + ux, ny + uy, nz + uz
-                len_sq = wx * wx + wy * wy + wz * wz
-                ok_l = len_sq > 1e-20
-                scale_l = jnp.where(
-                    ok_l, jax.lax.rsqrt(jnp.maximum(len_sq, 1e-20)), 0.0
-                )
-                dfx = jnp.where(ok_l, wx * scale_l, nx)
-                dfy = jnp.where(ok_l, wy * scale_l, ny)
-                dfz = jnp.where(ok_l, wz * scale_l, nz)
-                ndotr = dfx * nx + dfy * ny + dfz * nz
-                if ref_pdf:
-                    weight = ndotr / jnp.float32(1.0 / TWO_PI)
-                else:
-                    weight = ndotr / (jnp.maximum(ndotr, 1e-6) / PI)
-            else:
-                fl2 = jnp.where(ux * nx + uy * ny + uz * nz < 0.0, -1.0, 1.0)
-                dfx, dfy, dfz = ux * fl2, uy * fl2, uz * fl2
-                ndotr = dfx * nx + dfy * ny + dfz * nz
-                if ref_pdf:
-                    weight = ndotr / (jnp.maximum(ndotr, 1e-6) / PI)
-                else:
-                    weight = ndotr / jnp.float32(1.0 / TWO_PI)
-
-            ab_r = mat_col(M_ABSORB)
-            ab_g = mat_col(M_ABSORB + 1)
-            ab_b = mat_col(M_ABSORB + 2)
-            beer_r = jnp.exp(-ab_r * t)
-            beer_g = jnp.exp(-ab_g * t)
-            beer_b = jnp.exp(-ab_b * t)
-
-            diel_bounce = sel_diel & ~tir
-            diel_refract = diel_bounce & choose_refract
-            diel_reflect = diel_bounce & ~choose_refract
-
-            ndir_x = jnp.where(sel_spec | diel_reflect, rfx, dx)
-            ndir_y = jnp.where(sel_spec | diel_reflect, rfy, dy)
-            ndir_z = jnp.where(sel_spec | diel_reflect, rfz, dz)
-            ndir_x = jnp.where(diel_refract, rx, ndir_x)
-            ndir_y = jnp.where(diel_refract, ry, ndir_y)
-            ndir_z = jnp.where(diel_refract, rz, ndir_z)
-            ndir_x = jnp.where(sel_diff, dfx, ndir_x)
-            ndir_y = jnp.where(sel_diff, dfy, ndir_y)
-            ndir_z = jnp.where(sel_diff, dfz, ndir_z)
-
-            mul_any = sel_spec | diel_reflect | diel_refract
-            tm_r = jnp.where(mul_any, alb_r, 1.0)
-            tm_g = jnp.where(mul_any, alb_g, 1.0)
-            tm_b = jnp.where(mul_any, alb_b, 1.0)
-            ref_in = diel_refract & inside
-            tm_r = jnp.where(ref_in, alb_r * beer_r, tm_r)
-            tm_g = jnp.where(ref_in, alb_g * beer_g, tm_g)
-            tm_b = jnp.where(ref_in, alb_b * beer_b, tm_b)
-            tm_r = jnp.where(sel_diff, weight * brdf_r, tm_r)
-            tm_g = jnp.where(sel_diff, weight * brdf_g, tm_g)
-            tm_b = jnp.where(sel_diff, weight * brdf_b, tm_b)
-            tpx = tpx * tm_r
-            tpy = tpy * tm_g
-            tpz = tpz * tm_b
-
-            bounced = sel_spec | diel_bounce | sel_diff
-            # specular flag tracked in i32: a where() with bool arms
-            # lowers through an i8 vector Mosaic cannot truncate
-            spec_i = jnp.where(
-                sel_spec | diel_bounce, jnp.int32(1), is_spec.astype(jnp.int32)
-            )
-            spec_i = jnp.where(sel_diff, jnp.int32(0), spec_i)
-
-            nox = jnp.where(bounced, px + ndir_x * RAY_NUDGE, ox)
-            noy = jnp.where(bounced, py + ndir_y * RAY_NUDGE, oy)
-            noz = jnp.where(bounced, pz + ndir_z * RAY_NUDGE, oz)
-            ndx = jnp.where(bounced, ndir_x, dx)
-            ndy = jnp.where(bounced, ndir_y, dy)
-            ndz = jnp.where(bounced, ndir_z, dz)
 
             nflags = (
                 active.astype(jnp.int32)
@@ -1446,29 +1524,10 @@ def _shadow_resolve_kernel(
                 iters_ref[
                     g if interp else pl.program_id(0) * NTILES + g
                 ] = trav[-1]
-            occluded = tri >= 0
-            for s in range(num_sph):
-                cxs, cys, czs = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2]
-                rsq = sph_ref[s, S_RSQ]
-                elx, ely, elz = cxs - ox, cys - oy, czs - oz
-                tca = elx * dx + ely * dy + elz * dz
-                d2 = (elx * elx + ely * ely + elz * elz) - tca * tca
-                thc = jnp.sqrt(jnp.maximum(rsq - d2, 0.0))
-                t0 = tca - thc
-                t1 = tca + thc
-                ts = jnp.where(t0 < 0.0, t1, t0)
-                vs = (tca >= 0.0) & (d2 <= rsq) & (ts >= 0.0) & (ts < tmax)
-                occluded = occluded | (vs & sneed)
-            for p in range(num_pln):
-                nxp, nyp, nzp = pln_ref[p, 3], pln_ref[p, 4], pln_ref[p, 5]
-                pxp, pyp, pzp = pln_ref[p, 0], pln_ref[p, 1], pln_ref[p, 2]
-                denom = dx * nxp + dy * nyp + dz * nzp
-                den_ok = jnp.abs(denom) > PLANE_DENOM_EPS
-                tp = ((pxp - ox) * nxp + (pyp - oy) * nyp + (pzp - oz) * nzp) / (
-                    jnp.where(den_ok, denom, 1.0)
-                )
-                vp = den_ok & (tp > 0.0) & (tp < tmax)
-                occluded = occluded | (vp & sneed)
+            occluded = _analytic_occluded_nee(
+                sph_ref, pln_ref, ox, oy, oz, dx, dy, dz, tmax, sneed,
+                tri >= 0, num_sph, num_pln,
+            )
 
             add = sneed & ~occluded
             nex_ref[gs] = (

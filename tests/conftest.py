@@ -44,3 +44,21 @@ def _drain_jax_caches_between_modules():
     recompilation for a bounded compiler footprint."""
     yield
     jax.clear_caches()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (round-5 structural item): the default gate skips
+    tests marked `slow` (subprocess flag-golden renders and the biggest
+    interpret-mode kernel sweeps -- test_smemtree.py alone is ~35 min on
+    this 1-CPU box) so `pytest tests/ -q` stays a fast gate.  The full
+    tier runs with CPUGPU_SLOW_TESTS=1 (or an explicit `-m slow`)."""
+    if os.environ.get("CPUGPU_SLOW_TESTS") == "1":
+        return
+    if config.getoption("-m"):
+        return  # explicit marker expression: the user decides
+    skip = pytest.mark.skip(
+        reason="slow tier (set CPUGPU_SLOW_TESTS=1 or -m slow to run)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

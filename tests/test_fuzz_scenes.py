@@ -251,8 +251,11 @@ SEEDS = {"soup": 240, "elongated": 512, "instanced": 777, "many_objects": 901}
 
 
 @pytest.mark.parametrize("name", sorted(SCENES))
-@pytest.mark.parametrize("force_packet", [False, True],
-                         ids=["default", "packet"])
+@pytest.mark.parametrize(
+    "force_packet",
+    [False, pytest.param(True, marks=pytest.mark.slow)],
+    ids=["default", "packet"],
+)  # the interpret-mode packet arm is the expensive half: nightly tier
 def test_fuzz(name, force_packet, monkeypatch):
     seed = SEEDS[name]
     _check_scene(SCENES[name](seed), seed * 7 + 1, force_packet, monkeypatch)

@@ -193,6 +193,36 @@ class TestCheckpoint:
         np.testing.assert_array_equal(renderer.image_u32(), r2.image_u32())
         assert not np.array_equal(img, r2.image_u32())
 
+    def test_settings_toggle_survives_reload(self, tmp_path):
+        # settings toggles don't reset the live accumulator (reference
+        # quirk, Main.cpp:859-875), so they must not invalidate a saved
+        # checkpoint either: fingerprint covers scene/camera/config/
+        # render mode only
+        renderer = Renderer(small_scene(), config=RenderConfig(width=W, height=H))
+        renderer.render(2)
+        p = str(tmp_path / "ckpt.npz")
+        renderer.save_checkpoint(p)
+        r2 = Renderer(small_scene(), config=RenderConfig(width=W, height=H))
+        r2.set_settings(
+            r2.settings.replace(
+                max_ray_depth=r2.settings.max_ray_depth + 1,
+                next_event_estimation=not r2.settings.next_event_estimation,
+            )
+        )
+        assert r2.load_checkpoint(p)
+        assert r2.num_accumulated == 2
+
+    def test_render_mode_change_invalidates(self, tmp_path):
+        # a render-mode change resets the accumulator (Main.cpp:876-877)
+        # and therefore invalidates the checkpoint
+        renderer = Renderer(small_scene(), config=RenderConfig(width=W, height=H))
+        renderer.render(1)
+        p = str(tmp_path / "ckpt.npz")
+        renderer.save_checkpoint(p)
+        r2 = Renderer(small_scene(), config=RenderConfig(width=W, height=H))
+        r2.set_render_mode(RenderMode.BRUTE_FORCE)
+        assert not r2.load_checkpoint(p)
+
     def test_fingerprint_mismatch_resets(self, tmp_path, renderer):
         renderer.reset()
         renderer.render(2)

@@ -15,6 +15,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # nightly tier: see tests/conftest.py
+
 from cpugpupathtracing_tpu.config import (
     BuildOption, CameraConfig, RenderSettings,
 )

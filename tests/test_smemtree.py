@@ -21,6 +21,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # nightly tier: see tests/conftest.py
+
 _RENDER_SNIPPET = r"""
 import sys
 import numpy as np
