@@ -55,13 +55,28 @@ def apply_bench_flags():
     return {}
 
 
+class _ShardedHookShim:
+    """Stands in for the Renderer in a config's per-frame hook (config 5
+    calls renderer.reset() after moving geometry); the sharded loop
+    re-snapshots the scene and zeroes the sharded accumulator itself."""
+
+    def __init__(self):
+        self.want_reset = False
+
+    def reset(self):
+        self.want_reset = True
+
+
 def run_sharded(scene, cam, settings, width, height, frames, spp, seed,
-                devices, shard_mode="pixels"):
+                devices, shard_mode="pixels", hook=None):
     """The --devices N bench body: render `frames` progressive frames of
     the config through parallel/sharding.render_frame_sharded over an
     N-device mesh.  Pixel sharding is bitwise identical to the
     single-device bench path (tests/test_bench_devices.py pins it), so
-    a pod run needs no new code when hardware appears.  Returns
+    a pod run needs no new code when hardware appears.  `hook` is the
+    config's per-frame animation hook (config 5: instance transforms +
+    TLAS refit + accumulator reset), run against a shim renderer; the
+    refit snapshot feeds the next sharded frame.  Returns
     (pixels_u32 row-major, traced_rays_total, wall_seconds)."""
     import time as _time
 
@@ -71,6 +86,9 @@ def run_sharded(scene, cam, settings, width, height, frames, spp, seed,
     from cpugpupathtracing_tpu.parallel import sharding
 
     mesh = sharding.make_mesh(devices)
+    shim = _ShardedHookShim()
+    if hook is not None:
+        hook(0, shim)
     dev = scene.device()
     cam_arr = camlib.to_arrays(cam)
     n = width * height
@@ -78,18 +96,27 @@ def run_sharded(scene, cam, settings, width, height, frames, spp, seed,
     lane = jnp.arange(n, dtype=jnp.uint32)
     pixels = None
     traced = 0
+    sample_base = 0
     # compile + first frame outside the timed span (like the main path)
     acc, pixels, tr = sharding.render_frame_sharded(
-        dev, cam_arr, acc, jnp.int32(0), lane, settings, width, height,
-        spp, seed, mesh, shard_mode,
+        dev, cam_arr, acc, jnp.int32(sample_base), lane, settings, width,
+        height, spp, seed, mesh, shard_mode,
     )
+    sample_base += spp
     traced += int(tr)
     t0 = _time.time()
     for f in range(frames):
+        if hook is not None:
+            shim.want_reset = False
+            hook(f + 1, shim)
+            dev = scene.device()  # refit snapshot (splice on device)
+            if shim.want_reset:
+                acc = jnp.zeros_like(acc)
         acc, pixels, tr = sharding.render_frame_sharded(
-            dev, cam_arr, acc, jnp.int32((f + 1) * spp), lane, settings,
+            dev, cam_arr, acc, jnp.int32(sample_base), lane, settings,
             width, height, spp, seed, mesh, shard_mode,
         )
+        sample_base += spp
         traced += int(tr)
     jax.block_until_ready(pixels)
     wall = _time.time() - t0
@@ -104,8 +131,12 @@ def main():
     p.add_argument("--spp", type=int, default=1)
     p.add_argument("--devices", type=int, default=0,
                    help="render over an N-device jax.sharding mesh "
-                        "(pixel sharding; configs without a per-frame "
-                        "animation hook)")
+                        "(every config incl. config 5's animated refit)")
+    p.add_argument("--shard-mode", default="pixels",
+                   choices=["pixels", "samples"],
+                   help="--devices decomposition: pixel tiles (bitwise "
+                        "== single chip) or per-chip sample streams "
+                        "(spp x N per frame, psum over ICI)")
     args = p.parse_args()
 
     from cpugpupathtracing_tpu.benchscenes import CONFIGS
@@ -125,17 +156,13 @@ def main():
         frames = args.size[2]
 
     if args.devices:
-        if hook is not None:
-            raise SystemExit(
-                "--devices does not support configs with a per-frame "
-                "animation hook (config 5); pick configs 1-4"
-            )
         cfg = RenderConfig(width=width, height=height,
                            samples_per_frame=args.spp)
         nframes = frames or 32
         pixels, traced, wall = run_sharded(
             scene, cam, settings, width, height, nframes, args.spp,
-            cfg.seed, args.devices,
+            cfg.seed, args.devices, shard_mode=args.shard_mode,
+            hook=hook,
         )
         # traced counts frames+1 renders (compile frame included) but
         # wall times only the last `nframes`: scale rays to the span
@@ -150,6 +177,7 @@ def main():
             "extra": {
                 "config": args.config,
                 "devices": args.devices,
+                "shard_mode": args.shard_mode,
                 "frames_timed": nframes,
                 "frame_ms": round(wall / nframes * 1000.0, 2),
                 "bench_flags": flags_env,

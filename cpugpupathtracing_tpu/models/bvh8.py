@@ -409,15 +409,23 @@ def to_slim_occl(w: BVH8, rows_per_leaf: int = 1) -> BVH8Slim:
     far fatter leaves than closest-hit: the 14-record rows already
     bought -13% at FLAT ns/iteration (the leaf ALU hides under the
     scalar pop -> row-load chain, tools/occl_lab.py), so halving leaf
-    pops again is the remaining tree-shape lever."""
-    if w.width != 8:
-        raise ValueError("occlusion tables are 8-wide only")
+    pops again is the remaining tree-shape lever.
+
+    Width follows the input tree (round-5 CPUGPU_OCCL_W16 lab): a
+    width-16 collapse keeps its (B, 128) node rows with entries at
+    cols 96..111; the 14-record leaf rows are node-width independent.
+    rows_per_leaf=2 stays 8-wide only."""
+    if w.width not in (8, 16):
+        raise ValueError("occlusion tables are 8- or 16-wide")
     if rows_per_leaf not in (1, 2):
         raise ValueError("rows_per_leaf must be 1 or 2")
+    if rows_per_leaf == 2 and w.width != 8:
+        raise ValueError("2-row occlusion leaves are 8-wide only")
     max_tris = OCCL_TRIS * rows_per_leaf
     nodes = w.nodes.copy()
-    cidx = nodes[:, 48:56].view(np.int32)
-    ccnt = nodes[:, 56:64].view(np.int32)
+    wd = w.width
+    cidx = nodes[:, 6 * wd : 7 * wd].view(np.int32)
+    ccnt = nodes[:, 7 * wd : 8 * wd].view(np.int32)
     is_leaf = ccnt > 0
     if is_leaf.any() and int(ccnt[is_leaf].max()) > max_tris:
         raise ValueError(f"occlusion tables need leaf_max <= {max_tris}")

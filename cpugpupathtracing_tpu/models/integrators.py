@@ -329,7 +329,7 @@ def sorted_shadow_resolve(dev, mk, so, sd, stmax, flags, en, contrib,
     if tables is not None:
         s_nodes, s_ltris = tables  # occl or fused, per `static`
     else:
-        s_nodes, s_ltris, _ = packet_tables(dev)
+        s_nodes, s_ltris, _, _ = packet_tables(dev)
     delta = mk.shadow_resolve(
         s_nodes, s_ltris, dev.mk_sph, dev.mk_pln,
         so_s, sd_s, stm_s, sneed_s << 2, (zero, zero, zero), contrib_s,
@@ -754,20 +754,25 @@ def trace_advanced_mega(
     # flattened instanced scenes (scene.DeviceScene.packet_flattened)
     # run the PLAIN kernels: tables are world-space already
     instanced = dev.num_instances > 0 and not dev.packet_flattened
-    mk_nodes, mk_ltris, fused_nn = packet_tables(dev)
+    mk_nodes, mk_ltris, fused_nn, mk_ents = packet_tables(dev)
     mk_roots = dev.proots
     mk_width = dev.packet_width
-    mk_ents = dev.pents if not instanced else None
+    if instanced:
+        mk_ents = None
     pay_kw = {}
     if dev.poccl_pay is not None and not instanced:
         # CPUGPU_LEAF14: the closest-hit traversal runs the leaf-14
         # tables with the parallel payload rows (hits exact; -14%
         # bounce / -22% interior iterations offline)
         mk_nodes, mk_ltris = dev.poccl_nodes, dev.poccl_ltris
-        if dev.poccl_nodes48 is not None:
+        mk_ents = dev.poccl_ents
+        if dev.smem_small:
+            # small trees keep side tables off per-launch kernels
+            # (see packet_tables' whole_frame policy)
+            mk_ents = None
+        elif dev.poccl_nodes48 is not None:
             mk_nodes = dev.poccl_nodes48
         mk_roots, mk_width, fused_nn = dev.poccl_roots, 8, 0
-        mk_ents = dev.poccl_ents
         pay_kw = dict(pay=dev.poccl_pay)
     static = dict(
         roots=mk_roots,
@@ -787,6 +792,7 @@ def trace_advanced_mega(
         width=mk_width,
         rowx=rowx,
         ents=mk_ents,
+        light_tri_meta=dev.light_tri_meta,
         **pay_kw,
     )
     if instanced:
@@ -796,9 +802,16 @@ def trace_advanced_mega(
             inst_root=dev.inst_blas_root_packet,
         )
 
+    # throughput/energy ride as six SEPARATE (N,) columns, never a
+    # stacked (N, 3): the per-depth stack + column-slice pairs at the
+    # pallas/sort boundaries are exactly the (N, k) layout trap
+    # (CLAUDE.md round-2 findings) -- the kernels consume and produce
+    # columns anyway, and sort_wavefront sorts 1-D entries natively.
+    one = jnp.ones((n,), f32)
+    zero = jnp.zeros((n,), f32)
     carry = dict(
-        throughput=jnp.ones((n, 3), f32),
-        energy=jnp.zeros((n, 3), f32),
+        tp_x=one, tp_y=one, tp_z=one,
+        en_x=zero, en_y=zero, en_z=zero,
         active=jnp.ones((n,), jnp.int32),
         is_specular=jnp.zeros((n,), jnp.int32),
         ray_ox=origin[:, 0], ray_oy=origin[:, 1], ray_oz=origin[:, 2],
@@ -824,14 +837,15 @@ def trace_advanced_mega(
         traced = c["traced"] + jnp.sum(c["active"], dtype=jnp.int32)
         rays, state2, tp, en, flags2, so, sd, stmax, contrib = mk.shade_extend(
             mk_nodes, mk_ltris, dev.mk_mats, dev.mk_lights,
+            dev.mk_light_tris,
             dev.mk_sph, dev.mk_pln, dev.mk_sph_mat, dev.mk_pln_mat,
             dev.mk_objmat,
             depth[None],
             (c["ray_ox"], c["ray_oy"], c["ray_oz"],
              c["ray_dx"], c["ray_dy"], c["ray_dz"]),
             c["state"],
-            (c["throughput"][:, 0], c["throughput"][:, 1], c["throughput"][:, 2]),
-            (c["energy"][:, 0], c["energy"][:, 1], c["energy"][:, 2]),
+            (c["tp_x"], c["tp_y"], c["tp_z"]),
+            (c["en_x"], c["en_y"], c["en_z"]),
             flags,
             **static,
         )
@@ -843,12 +857,13 @@ def trace_advanced_mega(
                 # occlusion-specialized tables (bvh8.to_slim_occl):
                 # shallower fat-leaf any-hit tree, bitwise-identical
                 # occluded bit -> bitwise-identical energy
-                sh_nodes, sh_ltris, sh_roots = occl
+                sh_nodes, sh_ltris, sh_roots, sh_ents = occl
                 shadow_static = dict(
                     roots=sh_roots, num_sph=num_sph, num_pln=num_pln,
                     interpret=interpret, frame_stack=frame_stack,
-                    cond_push=cond_push, fused_nn=0, width=8, occl=True,
-                    rowx=rowx, ents=dev.poccl_ents,
+                    cond_push=cond_push, fused_nn=0,
+                    width=dev.poccl_width, occl=True,
+                    rowx=rowx, ents=sh_ents,
                     occl_rows=2 if PACKET_OCCL2 else 1,
                 )
             else:
@@ -877,8 +892,8 @@ def trace_advanced_mega(
                     **shadow_static,
                 )
         nc = dict(
-            throughput=jnp.stack(tp, axis=1),
-            energy=jnp.stack(en, axis=1),
+            tp_x=tp[0], tp_y=tp[1], tp_z=tp[2],
+            en_x=en[0], en_y=en[1], en_z=en[2],
             active=flags2 & 1,
             is_specular=(flags2 >> 1) & 1,
             ray_ox=rays[0], ray_oy=rays[1], ray_oz=rays[2],
@@ -921,14 +936,14 @@ def trace_advanced_mega(
             d,
             sort_now=sort_boundary(d),
         )
-    energy, state = carry["energy"], carry["state"]
+    e_cols = [carry["en_x"], carry["en_y"], carry["en_z"]]
+    state = carry["state"]
     if do_sort:
         cols = restore_lane_order(
-            carry["lane"], idx.astype(jnp.int32),
-            [energy[:, 0], energy[:, 1], energy[:, 2], state],
+            carry["lane"], idx.astype(jnp.int32), e_cols + [state],
         )
-        e0, e1, e2, state = cols
-        energy = jnp.stack([e0, e1, e2], axis=1)
+        e_cols, state = cols[:3], cols[3]
+    energy = jnp.stack(e_cols, axis=1)
     zeros = jnp.zeros((n,), jnp.int32)
     return state, TraceResult(energy, carry["traced"], zeros, zeros)
 
@@ -957,18 +972,20 @@ def trace_advanced_frame(
     n = origin.shape[0]
     nee = settings.next_event_estimation and dev.num_lights > 0
     interpret = jax.default_backend() != "tpu"
-    mk_nodes, mk_ltris, fused_nn = packet_tables(dev)
-    occl = occl_tables(dev)
+    mk_nodes, mk_ltris, fused_nn, mk_ents = packet_tables(
+        dev, whole_frame=True)
+    occl = occl_tables(dev, whole_frame=True)
     kw = {}
     if occl is not None:
-        sh_nodes, sh_ltris, sh_roots = occl
+        sh_nodes, sh_ltris, sh_roots, sh_ents = occl
         kw = dict(
             sh_nodes=sh_nodes, sh_ltris=sh_ltris, sh_roots=sh_roots,
-            sh_ents=dev.poccl_ents, occl=True,
+            sh_ents=sh_ents, occl=True,
             occl_rows=2 if PACKET_OCCL2 else 1,
         )
     energy, state, traced = pfk.pt_frame(
         mk_nodes, mk_ltris, dev.mk_mats, dev.mk_lights,
+        dev.mk_light_tris,
         dev.mk_sph, dev.mk_pln, dev.mk_sph_mat, dev.mk_pln_mat,
         dev.mk_objmat,
         (origin[:, 0], origin[:, 1], origin[:, 2],
@@ -988,7 +1005,8 @@ def trace_advanced_frame(
         interpret=interpret,
         fused_nn=fused_nn,
         width=dev.packet_width,
-        ents=dev.pents,
+        ents=mk_ents,
+        light_tri_meta=dev.light_tri_meta,
         **kw,
     )
     zeros = jnp.zeros((n,), jnp.int32)

@@ -121,8 +121,9 @@ def _guarded_frame_kernel(dev, *args):
             and whitted_kernel_active(dev, settings)
         ):
             log_warn(
+                "Renderer",
                 "whole-frame Whitted kernel failed to compile; "
-                f"falling back to the XLA path: {exc}"
+                "falling back to the XLA path: {}", exc,
             )
             disable_whitted_kernel()
         elif (
@@ -130,8 +131,9 @@ def _guarded_frame_kernel(dev, *args):
             and pt_frame_active(dev, settings)
         ):
             log_warn(
+                "Renderer",
                 "whole-frame PT kernel failed to compile; falling back "
-                f"to the per-depth megakernels: {exc}"
+                "to the per-depth megakernels: {}", exc,
             )
             disable_pt_frame_kernel()
         else:

@@ -49,6 +49,12 @@ DEVICE_MAX_LEAF = 4
 # many objects (the measured-fast layout); beyond it the batched (N, S)
 # form returns -- bitwise-identical hits either way (intersect_scene).
 ANALYTIC_UNROLL_MAX = 16
+# mesh-light NEE inside the megakernels (round-5 gate lift): the
+# per-lane triangle pick has no vector gather on this hardware, so the
+# kernel unrolls a select chain over ALL light-mesh triangles -- bound
+# it so Mosaic compile time stays sane.  Scenes over budget keep the
+# XLA integrator (megakernel_gate_reason).
+MESH_LIGHT_UNROLL_MAX = int(os.environ.get("CPUGPU_MESH_LIGHT_MAX") or "64")
 
 # CPUGPU_FUSED=1 builds the unified node|leaf packet table (node rows
 # padded to 128 cols, leaf rows appended, leaf child entries re-encoded
@@ -92,6 +98,18 @@ if PACKET_OCCL2:
         raise RuntimeError("CPUGPU_OCCL2 (2-row any-hit leaves) cannot "
                            "combine with CPUGPU_LEAF14 (closest-hit "
                            "payload rows)")
+# CPUGPU_OCCL_W16=1 (round-5 shadow-depth attack): build the occlusion
+# tree 16-wide -- the any-hit fan is per-ray node-walk DEPTH-bound, and
+# a 16-ary collapse roughly halves depth at doubled slab ALU (which the
+# w16 closest-hit experiment priced out, but any-hit rows park early
+# and the fat 14-record leaves stay one row).  Implies CPUGPU_OCCL;
+# incompatible with OCCL2 / LEAF14 / the SMEM occl side tables.
+PACKET_OCCL_W16 = os.environ.get("CPUGPU_OCCL_W16", "") == "1"
+if PACKET_OCCL_W16:
+    PACKET_OCCL = True
+    if PACKET_OCCL2 or PACKET_LEAF14:
+        raise RuntimeError("CPUGPU_OCCL_W16 cannot combine with "
+                           "CPUGPU_OCCL2 or CPUGPU_LEAF14")
 
 # CPUGPU_PACKET_TREE selects how the DEVICE-SIDE slim packet tree is
 # constructed from each mesh.  The binary BVH the user sees (rebuild
@@ -153,7 +171,7 @@ def _build_wide_cache(obj, mode: str | None = None) -> tuple:
     return (b, bvh8lib.collapse(b), bvh8lib.to_slim(w8, pb.tri_normal))
 
 
-def _build_occl_cache(obj) -> tuple:
+def _build_occl_cache(obj, owidth: int = 8) -> tuple:
     """(binary bvh identity, occlusion BVH8Slim, (NO, 14) record->orig
     triangle ids) for one mesh object: a full-sweep SAH binary rebuild +
     SAH-cost DP collapse with leaf_max=OCCL_TRIS (14) re-encoded to bare
@@ -165,9 +183,10 @@ def _build_occl_cache(obj) -> tuple:
 
     rows = 2 if PACKET_OCCL2 else 1
     pb = obj.bvh.rebuild(BuildOption.SAH_SPLIT_PRIMITIVES, max_leaf_size=8)
-    w = bvh8lib.collapse_sah(pb, leaf_max=bvh8lib.OCCL_TRIS * rows)
-    cidx = w.nodes[:, 48:56].view(np.int32)
-    ccnt = w.nodes[:, 56:64].view(np.int32)
+    w = bvh8lib.collapse_sah(pb, leaf_max=bvh8lib.OCCL_TRIS * rows,
+                             width=owidth)
+    cidx = w.nodes[:, 6 * owidth : 7 * owidth].view(np.int32)
+    ccnt = w.nodes[:, 7 * owidth : 8 * owidth].view(np.int32)
     is_leaf = ccnt > 0
     starts, counts = cidx[is_leaf], ccnt[is_leaf]
     # rec_tid stays per-ROW (14 records) so the flattened-instance
@@ -291,7 +310,10 @@ class DeviceScene:
     # megakernel SMEM tables (ops/megakernel.py): scalar-loadable scene
     # description for the fused per-depth kernels
     mk_mats: jnp.ndarray = None      # (M, 14) f32 material columns
-    mk_lights: jnp.ndarray = None    # (L, 9) f32 sphere-light columns
+    mk_lights: jnp.ndarray = None    # (L, 10) f32 light columns (9 = is_sphere)
+    # mesh-light NEE (megakernel arm): packed light-triangle rows
+    # [v0, v1, v2, normal]; per-light (start, count) is static
+    mk_light_tris: jnp.ndarray = None  # (LT, 12) f32
     mk_sph: jnp.ndarray = None       # (max(S,1), 6) f32
     mk_pln: jnp.ndarray = None       # (max(P,1), 7) f32
     mk_objmat: jnp.ndarray = None    # (O,) i32 object -> material
@@ -305,10 +327,17 @@ class DeviceScene:
     wstack_depth: int = dataclasses.field(metadata=dict(static=True), default=48)
     num_instances: int = dataclasses.field(metadata=dict(static=True), default=0)
     has_mesh_lights: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # small tree: side tables built but reserved for whole-frame
+    # callers (see packet_tables)
+    smem_small: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # per-light (packed tri start, count) into mk_light_tris; all-zero
+    # counts when no mesh lights or over MESH_LIGHT_UNROLL_MAX
+    light_tri_meta: tuple = dataclasses.field(metadata=dict(static=True), default=())
     traversal: str = dataclasses.field(metadata=dict(static=True), default="packet")
     sroot: int = dataclasses.field(metadata=dict(static=True), default=-1)
     proots: tuple = dataclasses.field(metadata=dict(static=True), default=())
     poccl_roots: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    poccl_width: int = dataclasses.field(metadata=dict(static=True), default=8)
     # instance FLATTENING (packet path): instanced BLASes are replicated
     # into world space (shared topology, per-instance transformed
     # floats), so the hot kernels run the plain non-instanced machinery
@@ -1080,6 +1109,7 @@ class Scene:
                 pkt_width = 8
                 pkt_mode = "sweep_dp"
         pw6, pw7, pw8 = 6 * pkt_width, 7 * pkt_width, 8 * pkt_width
+        any_instanced = any(o.instances is not None for o in self.objects)
         flat_meta: list[dict] = []
         p_flat_roots: list[int] = []
 
@@ -1172,13 +1202,20 @@ class Scene:
                         pnode_off += pw.num_nodes
                         pleaf_off += pw.num_leaf_rows
                     if build_occl:
+                        # one width for the WHOLE occl table: w16 only
+                        # when no instanced meshes exist (their splice/
+                        # repack machinery is 8-wide)
+                        owidth_ = (16 if (PACKET_OCCL_W16
+                                          and not any_instanced) else 8)
                         if (
                             obj._occl_cache is None
                             or obj._occl_cache[0] is not b
+                            or obj._occl_cache[1].width != owidth_
                             or (PACKET_LEAF14
                                 and obj._occl_cache[3] is None)
                         ):
-                            obj._occl_cache = _build_occl_cache(obj)
+                            obj._occl_cache = _build_occl_cache(
+                                obj, owidth_)
                         po, rec_tid = obj._occl_cache[1], obj._occl_cache[2]
                         po_pay = obj._occl_cache[3]
                         # orig local tri id -> shading record index
@@ -1231,8 +1268,9 @@ class Scene:
                             oflat_meta.append(ofm)
                         else:
                             orow = po.nodes.copy()
-                            ocidx = orow[:, 48:56].view(i32)
-                            occnt = orow[:, 56:64].view(i32)
+                            ow_ = po.width
+                            ocidx = orow[:, 6 * ow_ : 7 * ow_].view(i32)
+                            occnt = orow[:, 7 * ow_ : 8 * ow_].view(i32)
                             ocidx[occnt == 0] += onode_off
                             # leaf-INDEX rebase (see the instanced arm)
                             ocidx[occnt > 0] -= oleaf_off // orows_
@@ -1520,10 +1558,11 @@ class Scene:
                 )
                 traversal = "wide"
             if onodes_l:
-                # occlusion tree is always 8-wide; validate against the
-                # scheme the shadow launch will actually run
-                if FRAMESTACK_DEFAULT:
-                    oroot_frames = (max(len(oroots) - 1, 0) + 7) // 8
+                # validate against the scheme the shadow launch will
+                # actually run (w16 occl forces the frame stack)
+                ow = 16 if (PACKET_OCCL_W16 and not any_instanced) else 8
+                if FRAMESTACK_DEFAULT or ow == 16:
+                    oroot_frames = (max(len(oroots) - 1, 0) + ow - 1) // ow
                     o_need = tlas_depth + odepth + 2 + oroot_frames + 1
                     o_bound = FSTACK_FRAMES
                 else:
@@ -1553,13 +1592,48 @@ class Scene:
             mk_mats[mi, 9:12] = m.emissive
             mk_mats[mi, 12] = m.intensity
             mk_mats[mi, 13] = 1.0 if m.is_light else 0.0
-        mk_lights = np.zeros((max(L, 1), 9), f32)
+        mk_lights = np.zeros((max(L, 1), 10), f32)
         for li in range(L):
             lm = self.materials[self.objects[self.light_indices[li]].mat_index]
             mk_lights[li, 0:3] = l_center[li]
             mk_lights[li, 3] = l_radius[li]
-            mk_lights[li, 4] = np.float32(2.0 * 3.14159265) * l_radius[li] ** 2
+            # L_AREA: half-sphere area for sphere lights, mesh
+            # total_area/2 for mesh lights -- exactly the per-branch
+            # areas sample_light selects (Main.cpp:367)
+            if l_is_sph[li]:
+                mk_lights[li, 4] = np.float32(2.0 * 3.14159265) * l_radius[li] ** 2
+            else:
+                mk_lights[li, 4] = l_half_area[li]
             mk_lights[li, 5:8] = np.asarray(lm.emissive, f32) * f32(lm.intensity)
+            mk_lights[li, 9] = 1.0 if l_is_sph[li] else 0.0
+
+        # mesh-light NEE tables (megakernel mesh-light arm): one packed
+        # (12,) row per light triangle [v0, v1, v2, flat normal], in
+        # per-light order matching the global tri layout; v1/v2 rebuilt
+        # from tris9's edges in f32, bit-matching sample_light's
+        # `v0 + row[:, 3:6]` adds.  light_tri_meta carries the per-light
+        # (packed start, count) as compile-time constants -- the
+        # kernel's modulo pick needs a static divisor.
+        lt_total = int(l_tri_count.sum())
+        mk_light_tris = np.zeros((max(lt_total, 1), 12), f32)
+        light_tri_meta: list[tuple[int, int]] = []
+        if lt_total and lt_total <= MESH_LIGHT_UNROLL_MAX:
+            tris9_h = np.concatenate(tris).reshape(-1, 9).astype(f32)
+            tnrm_h = np.concatenate(tnrm).reshape(-1, 3).astype(f32)
+            cur = 0
+            for li in range(L):
+                c = int(l_tri_count[li])
+                light_tri_meta.append((cur, c))
+                if c:
+                    g0 = int(l_tri_start[li])
+                    rows = tris9_h[g0 : g0 + c]
+                    mk_light_tris[cur : cur + c, 0:3] = rows[:, 0:3]
+                    mk_light_tris[cur : cur + c, 3:6] = rows[:, 0:3] + rows[:, 3:6]
+                    mk_light_tris[cur : cur + c, 6:9] = rows[:, 0:3] + rows[:, 6:9]
+                    mk_light_tris[cur : cur + c, 9:12] = tnrm_h[g0 : g0 + c]
+                    cur += c
+        else:
+            light_tri_meta = [(0, 0)] * L
         S_ = len(sph["center"])
         mk_sph = np.zeros((max(S_, 1), 6), f32)
         for si in range(S_):
@@ -1591,7 +1665,10 @@ class Scene:
         leaf14 = use_occl and PACKET_LEAF14
         poccl_nodes_j = poccl_ltris_j = poccl_pay_j = None
         if use_occl:
-            poccl_nodes_j = cat(onodes_l, 64)
+            poccl_nodes_j = cat(
+                onodes_l,
+                128 if (PACKET_OCCL_W16 and not any_instanced) else 64,
+            )
             poccl_ltris_j = cat(oltris_l, 128)
             if leaf14:
                 poccl_pay_j = cat(opay_l, 128)
@@ -1627,6 +1704,8 @@ class Scene:
         dev = DeviceScene(
             mk_mats=jnp.asarray(mk_mats),
             mk_lights=jnp.asarray(mk_lights),
+            mk_light_tris=jnp.asarray(mk_light_tris),
+            light_tri_meta=tuple(light_tri_meta),
             mk_sph=jnp.asarray(mk_sph),
             mk_pln=jnp.asarray(mk_pln),
             mk_objmat=jnp.asarray(
@@ -1702,6 +1781,8 @@ class Scene:
             sroot=sroot,
             proots=tuple(proots),
             poccl_roots=tuple(oroots) if use_occl else (),
+            poccl_width=(16 if (PACKET_OCCL_W16 and not any_instanced
+                                and use_occl) else 8),
             packet_flattened=flatten_packets,
             packet_width=pkt_width,
         )
@@ -1740,13 +1821,16 @@ class Scene:
         )
 
         machinery = dev.num_instances > 0 and not dev.packet_flattened
-        # small-tree gate: the side tables won config 3 (+25%, 5079-row
-        # dragon tree) but LOST config 2 outright (20.6 -> 11.0 Mrays/s
-        # on the ~hundreds-row duck tree, round-4 on-chip A/B) -- the
-        # per-launch/per-step SMEM operand staging isn't amortized when
-        # rays finish in a handful of iterations.  One global flag pick
-        # must stay safe for every scene, so the build keys on tree
-        # size; override via CPUGPU_SMEMTREE_MIN_NODES.
+        # small-tree policy: the side tables won config 3 (+25%, 5079-row
+        # dragon tree) but LOST config 2's per-depth path outright
+        # (20.6 -> 11.0 Mrays/s on the ~hundreds-row duck tree, round-4
+        # on-chip A/B) -- per-launch SMEM operand staging isn't
+        # amortized when rays finish in a handful of iterations.  The
+        # whole-frame PT kernel stages ONCE for every depth and the same
+        # tables measured a WIN there (round 5: 20.0 -> 25.6), so small
+        # trees now BUILD the tables but mark the snapshot smem_small:
+        # packet_tables()/occl_tables() hand them only to whole-frame
+        # callers.  Threshold override via CPUGPU_SMEMTREE_MIN_NODES.
         min_nodes = int(os.environ.get("CPUGPU_SMEMTREE_MIN_NODES")
                         or "2048")
         if (
@@ -1756,13 +1840,14 @@ class Scene:
             or dev.packet_width != 8
             or dev.pfused is not None
             or machinery
-            or int(dev.pnodes.shape[0]) < min_nodes
         ):
             return dev
+        if int(dev.pnodes.shape[0]) < min_nodes:
+            dev = dataclasses.replace(dev, smem_small=True)
         pn = np.asarray(dev.pnodes)
         ents, _ = slim_side_tables(pn, dev.proots)
         upd = dict(pents=jnp.asarray(ents))
-        if dev.poccl_nodes is not None:
+        if dev.poccl_nodes is not None and dev.poccl_width == 8:
             on = np.asarray(dev.poccl_nodes)
             oents, _ = slim_side_tables(on, dev.poccl_roots)
             upd["poccl_ents"] = jnp.asarray(oents)
@@ -1843,32 +1928,45 @@ def packet_path_active(dev: DeviceScene) -> bool:
     )
 
 
-def packet_tables(dev: DeviceScene):
-    """(nodes, ltris, fused_nn) for the packet kernels: the unified
-    fused table when the snapshot built one (CPUGPU_FUSED=1 and no
-    instance machinery), the bounds-only 48-col table when the SMEM
-    side-table mode built one (CPUGPU_SMEMTREE=48 -- pass
-    ents=dev.pents alongside), the split tables otherwise.  With the
-    fused table the ltris argument is staged but unread by the
-    kernel."""
+def packet_tables(dev: DeviceScene, whole_frame: bool = False):
+    """(nodes, ltris, fused_nn, ents) for the packet kernels: the
+    unified fused table when the snapshot built one (CPUGPU_FUSED=1 and
+    no instance machinery), the bounds-only 48-col table + SMEM entry
+    side table when the SMEM mode built one (CPUGPU_SMEMTREE=48), the
+    split tables otherwise.  With the fused table the ltris argument is
+    staged but unread by the kernel.
+
+    whole_frame: small trees (dev.smem_small) keep the side tables OFF
+    for the per-launch kernels -- the per-launch SMEM operand staging
+    measured a decisive loss when rays finish in a handful of
+    iterations (round 4: config 2, 20.6 -> 11.0 Mrays/s) -- but the
+    whole-frame PT kernel stages them ONCE for every depth of 4096
+    rays, which measured a decisive WIN on the same scene (round 5:
+    20.0 -> 25.6).  Pass whole_frame=True from ops/pt_frame_kernel.py
+    callers to opt in regardless of tree size."""
     if dev.pfused is not None:
-        return dev.pfused, dev.pltris, dev.pfused_nn
+        return dev.pfused, dev.pltris, dev.pfused_nn, None
+    if dev.smem_small and not whole_frame:
+        return dev.pnodes, dev.pltris, 0, None
     if dev.pnodes48 is not None:
-        return dev.pnodes48, dev.pltris, 0
-    return dev.pnodes, dev.pltris, 0
+        return dev.pnodes48, dev.pltris, 0, dev.pents
+    return dev.pnodes, dev.pltris, 0, dev.pents
 
 
-def occl_tables(dev: DeviceScene):
-    """(nodes, ltris, roots) of the occlusion-specialized any-hit tree
-    (CPUGPU_OCCL=1, bvh8.to_slim_occl), or None when the snapshot kept
-    shadow rays on the shading tables (flag off, instanced scene, or
-    stack-depth fallback).  Nodes come in the 48-col bounds-only form
-    when CPUGPU_SMEMTREE=48 built it (pass ents=dev.poccl_ents)."""
+def occl_tables(dev: DeviceScene, whole_frame: bool = False):
+    """(nodes, ltris, roots, ents) of the occlusion-specialized any-hit
+    tree (CPUGPU_OCCL=1, bvh8.to_slim_occl), or None when the snapshot
+    kept shadow rays on the shading tables (flag off, instanced scene,
+    or stack-depth fallback).  Nodes come in the 48-col bounds-only
+    form when CPUGPU_SMEMTREE=48 built it.  whole_frame: same
+    small-tree side-table policy as packet_tables."""
     if dev.poccl_nodes is None:
         return None
+    if dev.smem_small and not whole_frame:
+        return dev.poccl_nodes, dev.poccl_ltris, dev.poccl_roots, None
     nodes = (dev.poccl_nodes48 if dev.poccl_nodes48 is not None
              else dev.poccl_nodes)
-    return nodes, dev.poccl_ltris, dev.poccl_roots
+    return nodes, dev.poccl_ltris, dev.poccl_roots, dev.poccl_ents
 
 
 def megakernel_gate_reason(dev: DeviceScene, settings) -> str | None:
@@ -1885,8 +1983,14 @@ def megakernel_gate_reason(dev: DeviceScene, settings) -> str | None:
     if not packet_path_active(dev):
         return "packet fast path inactive (no wide BVH / non-packet " \
                "traversal / no TPU backend)"
-    if dev.has_mesh_lights:
-        return "mesh lights (sphere lights only)"
+    if dev.has_mesh_lights and not any(
+        c for _, c in dev.light_tri_meta
+    ):
+        # the round-5 gate lift covers mesh lights whose triangles fit
+        # the kernel's select-chain unroll; bigger ones keep the XLA
+        # integrator's gathered triangle pick
+        return (f"mesh lights over the {MESH_LIGHT_UNROLL_MAX}-triangle "
+                f"unroll budget (CPUGPU_MESH_LIGHT_MAX)")
     # the kernel unrolls analytic tests + material select chains
     # statically; very wide scenes would blow up Mosaic compile time
     nprim = dev.sph_center.shape[0] + dev.pln_point.shape[0]
@@ -1941,6 +2045,8 @@ def pt_frame_gate_reason(dev: DeviceScene, settings) -> str | None:
         return "leaf-14 closest-hit tables (CPUGPU_LEAF14)"
     if dev.pfused is not None:
         return "fused packet tables"
+    if dev.poccl_width != 8:
+        return "16-wide occlusion tables (CPUGPU_OCCL_W16 lab)"
     if settings.max_ray_depth > 32:
         return "max_ray_depth > 32"
     max_nodes = int(os.environ.get("CPUGPU_PTFRAME_MAX_NODES") or "2048")
@@ -2056,7 +2162,7 @@ def intersect_scene(
         # tables are already world-space, iid stays -1 and normals are
         # pre-transformed (DeviceScene.packet_flattened)
         machinery = dev.num_instances > 0 and not dev.packet_flattened
-        p_nodes, p_ltris, p_fused_nn = packet_tables(dev)
+        p_nodes, p_ltris, p_fused_nn, p_ents = packet_tables(dev)
         t, tri, pobj, nrm_c, depth, kiid = packetlib.traverse_packet_slim(
             o_c, d_c, t_init, p_nodes, p_ltris,
             dev.proots, active=active, any_hit=any_hit,
@@ -2066,7 +2172,7 @@ def intersect_scene(
             inst_root=dev.inst_blas_root_packet if machinery else None,
             fused_nn=p_fused_nn,
             width=dev.packet_width,
-            ents=dev.pents if not machinery else None,
+            ents=p_ents if not machinery else None,
         )
         mesh_normal = jnp.stack(nrm_c, axis=1)
         mesh_hit = tri >= 0

@@ -91,8 +91,9 @@ M_INTENSITY = 12
 # light table columns (SMEM, (L, 9) f32)
 L_CENTER = 0      # 0..2
 L_RADIUS = 3
-L_AREA = 4        # half-sphere area 2*pi*r^2
+L_AREA = 4        # half-sphere area 2*pi*r^2 (mesh: total_area / 2)
 L_EMISSION = 5    # 5..7 (= emissive * intensity)
+L_IS_SPHERE = 9   # 1.0 sphere light, 0.0 mesh light
 # sphere table columns (SMEM, (S, 6) f32): center, radius_sq, mat, is_light
 S_CENTER = 0
 S_RSQ = 3
@@ -885,7 +886,7 @@ def _shade_surface(
     active, is_spec, depth0,
     t, tri, obj, mnx, mny, mnz,
     *, num_mats, num_lights, num_sph, num_pln, num_objs,
-    nee, rr, cosine, ref_pdf,
+    nee, rr, cosine, ref_pdf, ltri_ref=None, light_tri_meta=(),
 ):
     """The full TracePathAdvanced shading body (Source/Main.cpp:396-579)
     on traversal results, in registers: analytic prim tests, hit
@@ -1014,10 +1015,53 @@ def _shade_surface(
         lnx = (lpx - lcx) / r_d
         lny = (lpy - lcy) / r_d
         lnz = (lpz - lcz) / r_d
-        # stream-layout dummies (sample_light's no-mesh-light arm)
-        state = _xs32(state)
-        state = _xs32(state)
-        state = _xs32(state)
+        mesh_lights = any(c for _, c in light_tri_meta)
+        if mesh_lights:
+            # mesh-light arm (sample_light's gathered-triangle branch,
+            # Main.cpp:361-394): uniform triangle pick per light
+            # (static-divisor modulo, exactly RandomUInt() % count),
+            # fold-sample the unit square, select the row over the
+            # packed light-triangle table.  Same 3-draw stream layout
+            # as the no-mesh-light dummies below.
+            state = _xs32(state)
+            ti = jnp.zeros(shape, jnp.int32)
+            for l, (st_, cnt) in enumerate(light_tri_meta):
+                if cnt:
+                    til = jnp.int32(st_) + jax.lax.bitcast_convert_type(
+                        _umod(state, cnt), jnp.int32)
+                    ti = jnp.where(li == l, til, ti)
+            state = _xs32(state)
+            u0m = _u2f(state)
+            state = _xs32(state)
+            u1m = _u2f(state)
+            over = (u0m + u1m) > 1.0
+            alpha = jnp.where(over, 1.0 - u0m, u0m)
+            beta = jnp.where(over, 1.0 - u1m, u1m)
+            gamma = 1.0 - alpha - beta
+
+            nlt = max(s_ + c_ for s_, c_ in light_tri_meta)
+
+            def ltri_col(c):
+                out = jnp.full(shape, ltri_ref[0, c], jnp.float32)
+                for t_ in range(1, nlt):
+                    out = jnp.where(ti == t_, ltri_ref[t_, c], out)
+                return out
+
+            ptx = alpha * ltri_col(0) + beta * ltri_col(3) + gamma * ltri_col(6)
+            pty = alpha * ltri_col(1) + beta * ltri_col(4) + gamma * ltri_col(7)
+            ptz = alpha * ltri_col(2) + beta * ltri_col(5) + gamma * ltri_col(8)
+            is_sph_l = light_col(L_IS_SPHERE) > 0.5
+            lpx = jnp.where(is_sph_l, lpx, ptx)
+            lpy = jnp.where(is_sph_l, lpy, pty)
+            lpz = jnp.where(is_sph_l, lpz, ptz)
+            lnx = jnp.where(is_sph_l, lnx, ltri_col(9))
+            lny = jnp.where(is_sph_l, lny, ltri_col(10))
+            lnz = jnp.where(is_sph_l, lnz, ltri_col(11))
+        else:
+            # stream-layout dummies (sample_light's no-mesh-light arm)
+            state = _xs32(state)
+            state = _xs32(state)
+            state = _xs32(state)
 
         tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
         dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
@@ -1225,7 +1269,7 @@ def _analytic_occluded_nee(sph_ref, pln_ref, ox, oy, oz, dx, dy, dz,
 
 
 def _shade_extend_kernel(
-    nodes_ref, ltris_ref, mats_ref, lights_ref, sph_ref, pln_ref,
+    nodes_ref, ltris_ref, mats_ref, lights_ref, ltri_ref, sph_ref, pln_ref,
     sphmat_ref, plnmat_ref, objmat_ref, depth_ref,
     # [inst_inv/inst_nrm/inst_root when num_inst], 14 input columns,
     # 24 output columns, [iters_ref when count_iters], scratch
@@ -1234,7 +1278,7 @@ def _shade_extend_kernel(
     nee, rr, cosine, ref_pdf, num_inst=0, count_iters=False,
     frame_stack=False, fused_nn=0, pipelined=False, nearest=False,
     interp=False, cond_push=False, width=WIDTH, with_pay=False, rowx=1,
-    smem_mode=0, smem_nn=0,
+    smem_mode=0, smem_nn=0, light_tri_meta=(),
 ):
     """One integrator depth minus the shadow resolve: traversal + the
     full TracePathAdvanced shading body (Source/Main.cpp:396-579).
@@ -1401,6 +1445,7 @@ def _shade_extend_kernel(
                 num_mats=num_mats, num_lights=num_lights,
                 num_sph=num_sph, num_pln=num_pln, num_objs=num_objs,
                 nee=nee, rr=rr, cosine=cosine, ref_pdf=ref_pdf,
+                ltri_ref=ltri_ref, light_tri_meta=light_tri_meta,
             )
 
             nflags = (
@@ -1559,17 +1604,18 @@ def _pad_to(step, arrs, pad_vals):
         "roots", "num_mats", "num_lights", "num_sph", "num_pln", "num_objs",
         "nee", "rr", "cosine", "ref_pdf", "interpret", "count_iters",
         "frame_stack", "fused_nn", "pipelined", "nearest", "cond_push",
-        "width", "rowx",
+        "width", "rowx", "light_tri_meta",
     ),
 )
 def shade_extend(
-    nodes, ltris, mats, lights, sph, pln, sphmat, plnmat, objmat, depth,
+    nodes, ltris, mats, lights, ltri, sph, pln, sphmat, plnmat, objmat,
+    depth,
     rays, state, throughput, energy, flags,
     *, roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, interpret=False, count_iters=False,
     inst_inv=None, inst_nrm=None, inst_root=None, frame_stack=None,
     fused_nn=0, pipelined=None, nearest=None, cond_push=None, width=8,
-    pay=None, rowx=None, ents=None,
+    pay=None, rowx=None, ents=None, light_tri_meta=(),
 ):
     """One fused depth step (minus shadow resolve) over the wavefront.
 
@@ -1613,7 +1659,7 @@ def shade_extend(
 
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 9
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if smem_mode else [])
         + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if pay is not None else [])
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 if num_inst else [])
@@ -1677,6 +1723,7 @@ def shade_extend(
             interp=interpret, cond_push=cond_push and frame_stack,
             width=width, with_pay=pay is not None, rowx=rowx,
             smem_mode=smem_mode, smem_nn=smem_nn,
+            light_tri_meta=tuple(light_tri_meta),
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -1687,7 +1734,8 @@ def shade_extend(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(nodes, ltris, mats, lights, sph, pln, sphmat, plnmat, objmat, depth,
+    )(nodes, ltris, mats, lights, ltri, sph, pln, sphmat, plnmat, objmat,
+      depth,
       *ents_inputs, *pay_inputs, *inst_inputs, *cols)
     n0 = rays[0].shape[0]
     iters = res[24] if count_iters else None
@@ -1735,10 +1783,10 @@ def shadow_resolve(
     if num_inst and fused_nn:
         raise ValueError("fused packet tables do not support the instance "
                          "machinery (flattened scenes may fuse)")
-    if occl and (num_inst or fused_nn or width != 8):
+    if occl and (num_inst or fused_nn or width not in (8, 16)):
         raise ValueError(
-            "occlusion tables require the plain non-instanced 8-wide "
-            "split-table kernel")
+            "occlusion tables require the plain non-instanced "
+            "split-table kernel (width 8 or 16)")
     if occl_rows == 2 and not occl:
         raise ValueError("occl_rows=2 (CPUGPU_OCCL2) requires occl tables")
     frame_stack, nearest = _resolve_width_flags(

@@ -87,7 +87,7 @@ def _pt_frame_kernel(
     nee, rr, cosine, ref_pdf, depths,
     frame_stack, fused_nn, pipelined, nearest, cond_push, width,
     smem_mode, smem_nn, sh_smem_mode, sh_smem_nn,
-    sep_shadow, occl, occl_rows, count_iters, interp,
+    sep_shadow, occl, occl_rows, count_iters, interp, light_tri_meta,
 ):
     i = 0
     if sep_shadow:
@@ -96,10 +96,10 @@ def _pt_frame_kernel(
     else:
         shn_ref, shl_ref = nodes_ref, ltris_ref
     (
-        mats_ref, lights_ref, sph_ref, pln_ref,
+        mats_ref, lights_ref, ltri_ref, sph_ref, pln_ref,
         sphmat_ref, plnmat_ref, objmat_ref,
-    ) = tail[i : i + 7]
-    i += 7
+    ) = tail[i : i + 8]
+    i += 8
     ents_ref = None
     if smem_mode:
         ents_ref = tail[i]
@@ -166,6 +166,7 @@ def _pt_frame_kernel(
                 num_mats=num_mats, num_lights=num_lights,
                 num_sph=num_sph, num_pln=num_pln, num_objs=num_objs,
                 nee=nee, rr=rr, cosine=cosine, ref_pdf=ref_pdf,
+                ltri_ref=ltri_ref, light_tri_meta=light_tri_meta,
             )
 
             if nee:
@@ -246,18 +247,18 @@ def _pt_frame_kernel(
         "num_pln", "num_objs", "nee", "rr", "cosine", "ref_pdf",
         "depths", "interpret", "frame_stack", "fused_nn", "pipelined",
         "nearest", "cond_push", "width", "occl", "occl_rows",
-        "count_iters",
+        "count_iters", "light_tri_meta",
     ),
 )
 def pt_frame(
-    nodes, ltris, mats, lights, sph, pln, sphmat, plnmat, objmat,
+    nodes, ltris, mats, lights, ltri, sph, pln, sphmat, plnmat, objmat,
     rays, state,
     *, roots, num_mats, num_lights, num_sph, num_pln, num_objs,
     nee, rr, cosine, ref_pdf, depths, interpret=False,
     frame_stack=None, fused_nn=0, pipelined=None, nearest=None,
     cond_push=None, width=8, ents=None,
     sh_nodes=None, sh_ltris=None, sh_roots=None, sh_ents=None,
-    occl=False, occl_rows=1, count_iters=False,
+    occl=False, occl_rows=1, count_iters=False, light_tri_meta=(),
 ):
     """Full advanced path trace in one launch.
 
@@ -301,7 +302,7 @@ def pt_frame(
 
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 if sep_shadow else 2)
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 7
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if smem_mode else [])
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if sh_smem_mode else [])
         + [pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)] * 8
@@ -366,6 +367,7 @@ def pt_frame(
             sh_smem_mode=sh_smem_mode, sh_smem_nn=sh_smem_nn,
             sep_shadow=sep_shadow, occl=occl, occl_rows=occl_rows,
             count_iters=count_iters, interp=interpret,
+            light_tri_meta=tuple(light_tri_meta),
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -376,8 +378,8 @@ def pt_frame(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(nodes, ltris, *sh_inputs, mats, lights, sph, pln, sphmat, plnmat,
-      objmat, *ents_inputs, *sh_ents_inputs, *cols)
+    )(nodes, ltris, *sh_inputs, mats, lights, ltri, sph, pln, sphmat,
+      plnmat, objmat, *ents_inputs, *sh_ents_inputs, *cols)
     iters = res[5] if count_iters else None
     ex, ey, ez, ost, tr = [r[:n0] for r in res[:5]]
     energy = jnp.stack([ex, ey, ez], axis=1)

@@ -1362,10 +1362,10 @@ def traverse_packet_slim(
             "fused packet tables do not support the instance machinery "
             "(flattened scenes run the plain kernel and may fuse)"
         )
-    if occl and (instanced or fused_nn or width != 8):
+    if occl and (instanced or fused_nn or width not in (8, 16)):
         raise ValueError(
             "occlusion tables (bvh8.to_slim_occl) require the plain "
-            "non-instanced 8-wide split-table kernel"
+            "non-instanced split-table kernel (width 8 or 16)"
         )
     if pay is not None and not occl:
         raise ValueError("the payload table (bvh8.occl_payload) rides "

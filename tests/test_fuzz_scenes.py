@@ -153,7 +153,7 @@ def _check_scene(scene, seed, force_packet, monkeypatch):
     scene._device = None
     occ = scenelib.occl_tables(scene.device())
     if occ is not None:
-        onodes, oltris, oroots = occ
+        onodes, oltris, oroots, oents = occ
         v = _world_tris(scene)
         tmax = jnp.asarray(np.where(
             rng.random(N_RAYS) < 0.5, rng.uniform(0.5, 8.0, N_RAYS),

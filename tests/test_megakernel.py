@@ -236,6 +236,57 @@ def test_megakernel_flattened_w16(force_packet, monkeypatch):
     _check(ref, got, True)
 
 
+def _scene_mesh_light(extra_sphere_light=True) -> Scene:
+    """Emissive MESH light (20-tri icosphere) + optional sphere light:
+    the round-5 gate lift -- NEE samples a uniform random triangle with
+    the area pdf (GetRandomLightSourceForSample's mesh arm,
+    Source/Main.cpp:361-394) inside the kernel's select-chain unroll."""
+    s = Scene()
+    white = s.add_material(matlib.Material.diffuse((0.8, 0.8, 0.8)))
+    glass = s.add_material(
+        matlib.Material.dielectric((0.9, 0.9, 0.9), 0.1, 0.8, (0.1, 0.2, 0.2), 1.5)
+    )
+    light = s.add_material(matlib.Material.light((1.0, 0.95, 0.8), 10.0))
+    s.add_mesh("ball", meshlib.icosphere(subdivisions=1), glass)
+    s.add_mesh("floor", meshlib.ground_quad(half_extent=50.0, y=-2.0), white)
+    i = s.add_mesh(
+        "meshlight",
+        meshlib.icosphere(center=(5.0, 6.0, 4.0), radius=1.5, subdivisions=0),
+        light,
+    )
+    s.mark_light(i)
+    if extra_sphere_light:
+        j = s.add_sphere("slight", (-6.0, 6.0, -4.0), 2.0, light)
+        s.mark_light(j)
+    return s
+
+
+@pytest.mark.parametrize("mixed", [True, False], ids=["mixed", "mesh-only"])
+def test_megakernel_mesh_light(force_packet, mixed):
+    settings = RenderSettings(max_ray_depth=3)
+    dev = _scene_mesh_light(extra_sphere_light=mixed).device()
+    assert dev.has_mesh_lights
+    assert megakernel_active(dev, settings), "mesh-light gate not lifted"
+    idx = jnp.arange(64 * 32, dtype=jnp.int32)
+    _, ref = _trace(dev, settings, integrators.trace_advanced, idx=idx)
+    _, got = _trace(dev, settings, integrators.trace_advanced_mega, idx=idx)
+    _check(ref, got, True)
+
+
+def test_mesh_light_over_budget_falls_back(force_packet, monkeypatch):
+    """A light mesh beyond the select-chain unroll budget keeps the XLA
+    integrator (gate reason, not an error)."""
+    from cpugpupathtracing_tpu.models.scene import megakernel_gate_reason
+
+    monkeypatch.setenv("CPUGPU_MESH_LIGHT_MAX", "4")
+    import cpugpupathtracing_tpu.models.scene as scenelib
+
+    monkeypatch.setattr(scenelib, "MESH_LIGHT_UNROLL_MAX", 4)
+    dev = _scene_mesh_light().device()
+    reason = megakernel_gate_reason(dev, RenderSettings())
+    assert reason is not None and "unroll budget" in reason
+
+
 def test_megakernel_instanced_no_nee(force_packet):
     # NEE off removes the occlusion-boundary caveat: tight agreement
     settings = RenderSettings(max_ray_depth=2, next_event_estimation=False)

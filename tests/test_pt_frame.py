@@ -134,6 +134,22 @@ def test_pt_frame_flattened_instances(force_packet):
     assert int(mega.traced_rays) == int(frame.traced_rays)
 
 
+def test_pt_frame_mesh_light(force_packet):
+    """Mesh-light NEE through the whole-frame kernel: bitwise vs the
+    (unsorted) megakernel path on the mixed-light scene."""
+    from tests.test_megakernel import _scene_mesh_light
+
+    settings = RenderSettings(max_ray_depth=3)
+    dev = _scene_mesh_light().device()
+    assert pt_frame_active(dev, settings)
+    _, mega = _trace(dev, settings, integrators.trace_advanced_mega)
+    _, frame = _trace(dev, settings, integrators.trace_advanced_frame)
+    np.testing.assert_array_equal(
+        np.asarray(mega.energy), np.asarray(frame.energy)
+    )
+    assert int(mega.traced_rays) == int(frame.traced_rays)
+
+
 def test_renderer_image_invariant(force_packet, monkeypatch):
     """The full renderer frame must be bitwise identical with the
     whole-frame kernel on vs off (the sorted megakernel path): sorting

@@ -63,7 +63,7 @@ def main():
     dev = scenelib.make_reference_scene().device()
     occ = scenelib.occl_tables(dev)
     assert occ is not None
-    onodes, oltris, oroots = occ
+    onodes, oltris, oroots, oents = occ
     print(f"shading: {dev.pnodes.shape[0]} nodes / "
           f"{dev.pltris.shape[0]} leaf rows; leaf14: "
           f"{onodes.shape[0]} / {oltris.shape[0]}", flush=True)

@@ -30,7 +30,7 @@ def main():
     # honor the CPUGPU_FUSED / _PIPELINED / _FRAMESTACK env flags exactly
     # like the integrator: the probe's whole point is reproducing the
     # flagged kernels' on-chip behavior in one small compile each
-    nodes, ltris, fused_nn = packet_tables(dev)
+    nodes, ltris, fused_nn, ents = packet_tables(dev)
     print("tables:", nodes.shape, ltris.shape, "fused_nn", fused_nn,
           flush=True)
     n = 8192
@@ -53,7 +53,7 @@ def main():
     t0 = time.time()
     rays, st2, tp, en, fl2, so, sd, stm, contrib = jax.block_until_ready(
         mk.shade_extend(
-            nodes, ltris, dev.mk_mats, dev.mk_lights,
+            nodes, ltris, dev.mk_mats, dev.mk_lights, dev.mk_light_tris,
             dev.mk_sph, dev.mk_pln, dev.mk_sph_mat, dev.mk_pln_mat,
             dev.mk_objmat, jnp.zeros((1,), jnp.int32),
             (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]),

@@ -64,7 +64,7 @@ def main():
     dev = make_reference_scene().device()
     occ = occl_tables(dev)
     assert occ is not None, "occl tables missing (instanced scene?)"
-    onodes, oltris, oroots = occ
+    onodes, oltris, oroots, oents = occ
     print("backend:", jax.default_backend(), flush=True)
     print(f"shading tables: {dev.pnodes.shape[0]} nodes, "
           f"{dev.pltris.shape[0]} leaf rows", flush=True)

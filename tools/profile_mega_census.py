@@ -106,6 +106,7 @@ def main():
         t0 = time.perf_counter()
         res = mk.shade_extend(
             mk_nodes, mk_ltris, dev.mk_mats, dev.mk_lights,
+            dev.mk_light_tris,
             dev.mk_sph, dev.mk_pln, dev.mk_sph_mat, dev.mk_pln_mat,
             dev.mk_objmat,
             jnp.int32(d)[None],
@@ -135,7 +136,7 @@ def main():
             t0 = time.perf_counter()
             occ = scenelib.occl_tables(dev)
             if occ is not None:  # CPUGPU_OCCL=1: occl any-hit tables
-                sh_nodes, sh_ltris, sh_roots = occ
+                sh_nodes, sh_ltris, sh_roots, sh_ents = occ
                 sh_kw = dict(roots=sh_roots, occl=True)
             else:
                 sh_nodes, sh_ltris = dev.pnodes, dev.pltris

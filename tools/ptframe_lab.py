@@ -59,15 +59,15 @@ def main():
     state = rnglib.seed_lanes(pix, jnp.uint32(0), salt=7)
 
     nee = settings.next_event_estimation and dev.num_lights > 0
-    mk_nodes, mk_ltris, fused_nn = packet_tables(dev)
-    occ = occl_tables(dev)
+    mk_nodes, mk_ltris, fused_nn, mk_ents = packet_tables(dev, whole_frame=True)
+    occ = occl_tables(dev, whole_frame=True)
     kw = {}
     if occ is not None:
-        sh_nodes, sh_ltris, sh_roots = occ
+        sh_nodes, sh_ltris, sh_roots, sh_ents = occ
         from cpugpupathtracing_tpu.models.scene import PACKET_OCCL2
 
         kw = dict(sh_nodes=sh_nodes, sh_ltris=sh_ltris,
-                  sh_roots=sh_roots, sh_ents=dev.poccl_ents, occl=True,
+                  sh_roots=sh_roots, sh_ents=sh_ents, occl=True,
                   occl_rows=2 if PACKET_OCCL2 else 1)
         print(f"occl tables: {sh_nodes.shape[0]} node rows", flush=True)
     static = dict(
@@ -85,7 +85,7 @@ def main():
         interpret=jax.default_backend() != "tpu",
         fused_nn=fused_nn,
         width=dev.packet_width,
-        ents=dev.pents,
+        ents=mk_ents,
         **kw,
     )
     rays = (origin[:, 0], origin[:, 1], origin[:, 2],

@@ -40,7 +40,7 @@ def check_parity(n_rays: int = 2048, chunk: int = 512, seed: int = 5) -> dict:
     dev = scene.device()
     # route through the SAME table/flag selection the bench uses, so the
     # gate proves the kernel variant actually being timed
-    p_nodes, p_ltris, p_fused_nn = packet_tables(dev)
+    p_nodes, p_ltris, p_fused_nn, p_ents = packet_tables(dev)
 
     # triangle soup in GLOBAL order (matches the scene's tri offsets)
     v0s, e1s, e2s = [], [], []
@@ -113,10 +113,10 @@ def check_parity(n_rays: int = 2048, chunk: int = 512, seed: int = 5) -> dict:
 
     occ = occl_tables(dev)
     if occ is not None:
-        onodes, oltris, oroots = occ
+        onodes, oltris, oroots, oents = occ
         _, ohit, *_ = tps.traverse_packet_slim(
             o, d, t0, onodes, oltris, oroots, any_hit=True, occl=True,
-            ents=dev.poccl_ents, occl_rows=2 if PACKET_OCCL2 else 1,
+            ents=oents, occl_rows=2 if PACKET_OCCL2 else 1,
         )
         o_mism = int(((np.asarray(ohit) >= 0) != hm).sum())
         assert o_mism == 0, (
