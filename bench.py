@@ -235,7 +235,7 @@ def main():
     # compiled-kernel parity gates (tools/tpu_parity_gate.py): every
     # recorded perf number re-proves hit correctness on the same binary,
     # for BOTH the plain and the instanced (TLAS) packet kernel
-    parity = parity_instanced = parity_whitted = None
+    parity = parity_instanced = parity_whitted = parity_ptframe = None
     if jax.default_backend() == "tpu":
         import sys as _sys
 
@@ -243,6 +243,7 @@ def main():
         from tpu_parity_gate import (
             check_parity,
             check_parity_instanced,
+            check_parity_ptframe,
             check_parity_whitted,
         )
 
@@ -256,6 +257,13 @@ def main():
                 parity_whitted = check_parity_whitted()["ok"]
             except Exception:
                 parity_whitted = False
+        if args.config == 2:
+            # config 2's number comes off the whole-frame PT kernel:
+            # re-prove THAT compiled binary against the per-depth one
+            try:
+                parity_ptframe = check_parity_ptframe()["ok"]
+            except Exception:
+                parity_ptframe = False
 
     mrays = rays / wall / 1e6
     frame_ms = wall / frames * 1000.0
@@ -302,6 +310,7 @@ def main():
             "compiled_parity_ok": parity,
             "compiled_parity_instanced_ok": parity_instanced,
             "compiled_parity_whitted_ok": parity_whitted,
+            "compiled_parity_ptframe_ok": parity_ptframe,
             "device": str(jax.devices()[0]),
             "bench_flags": flags_env,
         },

@@ -968,7 +968,6 @@ def trace_advanced_frame(
     tracked (returned as zeros)."""
     from cpugpupathtracing_tpu.ops import pt_frame_kernel as pfk
 
-    del idx
     n = origin.shape[0]
     nee = settings.next_event_estimation and dev.num_lights > 0
     interpret = jax.default_backend() != "tpu"
@@ -983,14 +982,7 @@ def trace_advanced_frame(
             sh_ents=sh_ents, occl=True,
             occl_rows=2 if PACKET_OCCL2 else 1,
         )
-    energy, state, traced = pfk.pt_frame(
-        mk_nodes, mk_ltris, dev.mk_mats, dev.mk_lights,
-        dev.mk_light_tris,
-        dev.mk_sph, dev.mk_pln, dev.mk_sph_mat, dev.mk_pln_mat,
-        dev.mk_objmat,
-        (origin[:, 0], origin[:, 1], origin[:, 2],
-         direction[:, 0], direction[:, 1], direction[:, 2]),
-        state,
+    static = dict(
         roots=dev.proots,
         num_mats=int(dev.mk_mats.shape[0]),
         num_lights=dev.num_lights,
@@ -1001,7 +993,6 @@ def trace_advanced_frame(
         rr=settings.russian_roulette,
         cosine=settings.cosine_weighted_diffuse,
         ref_pdf=settings.diffuse_pdf_mode == DiffusePdfMode.REFERENCE,
-        depths=settings.max_ray_depth + 1,
         interpret=interpret,
         fused_nn=fused_nn,
         width=dev.packet_width,
@@ -1009,7 +1000,70 @@ def trace_advanced_frame(
         light_tri_meta=dev.light_tri_meta,
         **kw,
     )
+    tables = (
+        mk_nodes, mk_ltris, dev.mk_mats, dev.mk_lights,
+        dev.mk_light_tris,
+        dev.mk_sph, dev.mk_pln, dev.mk_sph_mat, dev.mk_pln_mat,
+        dev.mk_objmat,
+    )
+    rays_c = (origin[:, 0], origin[:, 1], origin[:, 2],
+              direction[:, 0], direction[:, 1], direction[:, 2])
+    depths = settings.max_ray_depth + 1
+    # Split-span schedule (read at trace time): run depths [0, K) in
+    # one span, ONE morton8 wavefront sort, then depths [K, end) in a
+    # second span -- the early-exit while skips whole sorted-dead tiles,
+    # buying the per-depth pipeline's compaction at 1/depths the sort
+    # count.  Per-lane energy/traced identical to the single span
+    # (sorting permutes, restore returns; tests pin it).  K=2 is the
+    # measured default (config-2 sweep: unsplit 25.6, K=1 26.3,
+    # K=2 31.5, K=3 26.5 Mrays/s -- depths 0-1 ride the camera-blocked
+    # pixel order, the sort lands exactly where the fan scatters,
+    # matching the fan-lab key schedule).  CPUGPU_PTFRAME_SPLIT
+    # overrides; 0 disables.
+    split_env = os.environ.get("CPUGPU_PTFRAME_SPLIT")
+    split = int(split_env) if split_env else (2 if depths > 3 else 0)
     zeros = jnp.zeros((n,), jnp.int32)
+    if idx is not None and 0 < split < depths:
+        rays2, st2, tp2, en2, fl2, tr1 = pfk.pt_frame(
+            *tables, rays_c, state,
+            depths=split, carry_out=True, **static,
+        )
+        c = dict(
+            ray_ox=rays2[0], ray_oy=rays2[1], ray_oz=rays2[2],
+            ray_dx=rays2[3], ray_dy=rays2[4], ray_dz=rays2[5],
+            state=st2,
+            tp_x=tp2[0], tp_y=tp2[1], tp_z=tp2[2],
+            en_x=en2[0], en_y=en2[1], en_z=en2[2],
+            active=fl2 & 1,
+            is_specular=(fl2 >> 1) & 1,
+            lane=idx.astype(jnp.int32),
+        )
+        c = sort_wavefront(
+            dev, c, idx.astype(jnp.int32), aovs=False, mode="morton8"
+        )
+        energy3, st3, traced2 = pfk.pt_frame(
+            *tables,
+            (c["ray_ox"], c["ray_oy"], c["ray_oz"],
+             c["ray_dx"], c["ray_dy"], c["ray_dz"]),
+            c["state"],
+            depths=depths - split, depth_base=split,
+            carry_in=(
+                (c["tp_x"], c["tp_y"], c["tp_z"]),
+                (c["en_x"], c["en_y"], c["en_z"]),
+                c["active"] | (c["is_specular"] << 1),
+            ),
+            **static,
+        )
+        cols = restore_lane_order(
+            c["lane"], idx.astype(jnp.int32),
+            [energy3[:, 0], energy3[:, 1], energy3[:, 2], st3],
+        )
+        energy = jnp.stack(cols[:3], axis=1)
+        return cols[3], TraceResult(energy, tr1 + traced2, zeros, zeros)
+
+    energy, state, traced = pfk.pt_frame(
+        *tables, rays_c, state, depths=depths, **static,
+    )
     return state, TraceResult(energy, traced, zeros, zeros)
 
 

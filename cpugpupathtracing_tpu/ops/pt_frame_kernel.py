@@ -88,6 +88,7 @@ def _pt_frame_kernel(
     frame_stack, fused_nn, pipelined, nearest, cond_push, width,
     smem_mode, smem_nn, sh_smem_mode, sh_smem_nn,
     sep_shadow, occl, occl_rows, count_iters, interp, light_tri_meta,
+    depth_base, has_carry_in, carry_out,
 ):
     i = 0
     if sep_shadow:
@@ -112,8 +113,21 @@ def _pt_frame_kernel(
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, st_ref, act_ref,
     ) = tail[i : i + 8]
     i += 8
-    ex_ref, ey_ref, ez_ref, ost_ref, tr_ref = tail[i : i + 5]
-    i += 5
+    if has_carry_in:
+        (
+            tx_ref, ty_ref, tz_ref, iex_ref, iey_ref, iez_ref, sp_ref,
+        ) = tail[i : i + 7]
+        i += 7
+    if carry_out:
+        (
+            nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
+            ost_ref, ntx_ref, nty_ref, ntz_ref,
+            ex_ref, ey_ref, ez_ref, nfl_ref, tr_ref,
+        ) = tail[i : i + 15]
+        i += 15
+    else:
+        ex_ref, ey_ref, ez_ref, ost_ref, tr_ref = tail[i : i + 5]
+        i += 5
     if count_iters:
         iters_ref = tail[i]
         i += 1
@@ -152,7 +166,7 @@ def _pt_frame_kernel(
             if count_iters:
                 it_c = it_c + trav[6]
 
-            depth0 = (jnp.zeros(shape, jnp.int32) + d) == 0
+            depth0 = (jnp.zeros(shape, jnp.int32) + d + depth_base) == 0
             (
                 nox, noy, noz, ndx, ndy, ndz, state, tpx, tpy, tpz,
                 enx, eny, enz, active, spec_i, sneed,
@@ -207,6 +221,18 @@ def _pt_frame_kernel(
             # ends as soon as every lane has terminated
             return (c[0] < depths) & (jnp.sum(c[14]) > 0)
 
+        if has_carry_in:
+            tp0 = (tx_ref[gs].reshape(shape), ty_ref[gs].reshape(shape),
+                   tz_ref[gs].reshape(shape))
+            en0 = (iex_ref[gs].reshape(shape), iey_ref[gs].reshape(shape),
+                   iez_ref[gs].reshape(shape))
+            sp0 = sp_ref[gs].reshape(shape)
+        else:
+            tp0 = (jnp.ones(shape, f32), jnp.ones(shape, f32),
+                   jnp.ones(shape, f32))
+            en0 = (jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+                   jnp.zeros(shape, f32))
+            sp0 = jnp.zeros(shape, jnp.int32)
         init = (
             jnp.int32(0),
             ox_ref[gs].reshape(shape), oy_ref[gs].reshape(shape),
@@ -214,17 +240,26 @@ def _pt_frame_kernel(
             dx_ref[gs].reshape(shape), dy_ref[gs].reshape(shape),
             dz_ref[gs].reshape(shape),
             st_ref[gs].reshape(shape),
-            jnp.ones(shape, f32), jnp.ones(shape, f32),
-            jnp.ones(shape, f32),
-            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-            jnp.zeros(shape, f32),
+            tp0[0], tp0[1], tp0[2],
+            en0[0], en0[1], en0[2],
             act_ref[gs].reshape(shape),
-            jnp.zeros(shape, jnp.int32),
+            sp0,
             jnp.zeros(shape, jnp.int32),
         )
         if count_iters:
             init = init + (jnp.int32(0), jnp.int32(0))
         out = jax.lax.while_loop(depth_cond, depth_body, init)
+        if carry_out:
+            nox_ref[gs] = out[1].reshape(-1)
+            noy_ref[gs] = out[2].reshape(-1)
+            noz_ref[gs] = out[3].reshape(-1)
+            ndx_ref[gs] = out[4].reshape(-1)
+            ndy_ref[gs] = out[5].reshape(-1)
+            ndz_ref[gs] = out[6].reshape(-1)
+            ntx_ref[gs] = out[8].reshape(-1)
+            nty_ref[gs] = out[9].reshape(-1)
+            ntz_ref[gs] = out[10].reshape(-1)
+            nfl_ref[gs] = (out[14] | (out[15] << 1)).reshape(-1)
         ex_ref[gs] = out[11].reshape(-1)
         ey_ref[gs] = out[12].reshape(-1)
         ez_ref[gs] = out[13].reshape(-1)
@@ -247,7 +282,7 @@ def _pt_frame_kernel(
         "num_pln", "num_objs", "nee", "rr", "cosine", "ref_pdf",
         "depths", "interpret", "frame_stack", "fused_nn", "pipelined",
         "nearest", "cond_push", "width", "occl", "occl_rows",
-        "count_iters", "light_tri_meta",
+        "count_iters", "light_tri_meta", "depth_base", "carry_out",
     ),
 )
 def pt_frame(
@@ -259,6 +294,7 @@ def pt_frame(
     cond_push=None, width=8, ents=None,
     sh_nodes=None, sh_ltris=None, sh_roots=None, sh_ents=None,
     occl=False, occl_rows=1, count_iters=False, light_tri_meta=(),
+    depth_base=0, carry_in=None, carry_out=False,
 ):
     """Full advanced path trace in one launch.
 
@@ -295,8 +331,19 @@ def pt_frame(
 
     step = GROUPS * TILE
     n0 = rays[0].shape[0]
-    cols = list(rays) + [state, jnp.ones((n0,), jnp.int32)]
-    pads = [1.0] * 6 + [0, 0]  # padded lanes start DEAD (act 0)
+    has_carry_in = carry_in is not None
+    if has_carry_in:
+        # span continuation (the split-frame driver): throughput /
+        # energy / flags arrive from the previous span's outputs
+        tp_in, en_in, flags_in = carry_in
+        act0 = flags_in & 1
+        spec0 = (flags_in >> 1) & 1
+        cols = (list(rays) + [state, act0] + list(tp_in) + list(en_in)
+                + [spec0])
+        pads = [1.0] * 6 + [0, 0] + [1.0] * 3 + [0.0] * 3 + [0]
+    else:
+        cols = list(rays) + [state, jnp.ones((n0,), jnp.int32)]
+        pads = [1.0] * 6 + [0, 0]  # padded lanes start DEAD (act 0)
     n, cols = _pad_to(step, cols, pads)
     num_steps = n // step
 
@@ -305,7 +352,8 @@ def pt_frame(
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if smem_mode else [])
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if sh_smem_mode else [])
-        + [pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)] * 8
+        + [pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)]
+        * (15 if has_carry_in else 8)
     )
     sh_inputs = (sh_nodes, sh_ltris) if sep_shadow else ()
     # FLAT 1-D layout: see traverse_packet_slim._smem_pop
@@ -313,15 +361,26 @@ def pt_frame(
                    if smem_mode else ())
     sh_ents_inputs = ((sh_ents.astype(jnp.int32).reshape(-1),)
                       if sh_smem_mode else ())
-    out_specs = [
-        pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
-    ] * 5
     f32 = jnp.float32
-    out_shape = (
-        [jax.ShapeDtypeStruct((n,), f32)] * 3
-        + [jax.ShapeDtypeStruct((n,), jnp.uint32)]
-        + [jax.ShapeDtypeStruct((n,), jnp.int32)]
-    )
+    if carry_out:
+        out_specs = [
+            pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
+        ] * 15
+        out_shape = (
+            [jax.ShapeDtypeStruct((n,), f32)] * 6
+            + [jax.ShapeDtypeStruct((n,), jnp.uint32)]
+            + [jax.ShapeDtypeStruct((n,), f32)] * 6
+            + [jax.ShapeDtypeStruct((n,), jnp.int32)] * 2
+        )
+    else:
+        out_specs = [
+            pl.BlockSpec((step,), lambda i: (i,), memory_space=pltpu.VMEM)
+        ] * 5
+        out_shape = (
+            [jax.ShapeDtypeStruct((n,), f32)] * 3
+            + [jax.ShapeDtypeStruct((n,), jnp.uint32)]
+            + [jax.ShapeDtypeStruct((n,), jnp.int32)]
+        )
     if count_iters:
         # (closest, shadow) per sub-tile, interleaved; whole array per
         # step on compiled TPU, per-step blocked in interpret (see
@@ -368,6 +427,8 @@ def pt_frame(
             sep_shadow=sep_shadow, occl=occl, occl_rows=occl_rows,
             count_iters=count_iters, interp=interpret,
             light_tri_meta=tuple(light_tri_meta),
+            depth_base=depth_base, has_carry_in=has_carry_in,
+            carry_out=carry_out,
         ),
         grid=(num_steps,),
         in_specs=in_specs,
@@ -380,10 +441,21 @@ def pt_frame(
         interpret=interpret,
     )(nodes, ltris, *sh_inputs, mats, lights, ltri, sph, pln, sphmat,
       plnmat, objmat, *ents_inputs, *sh_ents_inputs, *cols)
-    iters = res[5] if count_iters else None
-    ex, ey, ez, ost, tr = [r[:n0] for r in res[:5]]
-    energy = jnp.stack([ex, ey, ez], axis=1)
-    out = (energy, ost, jnp.sum(tr, dtype=jnp.int32))
+    if carry_out:
+        iters = res[15] if count_iters else None
+        trimmed = [r[:n0] for r in res[:15]]
+        (nox, noy, noz, ndx, ndy, ndz, ost,
+         ntx, nty, ntz, ex, ey, ez, nfl, tr) = trimmed
+        out = (
+            (nox, noy, noz, ndx, ndy, ndz), ost,
+            (ntx, nty, ntz), (ex, ey, ez), nfl,
+            jnp.sum(tr, dtype=jnp.int32),
+        )
+    else:
+        iters = res[5] if count_iters else None
+        ex, ey, ez, ost, tr = [r[:n0] for r in res[:5]]
+        energy = jnp.stack([ex, ey, ez], axis=1)
+        out = (energy, ost, jnp.sum(tr, dtype=jnp.int32))
     if count_iters:
         return out + (iters,)
     return out

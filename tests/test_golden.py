@@ -147,6 +147,7 @@ if __name__ == "__main__":
         print("usage: python tests/test_golden.py regen")
 
 
+@pytest.mark.slow  # tree-variant sweep: nightly; test_goldens guards the image
 def test_golden_bitwise_under_tree_variants(monkeypatch):
     """CPUGPU_PACKET_TREE reshapes only the device-side slim tree; hits
     are exact and per-lane RNG order is untouched, so the rendered

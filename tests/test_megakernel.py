@@ -81,11 +81,20 @@ def _check(ref, got, nee: bool):
     "sort,settings",
     [
         (True, RenderSettings(max_ray_depth=3)),
-        (False, RenderSettings(max_ray_depth=2)),
-        (True, RenderSettings(max_ray_depth=2, cosine_weighted_diffuse=False)),
-        (True, RenderSettings(max_ray_depth=2, russian_roulette=False)),
+        pytest.param(False, RenderSettings(max_ray_depth=2),
+                     marks=pytest.mark.slow),
+        pytest.param(True,
+                     RenderSettings(max_ray_depth=2,
+                                    cosine_weighted_diffuse=False),
+                     marks=pytest.mark.slow),
+        pytest.param(True,
+                     RenderSettings(max_ray_depth=2, russian_roulette=False),
+                     marks=pytest.mark.slow),
         (True, RenderSettings(max_ray_depth=2, next_event_estimation=False)),
     ],
+    # settings-toggle arms are nightly: each toggle is a one-line
+    # branch of the SHARED _shade_surface body, and the pt-frame suite
+    # pins the same arms bitwise
     ids=["default-sort", "default-nosort", "uniform-diffuse", "no-rr", "no-nee"],
 )
 def test_megakernel_matches_integrator(force_packet, sort, settings):
@@ -147,6 +156,7 @@ def test_gate_rejects_unsupported(force_packet):
     assert megakernel_active(dev, RenderSettings())
 
 
+@pytest.mark.slow  # _umod covered fast by test_pt_frame_three_lights (shared body)
 def test_megakernel_three_lights(force_packet):
     """Non-power-of-two light count (round-4 gate lift): the megakernel's
     restoring-division light pick (_umod) must be bit-identical to the
@@ -198,9 +208,11 @@ def _scene_instanced(num_inst: int = 3) -> Scene:
 
 @pytest.mark.parametrize(
     "sort,flatten",
-    [(True, True), (False, True), (True, False)],
+    [(True, True),
+     pytest.param(False, True, marks=pytest.mark.slow),
+     pytest.param(True, False, marks=pytest.mark.slow)],
     ids=["sort-flattened", "nosort-flattened", "sort-machinery"],
-)
+)  # one instanced arm in the fast gate; the others nightly
 def test_megakernel_instanced_matches_integrator(
     force_packet, monkeypatch, sort, flatten
 ):
@@ -261,7 +273,11 @@ def _scene_mesh_light(extra_sphere_light=True) -> Scene:
     return s
 
 
-@pytest.mark.parametrize("mixed", [True, False], ids=["mixed", "mesh-only"])
+@pytest.mark.parametrize(
+    "mixed",
+    [True, pytest.param(False, marks=pytest.mark.slow)],
+    ids=["mixed", "mesh-only"],
+)
 def test_megakernel_mesh_light(force_packet, mixed):
     settings = RenderSettings(max_ray_depth=3)
     dev = _scene_mesh_light(extra_sphere_light=mixed).device()

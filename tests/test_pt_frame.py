@@ -35,8 +35,12 @@ def force_packet(monkeypatch):
     "settings",
     [
         RenderSettings(max_ray_depth=3),
-        RenderSettings(max_ray_depth=2, cosine_weighted_diffuse=False),
-        RenderSettings(max_ray_depth=2, russian_roulette=False),
+        pytest.param(
+            RenderSettings(max_ray_depth=2, cosine_weighted_diffuse=False),
+            marks=pytest.mark.slow),
+        pytest.param(
+            RenderSettings(max_ray_depth=2, russian_roulette=False),
+            marks=pytest.mark.slow),
         RenderSettings(max_ray_depth=2, next_event_estimation=False),
     ],
     ids=["default", "uniform-diffuse", "no-rr", "no-nee"],
@@ -132,6 +136,28 @@ def test_pt_frame_flattened_instances(force_packet):
         np.asarray(mega.energy), np.asarray(frame.energy)
     )
     assert int(mega.traced_rays) == int(frame.traced_rays)
+
+
+def test_pt_frame_split_bitwise(force_packet, monkeypatch):
+    """CPUGPU_PTFRAME_SPLIT=K (two spans + one mid-frame morton sort):
+    per-lane energy and traced must be BITWISE identical to the single
+    span -- sorting permutes, the restore returns lane order, and every
+    ACTIVE lane's draw sequence is grouping-independent."""
+    import jax.numpy as jnp
+
+    settings = RenderSettings(max_ray_depth=3)
+    dev = _scene().device()
+    idx = jnp.arange(64 * 32, dtype=jnp.int32)
+    monkeypatch.setenv("CPUGPU_PTFRAME_SPLIT", "0")
+    _, full = _trace(dev, settings, integrators.trace_advanced_frame,
+                     idx=idx)
+    monkeypatch.setenv("CPUGPU_PTFRAME_SPLIT", "2")
+    _, split = _trace(dev, settings, integrators.trace_advanced_frame,
+                      idx=idx)
+    np.testing.assert_array_equal(
+        np.asarray(full.energy), np.asarray(split.energy)
+    )
+    assert int(full.traced_rays) == int(split.traced_rays)
 
 
 def test_pt_frame_mesh_light(force_packet):

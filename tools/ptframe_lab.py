@@ -43,6 +43,8 @@ def main():
     cfg = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     name, fn = CONFIGS[cfg]
     scene, cam, settings, w, h, hook = fn()
+    if len(sys.argv) > 2:  # depth-limited census (hybrid sizing)
+        settings = settings.replace(max_ray_depth=int(sys.argv[2]))
     dev = scene.device()
     reason = pt_frame_gate_reason(dev, settings)
     print(f"config {cfg} ({name}) {w}x{h} gate={reason or 'ACTIVE'}",
@@ -94,8 +96,10 @@ def main():
     # ---- census run (count_iters executable) ----
     energy, st2, traced, iters = pfk.pt_frame(
         mk_nodes, mk_ltris, dev.mk_mats, dev.mk_lights,
+        dev.mk_light_tris,
         dev.mk_sph, dev.mk_pln, dev.mk_sph_mat, dev.mk_pln_mat,
-        dev.mk_objmat, rays, state, count_iters=True, **static)
+        dev.mk_objmat, rays, state, count_iters=True,
+        light_tri_meta=dev.light_tri_meta, **static)
     jax.block_until_ready(energy)
     it = np.asarray(iters)
     it_c, it_s = int(it[0::2].sum()), int(it[1::2].sum())
@@ -106,8 +110,10 @@ def main():
     # ---- steady-state wall clock (plain executable, chained) ----
     f = jax.jit(lambda r, s: pfk.pt_frame(
         mk_nodes, mk_ltris, dev.mk_mats, dev.mk_lights,
+        dev.mk_light_tris,
         dev.mk_sph, dev.mk_pln, dev.mk_sph_mat, dev.mk_pln_mat,
-        dev.mk_objmat, r, s, **static))
+        dev.mk_objmat, r, s, light_tri_meta=dev.light_tri_meta,
+        **static))
     e, s2, tr = f(rays, state)
     jax.block_until_ready(e)
     reps = 16

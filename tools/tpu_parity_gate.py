@@ -319,6 +319,63 @@ def check_parity_whitted(w: int = 64, h: int = 32, seed: int = 0x1CE) -> dict:
     }
 
 
+def check_parity_ptframe(w: int = 64, h: int = 32, seed: int = 0x9E7) -> dict:
+    """Compiled parity for the whole-frame PT kernel
+    (ops/pt_frame_kernel.py) vs the compiled per-depth megakernel
+    pipeline, on the chip, over a small mesh scene shaped like the
+    pt-frame gate (config 2's family).  Both paths emit the SAME
+    traversal and shading ops (interpret mode is bitwise,
+    tests/test_pt_frame.py); compiled they may differ by Mosaic
+    scheduling/FMA ulps plus NEE occlusion boundary flips -- the
+    megakernel contract.  Traced and RNG state are integer math and
+    must be EXACT.  Raises AssertionError on failure."""
+    from cpugpupathtracing_tpu.config import CameraConfig, RenderSettings
+    from cpugpupathtracing_tpu.models import camera as camlib
+    from cpugpupathtracing_tpu.models import integrators
+    from cpugpupathtracing_tpu.models import materials as matlib
+    from cpugpupathtracing_tpu.models import mesh as meshlib
+    from cpugpupathtracing_tpu.models.scene import Scene, pt_frame_gate_reason
+    from cpugpupathtracing_tpu.utils import rng as rnglib
+
+    s = Scene()
+    white = s.add_material(matlib.Material.diffuse((0.85, 0.85, 0.85)))
+    shiny = s.add_material(
+        matlib.Material.diffuse((0.9, 0.7, 0.3), specular=0.35))
+    light = s.add_material(matlib.Material.light((1.0, 0.95, 0.8), 10.0))
+    s.add_mesh("ball", meshlib.icosphere(radius=1.5, subdivisions=2), shiny)
+    s.add_mesh("ground", meshlib.ground_quad(y=-2.0), white)
+    li = s.add_sphere("light", (10.0, 10.0, 10.0), 5.0, light)
+    s.mark_light(li)
+    dev = s.device()
+    settings = RenderSettings()
+    reason = pt_frame_gate_reason(dev, settings)
+    assert reason is None, f"pt-frame gate unexpectedly closed: {reason}"
+
+    n = w * h
+    cam = camlib.to_arrays(CameraConfig(pos=(0.0, 0.5, 7.0), aspect=w / h))
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    o, d = camlib.lane_rays(cam, lane, w, h)
+    state = rnglib.seed_lanes(lane, jnp.uint32(0), salt=seed)
+
+    st_ref, ref = integrators.trace_advanced_mega(dev, settings, o, d, state)
+    st_got, got = integrators.trace_advanced_frame(dev, settings, o, d, state)
+    assert int(ref.traced_rays) == int(got.traced_rays), "traced mismatch"
+    assert np.array_equal(np.asarray(st_ref), np.asarray(st_got)), "rng state"
+    ea = np.asarray(ref.energy)
+    em = np.asarray(got.energy)
+    diff = np.abs(ea - em)
+    flips = (diff > 3e-6 + 3e-5 * np.abs(ea)).any(axis=1)
+    assert flips.mean() < 0.03, f"{int(flips.sum())} lanes beyond boundary flips"
+    assert diff.max() < 0.05, f"flip magnitude {diff.max():.4f}"
+    return {
+        "ok": True,
+        "checked": n,
+        "backend": jax.default_backend(),
+        "flip_lanes": int(flips.sum()),
+        "max_energy_diff": float(diff.max()),
+    }
+
+
 if __name__ == "__main__":
     out = check_parity()
     print(f"TPU parity gate OK: {out}")
@@ -326,3 +383,5 @@ if __name__ == "__main__":
     print(f"TPU instanced parity gate OK: {out2}")
     out3 = check_parity_whitted()
     print(f"TPU whitted kernel parity gate OK: {out3}")
+    out4 = check_parity_ptframe()
+    print(f"TPU whole-frame PT kernel parity gate OK: {out4}")
