@@ -305,6 +305,12 @@ def pt_frame(
     i32 [, per-sub-tile (closest, shadow) iteration counts interleaved
     when count_iters]) -- per-lane bitwise equal to the unsorted
     megakernel path in interpret mode.
+
+    Span mode (the split-frame schedule): depths counts THIS span's
+    depths, depth_base offsets the NEE double-count guard's depth-0
+    test; carry_in=(throughput3, energy3, flags) seeds the carry from a
+    previous span; carry_out=True returns the full carry instead:
+    (rays6, state, throughput3, energy3, flags, traced).
     """
     frame_stack, nearest = _resolve_width_flags(
         width, 0, frame_stack, nearest, any_hit=False)

@@ -11,6 +11,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 from cpugpupathtracing_tpu.config import (
     CameraConfig,
