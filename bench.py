@@ -257,9 +257,12 @@ def main():
                 parity_whitted = check_parity_whitted()["ok"]
             except Exception:
                 parity_whitted = False
-        if args.config == 2:
-            # config 2's number comes off the whole-frame PT kernel:
-            # re-prove THAT compiled binary against the per-depth one
+        from cpugpupathtracing_tpu.models.scene import pt_frame_gate_reason
+
+        if pt_frame_gate_reason(scene.device(), settings) is None:
+            # this config's number comes off the whole-frame PT kernel:
+            # re-prove that kernel family's compiled binaries against
+            # the per-depth ones
             try:
                 parity_ptframe = check_parity_ptframe()["ok"]
             except Exception:
@@ -281,6 +284,11 @@ def main():
     # not "how close to 100 Mrays/s".  Only configs with recorded
     # iteration censuses carry the field.
     FLOOR_NS_PER_ITER = 640.0
+    # NOTE: these censuses belong to the PER-DEPTH pipeline's sort
+    # schedule; the split-span whole-frame path (the round-5 default
+    # for these configs) runs a different, slightly higher iteration
+    # count with one sort -- the field remains the per-depth-census
+    # floor and therefore now UNDERSTATES floor proximity a little.
     ITERS_PER_FRAME = {
         3: 733_000,   # glass dragon 1080p, sweep_dp+occl sort schedule
         4: 733_000,   # same scene/rays per sample (per-spp basis below)

@@ -1023,6 +1023,15 @@ def trace_advanced_frame(
     split_env = os.environ.get("CPUGPU_PTFRAME_SPLIT")
     split = int(split_env) if split_env else (2 if depths > 3 else 0)
     zeros = jnp.zeros((n,), jnp.int32)
+    unsplit_max = int(os.environ.get("CPUGPU_PTFRAME_MAX_NODES") or "2048")
+    if (idx is None and 0 < split < depths
+            and int(dev.pnodes.shape[0]) > unsplit_max):
+        # the gate admitted this tree on the SPLIT schedule's economics;
+        # without lane identities no sort can run, and the unsplit
+        # whole-frame kernel measured a loss on big incoherent trees --
+        # delegate to the per-depth pipeline instead
+        return trace_advanced_mega(dev, settings, origin, direction,
+                                   state, idx=None)
     if idx is not None and 0 < split < depths:
         rays2, st2, tp2, en2, fl2, tr1 = pfk.pt_frame(
             *tables, rays_c, state,

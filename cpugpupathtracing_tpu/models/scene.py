@@ -2049,13 +2049,29 @@ def pt_frame_gate_reason(dev: DeviceScene, settings) -> str | None:
         return "16-wide occlusion tables (CPUGPU_OCCL_W16 lab)"
     if settings.max_ray_depth > 32:
         return "max_ray_depth > 32"
-    max_nodes = int(os.environ.get("CPUGPU_PTFRAME_MAX_NODES") or "2048")
+    # tree-size budget: without the split-span schedule the kernel
+    # never sorts, so scattered fans must stay cheap (the config-2
+    # shape).  WITH the split (the default whenever depths > 3 and the
+    # driver has lane identities), one mid-frame morton regroup makes
+    # big incoherent trees a measured WIN too (round 5: config 3's
+    # 2980-row dragon 7.13 vs 6.78, config 5's 17876-row flattened
+    # instance ring 6.79 vs 6.24 through the per-depth pipeline) --
+    # the split budget covers every measured scene family.
+    split_env = os.environ.get("CPUGPU_PTFRAME_SPLIT")
+    split_on = (
+        (int(split_env) > 0) if split_env else settings.max_ray_depth + 1 > 3
+    )
+    max_nodes = int(
+        os.environ.get("CPUGPU_PTFRAME_MAX_NODES")
+        or ("32768" if split_on else "2048")
+    )
     if (
         int(dev.pnodes.shape[0]) > max_nodes
         and os.environ.get("CPUGPU_FORCE_PTFRAME") != "1"
     ):
-        return (f"{int(dev.pnodes.shape[0])}-row tree > unsorted-fan "
-                f"budget {max_nodes}")
+        return (f"{int(dev.pnodes.shape[0])}-row tree > "
+                f"{'split' if split_on else 'unsorted'}-fan budget "
+                f"{max_nodes}")
     return None
 
 
